@@ -1,0 +1,93 @@
+"""Entity linking — exact-key + scored-candidate resolution with stubs.
+
+Mirrors the reference's two linking strategies:
+
+- exact key: ``Linker.linkToSingle`` joins occurrence key → full-name map
+  (``semanticcpg/.../linking/linker/Linker.scala:202-242``; maps built in
+  ``initMaps:122-130``) → here a **broadcast hash join** of the token stream
+  against the alias dictionary.
+- scored dispatch: ``CallLinker`` falls back from static full-name match to
+  walking candidate bindings and matching (name, signature)
+  (``CallLinker.scala:52-81``) → here, ambiguous surfaces (one alias, many
+  canonicals) produce candidate rows scored by ``prior``; a window
+  ``row_number() == 1`` keeps the winner (tie-break: lexicographically
+  smallest canonical_name, the reference's deterministic-sort discipline,
+  ``TypeNodePass.scala:11``).
+- unresolved: the reference synthesizes external stubs by anti-join
+  (``MethodStubCreator.scala:16-108``) → surfaces with no dictionary entry
+  link to ``external:<surface>`` stub entities.
+
+Skew notes (north_rule): the dictionary side is broadcast, so hub entities
+(one entity in 30%+ of conversations) cause **no shuffle skew** — every
+executor probes its local hash map, exactly like the reference's RAM map but
+partition-parallel. Aggregations over linked mentions downstream use
+two-phase partial+merge (Spark's default hash aggregate) so hub keys are
+pre-combined map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import schema as S
+
+
+def best_alias(alias_dict: DataFrame) -> DataFrame:
+    """(alias, canonical_name, entity_type): the winning candidate per
+    surface form — max prior, tie-break min canonical_name."""
+    w = Window.partitionBy("alias").orderBy(
+        F.col("prior").desc(), F.col("canonical_name").asc()
+    )
+    return (
+        alias_dict.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("alias", "canonical_name", "entity_type")
+    )
+
+
+def link_surfaces(
+    df: DataFrame, alias_dict: DataFrame, surface_col: str, out_col: str
+) -> DataFrame:
+    """Resolve ``surface_col`` → canonical name in ``out_col`` via broadcast
+    join against the scored dictionary; unresolved → external stub name."""
+    best = F.broadcast(
+        best_alias(alias_dict).select(
+            F.col("alias").alias(f"__a_{out_col}"),
+            F.col("canonical_name").alias(f"__c_{out_col}"),
+        )
+    )
+    joined = df.join(best, df[surface_col] == F.col(f"__a_{out_col}"), "left")
+    return joined.withColumn(
+        out_col,
+        F.coalesce(
+            F.col(f"__c_{out_col}"),
+            F.concat(F.lit(S.EXTERNAL_PREFIX), F.col(surface_col)),
+        ),
+    ).drop(f"__a_{out_col}", f"__c_{out_col}")
+
+
+def linked_triples_premerge(raw_triples: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """Raw clause triples with subject/object resolved to (pre-merge)
+    canonical names. Two broadcast probes of the same tiny dictionary."""
+    t = link_surfaces(raw_triples, alias_dict, "subj_surface", "subj_canonical")
+    t = link_surfaces(t, alias_dict, "obj_surface", "obj_canonical")
+    return t
+
+
+def apply_merge(
+    df: DataFrame, merge_map: DataFrame, col: str, out_col: str | None = None
+) -> DataFrame:
+    """Rewrite a canonical-name column through the canonicalization merge map
+    (broadcast; identity for names without a merge entry)."""
+    out_col = out_col or col
+    mm = F.broadcast(
+        merge_map.select(
+            F.col("canonical_name").alias(f"__m_{col}"),
+            F.col("merged_name").alias(f"__g_{col}"),
+        )
+    )
+    joined = df.join(mm, df[col] == F.col(f"__m_{col}"), "left")
+    return joined.withColumn(
+        out_col, F.coalesce(F.col(f"__g_{col}"), F.col(col))
+    ).drop(f"__m_{col}", f"__g_{col}")
