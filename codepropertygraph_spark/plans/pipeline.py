@@ -1,0 +1,327 @@
+"""Pass/overlay pipeline framework — DiffGraph apply + LayerCreator analog.
+
+The reference builds its graph as a base layer plus ordered additive
+overlays: each pass emits DiffGraphs, a single writer applies them
+(``codepropertygraph/.../passes/ParallelCpgPass.scala:20-121``), the applied
+diff is serialized as a numbered overlay into the zip
+(``CpgPass.createApplySerializeAndStore``, ``CpgPass.scala:73-128``;
+``SerializedCpg.addOverlay:45-53``), the overlay name is appended to
+META_DATA (``Overlays.scala:9-17``), and a LayerCreator refuses to rerun an
+applied overlay or run with missing dependencies
+(``LayerCreator.scala:18-29``). Pass wall time is logged
+(``CpgPass.scala:130-139``).
+
+Spark translation (SURVEY.md §3.2): each pass is a DataFrame job whose
+outputs land in one **atomically committed overlay directory** —
+``warehouse/overlays/NN_name/<table>/`` parquet plus a ``_COMMIT.json``
+marker written last (the commit point), carrying per-table row counters and
+wall time (the lineage/metrics contract of the north_rule). Reads union all
+committed overlays. Resume = rerun the driver: committed overlays are
+skipped; a half-written overlay has no marker and is overwritten
+idempotently. Rollback = drop overlay dirs from index k (the inverse-
+DiffGraph / snapshot-rollback analog, ``DiffGraph.scala:258-298``).
+
+In production these directories are Iceberg snapshot commits (one snapshot
+per pass, snapshot summary = overlay name); the directory+marker protocol
+here is the same optimistic-commit semantics without the Iceberg runtime jar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schema as S
+
+
+@dataclass
+class PassContext:
+    spark: SparkSession
+    catalog: "Catalog"
+    transcripts: DataFrame
+    alias_dict: DataFrame
+
+
+@dataclass
+class Pass:
+    """A pipeline stage: returns {table_name: DataFrame} to commit as one
+    overlay. ``depends_on`` lists overlay names that must already be
+    committed (LayerCreator.dependsOn semantics)."""
+
+    name: str
+    run: Callable[[PassContext], dict[str, DataFrame]]
+    depends_on: tuple[str, ...] = ()
+
+
+class Catalog:
+    """Directory-backed overlay store with atomic commit markers."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.overlays_dir = os.path.join(warehouse, "overlays")
+        os.makedirs(self.overlays_dir, exist_ok=True)
+
+    # -- overlay bookkeeping ------------------------------------------------
+
+    def committed_overlays(self) -> list[dict]:
+        """Ordered list of commit records (the META_DATA.OVERLAYS analog)."""
+        out = []
+        if not os.path.isdir(self.overlays_dir):
+            return out
+        for d in sorted(os.listdir(self.overlays_dir)):
+            marker = os.path.join(self.overlays_dir, d, "_COMMIT.json")
+            if os.path.exists(marker):
+                with open(marker) as fh:
+                    out.append(json.load(fh))
+        return out
+
+    def overlay_names(self) -> list[str]:
+        return [c["overlay"] for c in self.committed_overlays()]
+
+    def _overlay_dir(self, index: int, name: str) -> str:
+        return os.path.join(self.overlays_dir, f"{index:02d}_{name}")
+
+    def commit_overlay(
+        self, index: int, name: str, tables: dict[str, DataFrame]
+    ) -> dict:
+        """Write all tables, then the marker — the marker IS the commit.
+        Reruns of an uncommitted overlay overwrite leftovers idempotently."""
+        d = self._overlay_dir(index, name)
+        if os.path.isdir(d) and not os.path.exists(os.path.join(d, "_COMMIT.json")):
+            shutil.rmtree(d)  # half-failed previous attempt
+        t0 = time.time()
+        counters: dict[str, int] = {}
+        for tname, df in tables.items():
+            path = os.path.join(d, tname)
+            df.write.mode("overwrite").parquet(path)
+            counters[tname] = self.spark.read.parquet(path).count()
+        record = {
+            "overlay": name,
+            "pass_index": index,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "wall_seconds": round(time.time() - t0, 3),
+            "counters": counters,
+            "lineage": {"tables": sorted(tables), "warehouse": self.warehouse},
+        }
+        tmp = os.path.join(d, "_COMMIT.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(record, fh, indent=1)
+        os.replace(tmp, os.path.join(d, "_COMMIT.json"))
+        return record
+
+    def rollback_to(self, index: int) -> None:
+        """Drop overlays with pass_index > index (snapshot rollback)."""
+        for d in sorted(os.listdir(self.overlays_dir)):
+            try:
+                i = int(d.split("_", 1)[0])
+            except ValueError:
+                continue
+            if i > index:
+                shutil.rmtree(os.path.join(self.overlays_dir, d))
+
+    # -- table reads --------------------------------------------------------
+
+    def read_table(self, table: str) -> DataFrame | None:
+        """Union of a table across all committed overlays."""
+        parts = []
+        for c in self.committed_overlays():
+            d = self._overlay_dir(c["pass_index"], c["overlay"])
+            path = os.path.join(d, table)
+            if os.path.isdir(path):
+                parts.append(self.spark.read.parquet(path))
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def nodes(self) -> DataFrame | None:
+        return self.read_table("nodes")
+
+    def edges(self) -> DataFrame | None:
+        return self.read_table("edges")
+
+    def meta(self) -> DataFrame:
+        recs = self.committed_overlays()
+        return self.spark.createDataFrame(
+            [
+                (
+                    r["overlay"],
+                    r["pass_index"],
+                    r["committed_at"],
+                    r["wall_seconds"],
+                    {k: str(v) for k, v in r["counters"].items()},
+                )
+                for r in recs
+            ],
+            "overlay string, pass_index int, committed_at string, wall_seconds double, counters map<string,string>",
+        )
+
+
+# ---------------------------------------------------------------------------
+# the standard pass list (Scpg.run analog, Scpg.scala:38-131)
+# ---------------------------------------------------------------------------
+
+
+def _meta_pass(ctx: PassContext) -> dict[str, DataFrame]:
+    """CMetaDataPass analog (A1): singleton META_DATA node."""
+    from ..ids import LABEL_BASE
+
+    df = ctx.spark.createDataFrame(
+        [(LABEL_BASE[S.META_DATA] + 1, S.META_DATA)], "id long, label string"
+    ).select(
+        "id",
+        "label",
+        F.lit("transcripts-kg").alias("name"),
+        F.lit(None).cast("string").alias("full_name"),
+        F.lit(None).cast("string").alias("code"),
+        F.lit(None).cast("int").alias("order"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.create_map(F.lit("language"), F.lit("TRANSCRIPT")).alias("props"),
+    )
+    return {"nodes": df}
+
+
+def _base_layer_pass(ctx: PassContext) -> dict[str, DataFrame]:
+    """A2/A4/A15 analog: conversation + turn nodes, AST/NEXT/CONTAINS."""
+    from ..operators import graph as G
+
+    nodes = G.conversation_nodes(ctx.transcripts).unionByName(
+        G.turn_nodes(ctx.transcripts)
+    )
+    edges = (
+        G.ast_edges(ctx.transcripts, ctx.alias_dict)
+        .unionByName(G.next_edges(ctx.transcripts))
+        .unionByName(G.contains_edges(ctx.transcripts, ctx.alias_dict))
+    )
+    return {"nodes": nodes, "edges": edges}
+
+
+def _extraction_pass(ctx: PassContext) -> dict[str, DataFrame]:
+    """A2/A3 analog: mention + toolcall nodes."""
+    from ..operators import graph as G
+
+    nodes = G.mention_nodes(ctx.transcripts, ctx.alias_dict).unionByName(
+        G.toolcall_nodes(ctx.transcripts)
+    )
+    return {"nodes": nodes}
+
+
+def _canonicalize_pass(ctx: PassContext) -> dict[str, DataFrame]:
+    """Stage-4 analog (A16 + CC): the merge map, committed as its own
+    overlay so downstream passes read a frozen artifact."""
+    from ..operators import canonicalize
+
+    return {"merge_map": canonicalize.merge_map(ctx.alias_dict)}
+
+
+def _linking_pass(ctx: PassContext) -> dict[str, DataFrame]:
+    """A6/A7/A10/A13 analog: entity nodes (incl. stubs), REF + CALL edges."""
+    from ..operators import graph as G
+
+    merge = ctx.catalog.read_table("merge_map")
+    nodes = G.entity_nodes(ctx.transcripts, ctx.alias_dict, merge)
+    edges = G.ref_edges(ctx.transcripts, ctx.alias_dict, merge).unionByName(
+        G.call_edges(ctx.transcripts, ctx.alias_dict, merge)
+    )
+    return {"nodes": nodes, "edges": edges}
+
+
+def _rel_pass(ctx: PassContext) -> dict[str, DataFrame]:
+    """REL triple edges + the flat triples projection (the flagship)."""
+    from ..operators import graph as G, kg
+
+    merge = ctx.catalog.read_table("merge_map")
+    clauses = kg.clause_triples(ctx.transcripts, ctx.alias_dict, merge)
+    follows = kg.follows_triples(ctx.transcripts, ctx.alias_dict, merge)
+    triples = clauses.unionByName(follows).dropDuplicates(
+        ["conv_id", "subj", "pred", "obj"]
+    )
+    return {
+        "edges": G.rel_edges(ctx.transcripts, ctx.alias_dict, merge),
+        "triples": triples,
+    }
+
+
+STANDARD_PASSES: tuple[Pass, ...] = (
+    Pass("meta_data", _meta_pass),
+    Pass("base_layer", _base_layer_pass, depends_on=("meta_data",)),
+    Pass("extraction", _extraction_pass, depends_on=("base_layer",)),
+    Pass("canonicalize", _canonicalize_pass, depends_on=("extraction",)),
+    Pass("linking", _linking_pass, depends_on=("canonicalize",)),
+    Pass("rel_triples", _rel_pass, depends_on=("linking",)),
+)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    alias_dict: DataFrame,
+    warehouse: str,
+    passes: tuple[Pass, ...] = STANDARD_PASSES,
+) -> Catalog:
+    """Run the ordered pass list with skip-if-applied resume semantics."""
+    cat = Catalog(spark, warehouse)
+    ctx = PassContext(spark, cat, transcripts, alias_dict)
+    for i, p in enumerate(passes):
+        applied = set(cat.overlay_names())
+        if p.name in applied:
+            continue  # LayerCreator: already applied
+        missing = [d for d in p.depends_on if d not in applied]
+        if missing:
+            raise RuntimeError(f"pass {p.name}: missing dependencies {missing}")
+        tables = p.run(ctx)
+        rec = cat.commit_overlay(i, p.name, tables)
+        print(
+            f"[pass {i} {p.name}] {rec['wall_seconds']}s counters={rec['counters']}"
+        )
+    return cat
+
+
+# ---------------------------------------------------------------------------
+# validator (cpgvalidator analog)
+# ---------------------------------------------------------------------------
+
+
+def validate(catalog: Catalog) -> DataFrame:
+    """Schema-conformance check: every edge endpoint must exist and every
+    (src_label, edge_label, dst_label) must be in schema.EDGE_FACTS
+    (``CpgValidator.scala:8-14``). Returns a DataFrame of violations
+    (empty = conformant)."""
+    nodes = catalog.nodes().select("id", F.col("label").alias("node_label"))
+    edges = catalog.edges()
+    src_n = nodes.select(
+        F.col("id").alias("src"), F.col("node_label").alias("src_label")
+    )
+    dst_n = nodes.select(
+        F.col("id").alias("dst"), F.col("node_label").alias("dst_label")
+    )
+    joined = edges.join(src_n, "src", "left").join(dst_n, "dst", "left")
+    facts = catalog.spark.createDataFrame(
+        sorted(S.EDGE_FACTS), "src_label string, edge_label string, dst_label string"
+    ).withColumn("allowed", F.lit(True))
+    checked = joined.join(
+        F.broadcast(facts),
+        (joined.src_label == facts.src_label)
+        & (joined.label == facts.edge_label)
+        & (joined.dst_label == facts.dst_label),
+        "left",
+    )
+    # a violation is a missing endpoint (null label) or a disallowed fact
+    return checked.where(F.col("allowed").isNull()).select(
+        joined.src_label.alias("src_label"),
+        F.col("label").alias("edge_label"),
+        joined.dst_label.alias("dst_label"),
+        "src",
+        "dst",
+    )
