@@ -1,0 +1,158 @@
+"""Per-operator golden tests on tiny handcrafted fixtures — the analog of the
+reference's per-pass tests on inline programs (CfgCreationPassTests.scala:
+19-70 ``succOf(...) shouldBe expected(...)`` pattern).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from codepropertygraph_spark import schema as S
+from codepropertygraph_spark.operators import (
+    canonicalize,
+    dataflow,
+    extraction,
+    kg,
+    linking,
+    ordering,
+)
+
+
+def _mini_transcripts(spark):
+    """3-turn conversation with a duplicate turn_idx (ts tie-break) plus a
+    single-turn conversation."""
+    rows = [
+        ("cA", 1, "user", "so p1 mentions p2 ok", None, datetime(2024, 1, 1, 0, 0, 0)),
+        # two rows with turn_idx=2; ts orders t2a before t2b
+        ("cA", 2, "assistant", "p2 asks_about weird_x then", None, datetime(2024, 1, 1, 0, 0, 10)),
+        ("cA", 2, "tool", "p1 uses_tool hammer so", "hammer", datetime(2024, 1, 1, 0, 0, 20)),
+        ("cB", 7, "user", "just filler words here", None, datetime(2024, 1, 2)),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def _mini_alias(spark):
+    rows = [
+        ("p1", "person_one", "PERSON", 0.9),
+        ("p2", "person_two", "PERSON", 0.8),
+        # collision: surface 'hammer' maps to two entities; tool_hammer wins on prior
+        ("hammer", "tool_hammer", "TOOL", 0.9),
+        ("hammer", "org_hammer", "ORG", 0.2),
+    ]
+    return spark.createDataFrame(
+        rows, "alias string, canonical_name string, entity_type string, prior double"
+    )
+
+
+def test_ordered_turns_stable(spark):
+    t = ordering.ordered_turns(_mini_transcripts(spark))
+    got = {
+        (r.conv_id, r.turn_order): r.text
+        for r in t.collect()
+    }
+    assert got[("cA", 1)].startswith("so p1")
+    assert got[("cA", 2)].startswith("p2 asks_about")  # ts breaks the tie
+    assert got[("cA", 3)].startswith("p1 uses_tool")
+    assert got[("cB", 1)].startswith("just filler")
+
+
+def test_next_edges(spark):
+    n = ordering.next_edges(_mini_transcripts(spark)).collect()
+    got = {(r.conv_id, r.src_order, r.dst_order) for r in n}
+    assert got == {("cA", 1, 2), ("cA", 2, 3)}  # cB single turn: no edge
+
+
+def test_raw_triples_golden(spark):
+    rt = extraction.raw_triples(_mini_transcripts(spark))
+    got = {(r.conv_id, r.subj_surface, r.pred, r.obj_surface) for r in rt.collect()}
+    assert got == {
+        ("cA", "p1", "mentions", "p2"),
+        ("cA", "p2", "asks_about", "weird_x"),
+        ("cA", "p1", "uses_tool", "hammer"),
+    }
+
+
+def test_mentions_include_pred_adjacent_unknowns(spark):
+    m = extraction.mention_surfaces(_mini_transcripts(spark), _mini_alias(spark))
+    got = {(r.conv_id, r.surface, r.in_dict) for r in m.collect()}
+    assert ("cA", "weird_x", False) in got  # external stub candidate
+    assert ("cA", "p1", True) in got
+    assert ("cA", "hammer", True) in got
+    assert not any(s == "filler" for _, s, _ in got)  # non-adjacent unknowns excluded
+
+
+def test_scored_linking_collision(spark):
+    best = {r.alias: r.canonical_name for r in linking.best_alias(_mini_alias(spark)).collect()}
+    assert best["hammer"] == "tool_hammer"  # max prior wins
+
+
+def test_linking_stubs(spark):
+    rt = extraction.raw_triples(_mini_transcripts(spark))
+    lt = linking.linked_triples_premerge(rt, _mini_alias(spark))
+    got = {(r.subj_canonical, r.pred, r.obj_canonical) for r in lt.collect()}
+    assert ("person_two", "asks_about", "external:weird_x") in got
+    assert ("person_one", "uses_tool", "tool_hammer") in got
+
+
+def test_connected_components_chain(spark):
+    nodes = spark.createDataFrame([(c,) for c in "abcdexy"], "name string")
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("x", "y"), ("c", "d")], "a string, b string"
+    )
+    cc = {r.name: r.component for r in canonicalize.connected_components(nodes, edges).collect()}
+    assert cc == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "x": "x", "y": "x"}
+
+
+def test_merge_map_token_vs_lsh(spark, alias_dict):
+    token = {
+        (r.canonical_name, r.merged_name)
+        for r in canonicalize.merge_map(alias_dict, use_lsh=False).collect()
+    }
+    lsh = {
+        (r.canonical_name, r.merged_name)
+        for r in canonicalize.merge_map(alias_dict, use_lsh=True).collect()
+    }
+    assert token == lsh  # LSH blocking loses nothing at this similarity level
+
+
+def test_merge_map_matches_frozen(spark, alias_dict, expected_components):
+    got = {
+        (r.canonical_name, r.merged_name)
+        for r in canonicalize.merge_map(alias_dict).collect()
+    }
+    exp = {(r.canonical_name, r.merged_name) for r in expected_components.collect()}
+    assert got == exp
+
+
+def test_reachable_within(spark):
+    edges = spark.createDataFrame(
+        [("c", "a", "b"), ("c", "b", "d"), ("c", "d", "e"), ("c", "e", "f"), ("c", "f", "g")],
+        "conv_id string, s string, o string",
+    )
+    got = {(r.src, r.dst) for r in dataflow.reachable_within(edges, max_hops=4).collect()}
+    assert ("a", "e") in got  # 3 hops
+    assert ("a", "f") in got  # 4 hops
+    assert ("a", "g") not in got  # 5 hops — beyond bound
+    assert ("b", "g") in got
+
+
+def test_follows_skips_mentionless_turn(spark):
+    rows = [
+        ("cC", 1, "user", "p1 mentions p2 x", None, datetime(2024, 1, 1, 0, 0, 0)),
+        ("cC", 2, "assistant", "nothing to see", None, datetime(2024, 1, 1, 0, 0, 10)),
+        ("cC", 3, "user", "p2 mentions p1 y", None, datetime(2024, 1, 1, 0, 0, 20)),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    merge = spark.createDataFrame([], "canonical_name string, merged_name string")
+    f = {
+        (r.subj, r.pred, r.obj)
+        for r in kg.follows_triples(tr, _mini_alias(spark), merge).collect()
+    }
+    # adjacent pairs only: (t1,t2) and (t2,t3) have a mentionless side → empty
+    assert f == set()

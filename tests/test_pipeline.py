@@ -1,0 +1,92 @@
+"""Pass/overlay framework semantics: commit, resume/skip, rollback, counters,
+validator — the analogs of CpgPassTests / CpgOverlayIntegrationTest /
+LayerCreator dependency checks / cpgvalidator tests.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from codepropertygraph_spark import schema as S
+from codepropertygraph_spark.plans import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, transcripts, alias_dict, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh"))
+    P.run_pipeline(spark, transcripts, alias_dict, wh)
+    return wh
+
+
+def test_all_overlays_committed(spark, warehouse):
+    cat = P.Catalog(spark, warehouse)
+    assert cat.overlay_names() == [p.name for p in P.STANDARD_PASSES]
+
+
+def test_counters_and_walltime_recorded(spark, warehouse):
+    cat = P.Catalog(spark, warehouse)
+    for rec in cat.committed_overlays():
+        assert rec["counters"] and all(v >= 0 for v in rec["counters"].values())
+        assert rec["wall_seconds"] >= 0
+        assert rec["lineage"]["tables"]
+
+
+def test_resume_skips_applied(spark, transcripts, alias_dict, warehouse):
+    before = P.Catalog(spark, warehouse).committed_overlays()
+    P.run_pipeline(spark, transcripts, alias_dict, warehouse)
+    after = P.Catalog(spark, warehouse).committed_overlays()
+    assert [r["committed_at"] for r in before] == [r["committed_at"] for r in after]
+
+
+def test_dependency_enforced(spark, transcripts, alias_dict, tmp_path):
+    bad = (P.STANDARD_PASSES[1],)  # base_layer depends on meta_data
+    with pytest.raises(RuntimeError, match="missing dependencies"):
+        P.run_pipeline(spark, transcripts, alias_dict, str(tmp_path), passes=bad)
+
+
+def test_rollback_then_rerun(spark, transcripts, alias_dict, warehouse):
+    cat = P.Catalog(spark, warehouse)
+    triples_before = cat.read_table("triples").count()
+    cat.rollback_to(3)  # drop linking + rel_triples
+    assert cat.read_table("triples") is None
+    cat2 = P.run_pipeline(spark, transcripts, alias_dict, warehouse)
+    assert cat2.read_table("triples").count() == triples_before
+
+
+def test_validator_clean_graph(spark, warehouse):
+    cat = P.Catalog(spark, warehouse)
+    assert P.validate(cat).count() == 0
+
+
+def test_validator_detects_corruption(spark, transcripts, alias_dict, warehouse, tmp_path):
+    """A deliberately corrupted mini-graph must produce violations
+    (FIXTURES.md §4)."""
+    wh2 = str(tmp_path / "wh2")
+    shutil.copytree(f"{warehouse}", wh2)
+    cat = P.Catalog(spark, wh2)
+    nodes = cat.nodes()
+    some_entity = nodes.where(F.col("label") == S.ENTITY).limit(1).collect()[0].id
+    some_conv = nodes.where(F.col("label") == S.CONVERSATION).limit(1).collect()[0].id
+    bad_edges = spark.createDataFrame(
+        [
+            (some_entity, some_conv, "REL", None),  # ENTITY->CONVERSATION not allowed
+            (12345678901234, some_conv, "AST", None),  # dangling src
+        ],
+        "src long, dst long, label string, props map<string,string>",
+    )
+    cat.commit_overlay(99, "corruption", {"edges": bad_edges})
+    assert P.validate(cat).count() == 2
+
+
+def test_graph_counts_consistent(spark, warehouse, expected_triples):
+    cat = P.Catalog(spark, warehouse)
+    nodes, edges = cat.nodes(), cat.edges()
+    n_by_label = {r.label: r.n for r in nodes.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    e_by_label = {r.label: r.n for r in edges.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert n_by_label[S.META_DATA] == 1
+    assert e_by_label[S.NEXT] == n_by_label[S.TURN] - n_by_label[S.CONVERSATION]
+    assert e_by_label[S.REF] == n_by_label[S.MENTION]
+    assert e_by_label[S.REL] == expected_triples.count()
