@@ -241,7 +241,189 @@ def _q_kg_reachable_4hop(spark, sf_dir):
     follows = triples.where(F.col("pred") == S.PRED_FOLLOWS).select(
         "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
     )
-    return dataflow.reachable_within(follows, max_hops=4)
+    return dataflow.reachable_within_grouped(follows, max_hops=4)
+
+
+# ---------------------------------------------------------------------------
+# queries — training-data-pipeline operators (driver tables at sf_dir)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from codepropertygraph_spark.operators import dedup
+
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash_bands(spark, sf_dir):
+    from codepropertygraph_spark.operators import dedup
+
+    return dedup.minhash_bands(_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash_pairs(spark, sf_dir):
+    from codepropertygraph_spark.operators import dedup
+
+    return dedup.minhash_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from codepropertygraph_spark.operators import dedup
+
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from codepropertygraph_spark.operators import dedup
+
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _q_dedup_embedding_cosine(spark, sf_dir):
+    from codepropertygraph_spark.operators import dedup
+
+    return dedup.embedding_near_dup_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.45
+    )
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    from codepropertygraph_spark.operators import similarity
+
+    return similarity.cosine_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), query_max_id=10, k=5
+    )
+
+
+def _q_ann_cosine_topk_lsh(spark, sf_dir):
+    from codepropertygraph_spark.operators import similarity
+
+    return similarity.cosine_topk_lsh(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), query_max_id=10, k=5
+    )
+
+
+def _q_text_token_count(spark, sf_dir):
+    from codepropertygraph_spark.operators import textstats
+
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark, sf_dir):
+    from codepropertygraph_spark.operators import textstats
+
+    return textstats.quality_scores(_docs(spark, sf_dir))
+
+
+def _q_text_langid(spark, sf_dir):
+    from codepropertygraph_spark.operators import textstats
+
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    from codepropertygraph_spark.operators import textstats
+
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    from codepropertygraph_spark.operators import multimodal
+
+    return multimodal.to_binary_payloads(_docs(spark, sf_dir)).select(
+        "doc_id", "media_type", "n_bytes", "header_hex"
+    )
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    from codepropertygraph_spark.operators import multimodal
+
+    payloads = multimodal.to_binary_payloads(_docs(spark, sf_dir))
+    return multimodal.decode_stub(payloads)
+
+
+def _q_kg_raw_triples_udf(spark, sf_dir):
+    """Pandas-UDF extraction variant — must equal kg_raw_triples exactly."""
+    from codepropertygraph_spark.operators import extraction_udf
+
+    rt = extraction_udf.raw_triples_map_in_arrow(_transcripts(spark, sf_dir))
+    return rt.select(
+        "conv_id",
+        "turn_idx",
+        F.col("pos").cast("long").alias("pos"),
+        "subj_surface",
+        "pred",
+        "obj_surface",
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")  # NTZ → epoch (UTC session)
+    gap = epoch - F.lag(epoch).over(w)
+    return (
+        e.withColumn(
+            "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select("event_id", "user_id", F.col("session_idx").cast("long").alias("session_idx"))
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_q3(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -259,10 +441,226 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_graph_nodes": _q_kg_graph_nodes,
     "kg_graph_edges": _q_kg_graph_edges,
     "kg_reachable_4hop": _q_kg_reachable_4hop,
+    "kg_raw_triples_udf": _q_kg_raw_triples_udf,
+    "dedup_exact": _q_dedup_exact,
+    "dedup_minhash_bands": _q_dedup_minhash_bands,
+    "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+    "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+    "dedup_simhash": _q_dedup_simhash,
+    "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+    "ann_cosine_topk": _q_ann_cosine_topk,
+    "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
+    "text_token_count": _q_text_token_count,
+    "text_quality": _q_text_quality,
+    "text_langid": _q_text_langid,
+    "text_fingerprint": _q_text_fingerprint,
+    "multimodal_meta": _q_multimodal_meta,
+    "multimodal_decode": _q_multimodal_decode,
+    "events_sessionize": _q_events_sessionize,
+    "events_hourly": _q_events_hourly,
+    "tpch_q1": _q_tpch_q1,
+    "tpch_q3": _q_tpch_q3,
 }
 
 
+# DuckDB fragments for the data-pipeline oracles -----------------------------
+
+_SH_CTE = """
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+  list_distinct(CASE WHEN len(toks) >= 3
+    THEN list_transform(range(1, len(toks) - 1),
+         i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))
+    ELSE toks END) AS sh FROM d)
+"""
+
+_SIG_CTE = """
+sig AS (SELECT doc_id, sh, list_transform(range(0, 8), j ->
+  list_min(list_transform(sh, t ->
+    cast(concat('0x', substr(md5(concat('s', cast(j AS varchar), '|', t)), 1, 15)) AS bigint)))) AS sig
+  FROM s),
+bands AS (SELECT doc_id,
+  unnest(range(0, 4)) AS band_idx,
+  list_transform(range(0, 4), b -> concat(cast(sig[b * 2 + 1] AS varchar), '-', cast(sig[b * 2 + 2] AS varchar))) AS bsigs
+  FROM sig),
+band_rows AS (SELECT doc_id, band_idx, bsigs[band_idx + 1] AS band_sig FROM bands)
+"""
+
+_JACC = (
+    "round(len(list_intersect(x.sh, y.sh))::double / "
+    "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::double, 6)"
+)
+
+_COS_D = (
+    "round(list_sum(list_transform(range(1, 65), i -> x.embedding[i]::double * y.embedding[i]::double)) / "
+    "(sqrt(list_sum(list_transform(range(1, 65), i -> x.embedding[i]::double * x.embedding[i]::double))) * "
+    "sqrt(list_sum(list_transform(range(1, 65), i -> y.embedding[i]::double * y.embedding[i]::double)))), 6)"
+)
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(16)
+)
+_SIMHASH_SIG = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+
+_QUALITY_STOPS = "('the', 'a', 'and', 'of', 'to', 'in', 'is')"
+_LANG_SETS = {
+    "en": "('the', 'a', 'and', 'of', 'to', 'in', 'is')",
+    "de": "('der', 'die', 'das', 'und', 'ist', 'ein')",
+    "es": "('el', 'la', 'de', 'y', 'es', 'un')",
+    "fr": "('le', 'la', 'et', 'est', 'un', 'une')",
+}
+_LANG_HITS = ", ".join(
+    f"len(list_filter(toks, t -> t IN {s})) AS hits_{lang}"
+    for lang, s in sorted(_LANG_SETS.items())
+)
+
 ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keeper
+        FROM documents GROUP BY 1
+    """,
+    "dedup_minhash_bands": f"""
+        WITH {_SH_CTE}, {_SIG_CTE}
+        SELECT doc_id, CAST(band_idx AS BIGINT) AS band_idx, band_sig FROM band_rows
+    """,
+    "dedup_minhash_pairs": f"""
+        WITH {_SH_CTE}, {_SIG_CTE},
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM band_rows x JOIN band_rows y
+            ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+           AND x.doc_id < y.doc_id
+        )
+        SELECT cand.a, cand.b, {_JACC} AS jacc
+        FROM cand JOIN s x ON cand.a = x.doc_id JOIN s y ON cand.b = y.doc_id
+        WHERE {_JACC} >= 0.8
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SH_CTE}
+        SELECT x.doc_id AS a, y.doc_id AS b, {_JACC} AS jacc
+        FROM s x JOIN s y ON x.doc_id < y.doc_id
+        WHERE {_JACC} >= 0.8
+    """,
+    "dedup_simhash": f"""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        h AS (SELECT doc_id, cast(concat('0x', substr(md5(tok), 1, 15)) AS bigint) AS h FROM t),
+        v AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM v
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH p AS (
+          SELECT x.vec_id AS a, y.vec_id AS b, {_COS_D} AS cos
+          FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+        )
+        SELECT a, b, cos FROM p WHERE cos >= 0.45
+    """,
+    "ann_cosine_topk": f"""
+        WITH scored AS (
+          SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id, {_COS_D} AS cos
+          FROM embeddings x JOIN embeddings y ON y.vec_id != x.vec_id
+          WHERE x.vec_id < 10
+        ),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+        FROM r WHERE rank <= 5
+    """,
+    "text_token_count": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_measured,
+               CAST(len(string_split(regexp_replace(text,
+                    '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', concat('\\1', chr(31)), 'g'),
+                    chr(31))) - 1 AS BIGINT) AS n_bpe_ish_tokens
+        FROM documents
+    """,
+    "text_quality": f"""
+        WITH q AS (
+          SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n_chars
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id,
+            round(len(list_filter(toks, t -> t IN {_QUALITY_STOPS}))::double / len(toks)::double, 6) AS stop_ratio,
+            round((n_chars - (len(toks) - 1))::double / len(toks)::double, 6) AS avg_token_len,
+            round(len(list_distinct(toks))::double / len(toks)::double, 6) AS distinct_ratio
+          FROM q
+        )
+        SELECT doc_id, stop_ratio, avg_token_len, distinct_ratio,
+          least(1000, CAST(
+            round(distinct_ratio * 500, 0)
+            + round(least(avg_token_len / 8.0, 1.0) * 300, 0)
+            + round(least(stop_ratio * 5.0, 1.0) * 200, 0) AS BIGINT)) AS quality_milli
+        FROM r
+    """,
+    "text_langid": f"""
+        WITH q AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        hits AS (SELECT doc_id, {_LANG_HITS} FROM q),
+        best AS (SELECT *, greatest(hits_de, hits_en, hits_es, hits_fr) AS best FROM hits)
+        SELECT doc_id,
+          CASE WHEN best = 0 THEN 'und'
+               WHEN hits_de = best THEN 'de'
+               WHEN hits_en = best THEN 'en'
+               WHEN hits_es = best THEN 'es'
+               ELSE 'fr' END AS predicted_lang
+        FROM best
+    """,
+    "text_fingerprint": f"""
+        WITH {_SH_CTE}
+        SELECT doc_id, list_min(list_transform(sh, t ->
+          cast(concat('0x', substr(md5(t), 1, 15)) AS bigint))) AS fingerprint
+        FROM s
+    """,
+    "multimodal_meta": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               substr(hex(encode(text)), 1, 16) AS header_hex
+        FROM documents
+    """,
+    "events_sessionize": """
+        WITH g AS (
+          SELECT event_id, user_id,
+                 date_diff('second', lag(ts) OVER w, ts) AS gap
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id,
+               CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM g
+    """,
+    "events_hourly": """
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem GROUP BY 1, 2
+    """,
+    "tpch_q3": """
+        SELECT l_orderkey, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
     "kg_ordered_turns": f"""
         SELECT conv_id,
                CAST(row_number() OVER (
@@ -382,6 +780,14 @@ ORACLES: dict[str, str] = {
               UNION ALL SELECT * FROM h3 UNION ALL SELECT * FROM h4)
     """,
 }
+
+
+# the UDF extraction variant must produce byte-identical rows to the JVM path
+ORACLES["kg_raw_triples_udf"] = ORACLES["kg_raw_triples"]
+
+# queries with NO oracle entry (driver records rows-only checks):
+#   ann_cosine_topk_lsh — approximate by design (bucketed recall < 1)
+#   multimodal_decode   — mapInPandas stub codec (no SQL equivalent)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

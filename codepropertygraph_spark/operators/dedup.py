@@ -1,0 +1,171 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families over the ``documents`` table, all built from JVM-side
+expressions (no Python in the hot path) with md5-derived hashing so every
+value is independently computable by the DuckDB oracle:
+
+- **exact**:     hash-groupBy on the full text (one shuffle of (hash, id)).
+- **MinHash+LSH**: word-shingles → k minhashes → banded signatures →
+  bucket-join candidates → exact-Jaccard verify. The 100 TB path: candidate
+  generation is a groupBy on band keys (no quadratic term outside buckets);
+  the verify join carries shingle arrays only for candidates.
+- **SimHash**:   per-token md5 bit votes aggregated per doc → compact
+  bit-signature; near-dups share signatures (hamming-adjacent buckets at
+  scale).
+- **n-gram Jaccard**: exact all-pairs within blocks — the small-scale ground
+  truth the probabilistic variants are tested against.
+
+The reference's closest analog is identity-based DiffGraph node dedup
+(``DiffGraph.scala:220-226``) and canonicalization-by-key
+(``NamespaceCreator.scala:20-33``); these operators generalize that to
+near-duplicate text identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 8
+LSH_BANDS = 4  # rows per band = 2
+SHINGLE_N = 3
+SIMHASH_BITS = 16
+
+
+def _shingles_expr(toks_col: str = "toks", n: int = SHINGLE_N) -> str:
+    """Spark SQL: distinct word n-gram shingles of an array<string> column.
+    Guarded for short docs (Spark's sequence() runs DESCENDING if end <
+    start, so the guard is required, not cosmetic)."""
+    parts = ", ' ', ".join(
+        f"element_at({toks_col}, i + {j})" for j in range(n)
+    ).join(["concat(", ")"])
+    return (
+        f"if(size({toks_col}) >= {n}, "
+        f"array_distinct(transform(sequence(1, size({toks_col}) - {n - 1}), i -> {parts})), "
+        f"array_distinct({toks_col}))"
+    )
+
+
+def with_shingles(documents: DataFrame) -> DataFrame:
+    return documents.withColumn("toks", F.split("text", " ")).withColumn(
+        "sh", F.expr(_shingles_expr())
+    )
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """(text_hash, n_docs, keeper): exact-dup groups; keeper = min doc_id
+    (deterministic survivor, the reference's sort-before-pick discipline)."""
+    return documents.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper")
+    )
+
+
+def minhash_bands(documents: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_sig): LSH band signatures. Map-only stage."""
+    rows_per_band = MINHASH_K // LSH_BANDS
+    h = (
+        "cast(conv(substr(md5(concat('s', cast(j as string), '|', t)), 1, 15), 16, 10) as bigint)"
+    )
+    sig = f"transform(sequence(0, {MINHASH_K - 1}), j -> array_min(transform(sh, t -> {h})))"
+    d = with_shingles(documents).withColumn("sig", F.expr(sig))
+    bands = F.expr(
+        f"transform(sequence(0, {LSH_BANDS - 1}), b -> "
+        f"concat_ws('-', slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
+    )
+    return d.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_sig")
+    ).select("doc_id", F.col("band_idx").cast("long").alias("band_idx"), "band_sig")
+
+
+def minhash_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """(a, b, jacc): near-dup pairs — LSH-blocked candidates verified with
+    exact shingle Jaccard ≥ threshold. jacc rounded to 6dp for stability."""
+    bands = minhash_bands(documents)
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "band_sig"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sh = with_shingles(documents).select("doc_id", "sh")
+    pair_sh = (
+        cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = inter / union.cast("double")
+    return (
+        pair_sh.withColumn("jacc", F.round(jacc, 6))
+        .where(F.col("jacc") >= threshold)
+        .select("a", "b", "jacc")
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact all-pairs shingle Jaccard ≥ threshold — the ground truth for the
+    probabilistic variants (cross join; small-scale / per-block use only)."""
+    sh = with_shingles(documents).select("doc_id", "sh")
+    pairs = (
+        sh.alias("x")
+        .join(sh.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.sh").alias("sh_a"),
+            F.col("y.sh").alias("sh_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jacc", F.round(inter / union.cast("double"), 6))
+        .where(F.col("jacc") >= threshold)
+        .select("a", "b", "jacc")
+    )
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): per-token md5 bit votes → sign → packed signature.
+    Explode + two-phase groupBy (partial agg map-side); everything JVM-side.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.45, dim: int = 64
+) -> DataFrame:
+    """(a, b, cos): embedding-cosine near-dup pairs, exact all-pairs (the
+    per-block verify kernel; blocking at scale comes from the ANN bucketing
+    in :mod:`similarity`). Double-precision left-fold dot product, rounded."""
+    e = embeddings.select("vec_id", "embedding")
+    dot = "aggregate(zip_with(x.embedding, y.embedding, (p, q) -> cast(p as double) * cast(q as double)), cast(0 as double), (acc, v) -> acc + v)"
+    nx = "sqrt(aggregate(transform(x.embedding, p -> cast(p as double) * cast(p as double)), cast(0 as double), (acc, v) -> acc + v))"
+    ny = "sqrt(aggregate(transform(y.embedding, p -> cast(p as double) * cast(p as double)), cast(0 as double), (acc, v) -> acc + v))"
+    pairs = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("a"),
+            F.col("y.vec_id").alias("b"),
+            F.round(F.expr(f"({dot}) / (({nx}) * ({ny}))"), 6).alias("cos"),
+        )
+    )
+    return pairs.where(F.col("cos") >= threshold)

@@ -56,28 +56,113 @@ def turn_tokens(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def flagged_tokens(transcripts: DataFrame) -> DataFrame:
+    """The single token-scan both extractors share: every token with its
+    neighbors, **computed array-side before the explode** — ``transform``
+    over the split array emits (pos, tok, prev, next) structs, so the whole
+    stage is a zero-shuffle map (wholly inside whole-stage codegen).
+
+    This replaces a naive lag/lead window partitioned by turn, which would
+    shuffle the *token* stream (10× the turn stream) — the difference between
+    a map-only stage and the biggest shuffle in the pipeline at 100 TB.
+    """
+    t = transcripts.withColumn("toks", F.split("text", " "))
+    exploded = t.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.explode(
+            F.expr(
+                "transform(toks, (t, i) -> named_struct("
+                "'pos', i + 1, 'tok', t, "
+                "'prev_tok', if(i > 0, toks[i - 1], cast(null as string)), "
+                "'next_tok', if(i < size(toks) - 1, toks[i + 1], cast(null as string))))"
+            )
+        ).alias("x"),
+    )
+    return exploded.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.col("x.pos").alias("pos"),
+        F.col("x.tok").alias("tok"),
+        F.col("x.prev_tok").alias("prev_tok"),
+        F.col("x.next_tok").alias("next_tok"),
+    )
+
+
+def raw_triples_from(flagged: DataFrame) -> DataFrame:
+    return flagged.where(
+        F.col("tok").isin(list(S.TEXT_PREDICATES))
+        & F.col("prev_tok").isNotNull()
+        & F.col("next_tok").isNotNull()
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "pos",
+        F.col("prev_tok").alias("subj_surface"),
+        F.col("tok").alias("pred"),
+        F.col("next_tok").alias("obj_surface"),
+    )
+
+
 def raw_triples(transcripts: DataFrame) -> DataFrame:
     """Clause occurrences: (conv_id, turn_idx, ts, pos, subj_surface, pred,
     obj_surface) for every predicate-vocabulary token with both neighbors."""
-    toks = turn_tokens(transcripts)
-    w = token_window()
-    return (
-        toks.withColumn("prev_tok", F.lag("tok").over(w))
-        .withColumn("next_tok", F.lead("tok").over(w))
-        .where(
-            F.col("tok").isin(list(S.TEXT_PREDICATES))
-            & F.col("prev_tok").isNotNull()
-            & F.col("next_tok").isNotNull()
+    return raw_triples_from(flagged_tokens(transcripts))
+
+
+def mention_surfaces_from(flagged: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    surfaces = F.broadcast(alias_dict.select(F.col("alias").alias("surface")).distinct())
+    candidates = flagged.withColumn(
+        "pred_adjacent",
+        F.coalesce(F.col("prev_tok").isin(list(S.TEXT_PREDICATES)), F.lit(False))
+        | F.coalesce(F.col("next_tok").isin(list(S.TEXT_PREDICATES)), F.lit(False)),
+    ).where(~F.col("tok").isin(list(S.TEXT_PREDICATES)))
+    matched = candidates.join(surfaces, candidates.tok == surfaces.surface, "left")
+    return matched.where(
+        F.col("surface").isNotNull() | F.col("pred_adjacent")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "pos",
+        F.col("tok").alias("surface"),
+        F.col("surface").isNotNull().alias("in_dict"),
+    )
+
+
+def mention_candidates_from(flagged: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """ALL tokens with linking applied and an ``is_mention`` flag — keeps
+    non-mention rows (so per-turn aggregates retain every turn) while the
+    broadcast dictionary probe resolves ``canonical`` for mention rows
+    (external-stub fallback for unknowns). Columns: conv_id, turn_idx, ts,
+    pos, tok, is_mention, canonical."""
+    from .linking import best_alias
+
+    best = F.broadcast(
+        best_alias(alias_dict).select(
+            F.col("alias").alias("__alias"), F.col("canonical_name").alias("__canon")
         )
-        .select(
-            "conv_id",
-            "turn_idx",
-            "ts",
-            "pos",
-            F.col("prev_tok").alias("subj_surface"),
-            F.col("tok").alias("pred"),
-            F.col("next_tok").alias("obj_surface"),
-        )
+    )
+    is_pred = F.col("tok").isin(list(S.TEXT_PREDICATES))
+    pred_adjacent = F.coalesce(
+        F.col("prev_tok").isin(list(S.TEXT_PREDICATES)), F.lit(False)
+    ) | F.coalesce(F.col("next_tok").isin(list(S.TEXT_PREDICATES)), F.lit(False))
+    joined = flagged.join(best, flagged.tok == F.col("__alias"), "left")
+    return joined.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "pos",
+        "tok",
+        (
+            ~is_pred & (F.col("__canon").isNotNull() | pred_adjacent)
+        ).alias("is_mention"),
+        F.coalesce(
+            F.col("__canon"), F.concat(F.lit(S.EXTERNAL_PREFIX), F.col("tok"))
+        ).alias("canonical"),
     )
 
 
@@ -86,32 +171,7 @@ def mention_surfaces(transcripts: DataFrame, alias_dict: DataFrame) -> DataFrame
     in_dict). A mention is a token found in the alias dictionary (any
     position) or a predicate-adjacent token not in the dictionary (external
     stub candidate). The dictionary probe is a broadcast semi-join — the
-    Linker's RAM hash map (``Linker.scala:122-130``) become a broadcast hash
+    Linker's RAM hash map (``Linker.scala:122-130``) becomes a broadcast hash
     join; the build side is tiny relative to the token stream at any scale.
     """
-    toks = turn_tokens(transcripts)
-    w = token_window()
-    surfaces = F.broadcast(alias_dict.select(F.col("alias").alias("surface")).distinct())
-
-    flagged = (
-        toks.withColumn("prev_tok", F.lag("tok").over(w))
-        .withColumn("next_tok", F.lead("tok").over(w))
-        .withColumn(
-            "pred_adjacent",
-            F.coalesce(F.col("prev_tok").isin(list(S.TEXT_PREDICATES)), F.lit(False))
-            | F.coalesce(F.col("next_tok").isin(list(S.TEXT_PREDICATES)), F.lit(False)),
-        )
-        .where(~F.col("tok").isin(list(S.TEXT_PREDICATES)))
-    )
-    matched = flagged.join(surfaces, flagged.tok == surfaces.surface, "left")
-    return (
-        matched.where(F.col("surface").isNotNull() | F.col("pred_adjacent"))
-        .select(
-            "conv_id",
-            "turn_idx",
-            "ts",
-            "pos",
-            F.col("tok").alias("surface"),
-            F.col("surface").isNotNull().alias("in_dict"),
-        )
-    )
+    return mention_surfaces_from(flagged_tokens(transcripts), alias_dict)

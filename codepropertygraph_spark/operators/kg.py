@@ -17,48 +17,66 @@ Semantics contract (must equal the frozen reference extractor in
    pred-adjacent unknowns count) per turn, consecutive turns in stable
    (turn_idx, ts) order → (first(later), follows, first(earlier));
 3. DISTINCT (conv_id, subj, pred, obj).
+
+Physical plan notes: the token explode (the dominant map cost) runs ONCE —
+``flagged_tokens`` is persisted and feeds both the clause branch and the
+first-mention branch. The dictionary and merge map are broadcast; the only
+wide operations are the per-conversation windows and the final distinct.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .. import schema as S
 from . import canonicalize, extraction, linking, ordering
 
 
-def first_mentions(transcripts: DataFrame, alias_dict: DataFrame) -> DataFrame:
+def first_mentions_from(
+    flagged: DataFrame, transcripts: DataFrame, alias_dict: DataFrame
+) -> DataFrame:
     """(conv_id, turn_idx, ts, first_canonical) — the min-position mention of
     each turn, linked (pre-merge canonical or external stub). Turns with no
     mention are absent."""
-    m = extraction.mention_surfaces(transcripts, alias_dict)
-    linked = linking.link_surfaces(m, alias_dict, "surface", "canonical")
-    w = Window.partitionBy("conv_id", "turn_idx", "ts").orderBy("pos")
-    return (
-        linked.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("conv_id", "turn_idx", "ts", F.col("canonical").alias("first_canonical"))
+    # Aggregate over ALL tokens (not just mentions) with min(when(...)):
+    # every turn has >= 1 token, so every turn survives the groupBy with
+    # first_canonical = null when it has no mention — which removes the
+    # join-back-to-transcripts the follows step would otherwise need.
+    # min(struct(pos, canonical)) instead of a row_number window: the groupBy
+    # pre-aggregates map-side (one row per turn leaves each task) where a
+    # window would shuffle + sort every token row. pos is unique per turn,
+    # so the struct min is deterministic.
+    m = extraction.mention_candidates_from(flagged, alias_dict)
+    return m.groupBy("conv_id", "turn_idx", "ts").agg(
+        F.min(F.when(F.col("is_mention"), F.struct("pos", "canonical")))
+        .getField("canonical")
+        .alias("first_canonical")
     )
 
 
-def follows_triples(
-    transcripts: DataFrame, alias_dict: DataFrame, merge: DataFrame
+def first_mentions(transcripts: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    return first_mentions_from(
+        extraction.flagged_tokens(transcripts), transcripts, alias_dict
+    )
+
+
+def follows_triples_from(
+    flagged: DataFrame,
+    transcripts: DataFrame,
+    alias_dict: DataFrame,
+    merge: DataFrame,
 ) -> DataFrame:
-    """(conv_id, subj, pred='follows', obj) from consecutive turns' first
-    mentions under the stable ordering window."""
-    fm = first_mentions(transcripts, alias_dict)
+    # first_mentions now yields one row per turn (nulls for mention-less
+    # turns), so adjacency comes from a single window over it — no join back
+    # to the transcripts: a pair contributes only if BOTH adjacent turns
+    # have a mention (reference semantics).
+    fm = first_mentions_from(flagged, transcripts, alias_dict)
     fm = linking.apply_merge(fm, merge, "first_canonical")
-    # left-join back onto all turns so ordering ranks ALL turns, then walk
-    # consecutive mention-bearing turns: a turn pair (i, i+1) contributes
-    # only if BOTH have mentions (reference extractor zips adjacent turns).
-    turns = ordering.ordered_turns(transcripts).select(
-        "conv_id", "turn_idx", "ts", "turn_order"
-    )
-    t = turns.join(fm, ["conv_id", "turn_idx", "ts"], "left")
-    w = Window.partitionBy("conv_id").orderBy("turn_order")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
     return (
-        t.withColumn("prev_canonical", F.lag("first_canonical").over(w))
+        fm.withColumn("prev_canonical", F.lag("first_canonical").over(w))
         .where(F.col("first_canonical").isNotNull() & F.col("prev_canonical").isNotNull())
         .select(
             "conv_id",
@@ -69,27 +87,61 @@ def follows_triples(
     )
 
 
-def clause_triples(
+def follows_triples(
     transcripts: DataFrame, alias_dict: DataFrame, merge: DataFrame
 ) -> DataFrame:
-    """Linked + merged clause triples (per occurrence, not yet distinct)."""
-    rt = extraction.raw_triples(transcripts)
+    """(conv_id, subj, pred='follows', obj) from consecutive turns' first
+    mentions under the stable ordering window."""
+    return follows_triples_from(
+        extraction.flagged_tokens(transcripts), transcripts, alias_dict, merge
+    )
+
+
+def clause_triples_from(
+    flagged: DataFrame, alias_dict: DataFrame, merge: DataFrame
+) -> DataFrame:
+    rt = extraction.raw_triples_from(flagged)
     lt = linking.linked_triples_premerge(rt, alias_dict)
     lt = linking.apply_merge(lt, merge, "subj_canonical", "subj")
     lt = linking.apply_merge(lt, merge, "obj_canonical", "obj")
     return lt.select("conv_id", "subj", "pred", "obj")
 
 
-def final_triples(
-    transcripts: DataFrame, alias_dict: DataFrame, use_lsh: bool = False
+def clause_triples(
+    transcripts: DataFrame, alias_dict: DataFrame, merge: DataFrame
 ) -> DataFrame:
-    """The flagship output: DISTINCT (conv_id, subj, pred, obj)."""
-    merge = canonicalize.merge_map(alias_dict, use_lsh=use_lsh)
-    # merge map is entity-scale (tiny vs the token stream): broadcast joins
-    # in apply_merge; computed once, reused by both branches.
-    merge = merge.localCheckpoint(eager=True)
-    clauses = clause_triples(transcripts, alias_dict, merge)
-    follows = follows_triples(transcripts, alias_dict, merge)
+    """Linked + merged clause triples (per occurrence, not yet distinct)."""
+    return clause_triples_from(
+        extraction.flagged_tokens(transcripts), alias_dict, merge
+    )
+
+
+def final_triples(
+    transcripts: DataFrame,
+    alias_dict: DataFrame,
+    use_lsh: bool = False,
+    merge: DataFrame | None = None,
+) -> DataFrame:
+    """The flagship output: DISTINCT (conv_id, subj, pred, obj).
+
+    ``merge`` may be passed in precomputed: the merge map depends only on the
+    alias dictionary (not the corpus), so production computes it once per
+    dictionary version and amortizes it — exactly like the reference builds
+    its Linker maps once up front (``Linker.initMaps``).
+    """
+    if merge is None:
+        # merge map is entity-scale (tiny vs the token stream): computed
+        # once, checkpointed, broadcast into apply_merge on both branches.
+        merge = canonicalize.merge_map(alias_dict, use_lsh=use_lsh)
+        merge = merge.localCheckpoint(eager=True)
+    # The token explode feeds both branches UNCACHED, deliberately: it is a
+    # zero-shuffle map over the (resident) input, and recomputing it twice is
+    # measurably cheaper than writing 10× the input volume into the block
+    # store (measured 12s vs 26s at sf0.1×10 on local[32] — caching wide
+    # exploded frames is memory-bandwidth-bound and caps scaling).
+    flagged = extraction.flagged_tokens(transcripts)
+    clauses = clause_triples_from(flagged, alias_dict, merge)
+    follows = follows_triples_from(flagged, transcripts, alias_dict, merge)
     return clauses.unionByName(follows).dropDuplicates(
         ["conv_id", "subj", "pred", "obj"]
     )

@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as ``binary`` columns with a
+typed metadata struct; transforms that need a real codec (decode, resize,
+frame-sample) run as Arrow-batched ``mapInPandas`` stages. The codec itself
+is STUBBED here (the sandbox has no image/audio libraries): ``decode_stub``
+produces deterministic fake "decoded" metadata from the payload bytes, and
+the real-codec seam is a single clearly-marked function. Everything
+Spark-side — schema, partitioning, UDF signature, Arrow batch shape — is
+real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("content_hash", T.StringType(), False),
+    ]
+)
+
+
+def to_binary_payloads(documents: DataFrame) -> DataFrame:
+    """Treat each document's text bytes as an opaque media payload:
+    (doc_id, payload binary, media_type, n_bytes, header_hex). Pure JVM
+    expressions — this is the ingest shape for real media too."""
+    payload = F.encode("text", "UTF-8")
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("media_type"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.substring(F.hex(payload), 1, 16).alias("header_hex"),
+    )
+
+
+def _decode_one(payload: bytes) -> tuple[int, int, int]:
+    """THE CODEC SEAM. A real deployment replaces this body with PIL /
+    ffmpeg / soundfile decoding. Here: deterministic fake dimensions derived
+    from payload length and first bytes, so tests are stable offline."""
+    n = len(payload)
+    w = 16 + (payload[0] if n else 0) % 240
+    h = 16 + (payload[-1] if n else 0) % 240
+    frames = 1 + n % 7
+    return w, h, frames
+
+
+def decode_stub(payloads: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched mapInPandas decode: iterator of pandas batches in,
+    decoded-metadata batches out. The batch loop is the real production
+    shape (vectorized transfer, per-batch library calls); only
+    ``_decode_one`` is fake."""
+    import hashlib
+
+    import pandas as pd
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            dims = [_decode_one(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                    "content_hash": [
+                        hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        decode, schema=DECODED_SCHEMA
+    )
+
+
+def frame_sample(decoded: DataFrame, every: int = 2) -> DataFrame:
+    """(doc_id, frame_idx): deterministic frame sampling — every `every`-th
+    frame index from the decoded n_frames. JVM-side explode, no Python."""
+    return decoded.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, n_frames - 1, {every})")
+        ).cast("long").alias("frame_idx"),
+    )

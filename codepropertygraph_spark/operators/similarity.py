@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query set
+  against the corpus, double-precision left-fold dot products in JVM
+  expressions (``zip_with`` + ``aggregate``), window top-k. At 100 TB this
+  is the per-partition verify kernel and the correctness baseline.
+- ``lsh_buckets`` / ``cosine_topk_lsh`` — the scale path: random-hyperplane
+  sign-bit LSH. Hyperplane coefficients are md5-derived per (plane, dim) —
+  deterministic, no stored model — so bucketing is a map-only stage; probing
+  compares only within-bucket (hamming-0) candidates, trading recall for a
+  corpus-size-independent candidate set. Top-k then verifies exactly.
+
+No Python in any hot path; norms and dots stay in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (p, q) -> cast(p as double) * cast(q as double)), "
+    "cast(0 as double), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({a}, p -> cast(p as double) * cast(p as double)), "
+    "cast(0 as double), (acc, v) -> acc + v))"
+)
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_max_id: int = 10, k: int = 5
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos): exact top-k cosine neighbors for
+    each query vector (vec_id < query_max_id), self excluded. Deterministic
+    tie-break: (rounded cos desc, neighbor_id asc)."""
+    q = embeddings.where(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    dot = _DOT.format(a="q_emb", b="c_emb")
+    nq = _NORM.format(a="q_emb")
+    nc = _NORM.format(a="c_emb")
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(F.expr(f"({dot}) / (({nq}) * ({nc}))"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _plane_coeff_expr(plane: str, dim_idx: str) -> str:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1):
+    md5-derived per (plane, dimension). JVM-side, no stored model."""
+    h = (
+        f"cast(conv(substr(md5(concat('pl', cast({plane} as string), 'd', "
+        f"cast({dim_idx} as string))), 1, 15), 16, 10) as double)"
+    )
+    return f"({h} / 576460752303423488.0) - 1.0"  # / 2^59 → [0,2) → [-1,1)
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket): sign-bit bucket id from n_planes random hyperplanes.
+    Map-only; the bucket is a stable function of the vector alone."""
+    proj = (
+        f"transform(sequence(0, {n_planes - 1}), pl -> "
+        f"aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), "
+        f"(v, d) -> cast(v as double) * ({_plane_coeff_expr('pl', 'd')})), "
+        f"cast(0 as double), (acc, v) -> acc + v))"
+    )
+    bits = (
+        f"aggregate(zip_with({proj}, sequence(0, {n_planes - 1}), "
+        f"(p, i) -> if(p > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))), "
+        f"cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    return embeddings.select("vec_id", "embedding", F.expr(bits).alias("bucket"))
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame, query_max_id: int = 10, k: int = 5
+) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the query's LSH
+    bucket. Same output contract as :func:`cosine_topk` (recall < 1)."""
+    b = lsh_buckets(embeddings)
+    q = b.where(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    dot = _DOT.format(a="q_emb", b="c_emb")
+    nq = _NORM.format(a="q_emb")
+    nc = _NORM.format(a="c_emb")
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos", F.round(F.expr(f"({dot}) / (({nq}) * ({nc}))"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -1,0 +1,100 @@
+"""Text analysis operators: token counting, quality scoring, language-ID,
+document fingerprinting. All JVM-side expressions over the ``documents``
+table; every value reproducible in DuckDB SQL for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword sets for the n-gram/stopword language heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "y", "es", "un"),
+    "fr": ("le", "la", "et", "est", "un", "une"),
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+FINGERPRINT_N = 3
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, n_chars_measured,
+    n_bpe_ish_tokens): whitespace tokens plus a BPE-ish regex token count
+    (alpha runs / digit runs / single punctuation as separate tokens)."""
+    toks = F.split("text", " ")
+    bpe = F.split(F.regexp_replace("text", r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])", "$1\x1f"), "\x1f")
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        (F.size(bpe) - 1).cast("long").alias("n_bpe_ish_tokens"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, stop_ratio, avg_token_len, distinct_ratio, quality):
+    length/stopword/diversity heuristics; quality is a bounded composite.
+    All double arithmetic rounded to 6dp."""
+    toks = F.split("text", " ")
+    n = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(list(EN_STOPWORDS)))
+    ).cast("double")
+    distinct_ratio = F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6)
+    avg_len = F.round((F.length("text") - (F.size(toks) - 1)).cast("double") / n, 6)
+    stop_ratio = F.round(stop_hits / n, 6)
+    # composite as INTEGER milli-units from the rounded components: each term
+    # rounds to an integer far from any half-boundary, so engines can never
+    # disagree on the last digit (a double-valued composite can land exactly
+    # on a 6-dp rounding boundary where round() implementations differ).
+    quality_milli = F.least(
+        F.lit(1000).cast("long"),
+        (
+            F.round(distinct_ratio * 500, 0)
+            + F.round(F.least(avg_len / F.lit(8.0), F.lit(1.0)) * 300, 0)
+            + F.round(F.least(stop_ratio * 5.0, F.lit(1.0)) * 200, 0)
+        ).cast("long"),
+    )
+    return documents.select(
+        "doc_id",
+        stop_ratio.alias("stop_ratio"),
+        avg_len.alias("avg_token_len"),
+        distinct_ratio.alias("distinct_ratio"),
+        quality_milli.alias("quality_milli"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """(doc_id, predicted_lang): stopword-hit language heuristic with a
+    deterministic tie-break (max hits, then lexicographic language code;
+    'und' when nothing matches)."""
+    toks = F.split("text", " ")
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(list(words)))).alias(f"hits_{lang}")
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    scored = documents.select("doc_id", *scores)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(LANG_STOPWORDS)])
+    pred = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return scored.select("doc_id", pred.alias("predicted_lang"))
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): content fingerprint = min md5-hash over word
+    3-gram shingles (a 1-hash MinHash / winnowing-lite: stable under
+    reordering of surrounding docs, sensitive to content edits)."""
+    from .dedup import with_shingles
+
+    h = "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+    d = with_shingles(documents)
+    return d.select(
+        "doc_id",
+        F.expr(f"array_min(transform(sh, t -> {h}))").alias("fingerprint"),
+    )
