@@ -426,6 +426,39 @@ def _q_tpch_q3(spark, sf_dir):
     )
 
 
+def _q_kg_reaching_defs(spark, sf_dir):
+    """REACHING_DEF edges (A19): per-(conversation, entity) def→use chains
+    on the linear turn CFG."""
+    tr, ad = _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    merge = canonicalize.merge_map(ad).localCheckpoint(eager=True)
+    return dataflow.reaching_def_edges(tr, ad, merge)
+
+
+def _q_kg_dominators(spark, sf_dir):
+    """Immediate dominators of each conversation's follows-graph, rooted at
+    the entity of the first mention (per-group CHK fixpoint in
+    applyInPandas). Iterative + per-group → rows-only check."""
+    from pyspark.sql import Window
+
+    triples = kg.final_triples(_transcripts(spark, sf_dir), _alias_dict(spark, sf_dir))
+    follows = triples.where(F.col("pred") == S.PRED_FOLLOWS).select(
+        "conv_id", F.col("obj").alias("s"), F.col("subj").alias("o")
+    )
+    # entry = lexicographically-min source node per conversation (stable)
+    entries = follows.groupBy("conv_id").agg(F.min("s").alias("entry"))
+    return dataflow.dominators_grouped(follows, entries)
+
+
+def _q_events_json_extract(spark, sf_dir):
+    """Semi-structured ingest (A3 analog: pre-parsed JSON walk → typed
+    columns): parse the events props JSON payload."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ordered_turns": _q_kg_ordered_turns,
     "kg_next_edges": _q_kg_next_edges,
@@ -442,6 +475,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_graph_edges": _q_kg_graph_edges,
     "kg_reachable_4hop": _q_kg_reachable_4hop,
     "kg_raw_triples_udf": _q_kg_raw_triples_udf,
+    "kg_reaching_defs": _q_kg_reaching_defs,
+    "kg_dominators": _q_kg_dominators,
+    "events_json_extract": _q_events_json_extract,
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_bands": _q_dedup_minhash_bands,
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -784,6 +820,42 @@ ORACLES: dict[str, str] = {
 
 # the UDF extraction variant must produce byte-identical rows to the JVM path
 ORACLES["kg_raw_triples_udf"] = ORACLES["kg_raw_triples"]
+
+ORACLES["kg_reaching_defs"] = f"""
+    WITH {_TOK_CTE}, {_MENTION_CTE}, {_BEST_CTE},
+    linked AS (
+      SELECT m.conv_id, m.turn_idx, m.ts,
+             coalesce(mm.merged_name,
+                      coalesce(b.canonical_name, 'external:' || m.surface)) AS canonical
+      FROM mention m
+      LEFT JOIN best b ON m.surface = b.alias
+      LEFT JOIN read_parquet('{_EC01}') mm
+             ON coalesce(b.canonical_name, 'external:' || m.surface) = mm.canonical_name
+    ),
+    turns AS (
+      SELECT conv_id, turn_idx, ts,
+             CAST(row_number() OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx, ts) AS BIGINT) AS turn_order
+      FROM tr
+    ),
+    per_turn AS (
+      SELECT DISTINCT l.conv_id, t.turn_order, l.canonical
+      FROM linked l JOIN turns t USING (conv_id, turn_idx, ts)
+    ),
+    lagged AS (
+      SELECT conv_id, canonical, turn_order,
+             lag(turn_order) OVER (
+                 PARTITION BY conv_id, canonical ORDER BY turn_order) AS src_order
+      FROM per_turn
+    )
+    SELECT conv_id, canonical AS variable, src_order, turn_order AS dst_order
+    FROM lagged WHERE src_order IS NOT NULL
+"""
+
+ORACLES["events_json_extract"] = """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+"""
 
 # queries with NO oracle entry (driver records rows-only checks):
 #   ann_cosine_topk_lsh — approximate by design (bucketed recall < 1)

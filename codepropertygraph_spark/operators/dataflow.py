@@ -57,6 +57,191 @@ def reachable_within(
     ).dropDuplicates([keyed_by, "src", "dst"])
 
 
+def reaching_def_edges(
+    transcripts: DataFrame, alias_dict: DataFrame, merge: DataFrame
+) -> DataFrame:
+    """REACHING_DEF analog (A19, ``dataflowengineoss/.../reachingdef/
+    ReachingDefPass.scala:11-113``): a turn that mentions entity E *defines*
+    E; the definition reaches forward until the next turn that redefines E
+    (gen/kill on the linear per-conversation CFG). On a linear CFG the
+    worklist fixpoint collapses exactly to a per-(conversation, entity) lag:
+    consecutive E-mentioning turns yield ``src --REACHING_DEF(VARIABLE=E)-->
+    dst`` edges. Output: (conv_id, variable, src_order, dst_order).
+
+    Fully vectorized — two windows, no Python — because the CFG is a chain;
+    the general DAG case runs the worklist solver inside ``applyInPandas``
+    (see :func:`dominators_grouped` for that pattern).
+    """
+    from pyspark.sql import Window
+
+    from . import extraction, linking
+
+    flagged = extraction.flagged_tokens(transcripts)
+    m = extraction.mention_candidates_from(flagged, alias_dict)
+    m = m.where(F.col("is_mention"))
+    m = linking.apply_merge(m, merge, "canonical")
+    per_turn = m.select("conv_id", "turn_idx", "ts", "canonical").dropDuplicates()
+    # stable turn rank without joining transcripts: rank the distinct turn
+    # keys seen in mentions... rank must match the global turn_order, so
+    # rank over ALL turns (mention-less turns shift the order) — derive from
+    # the transcript turn frame, broadcast-free single window.
+    turns = transcripts.select("conv_id", "turn_idx", "ts").withColumn(
+        "turn_order",
+        F.row_number().over(Window.partitionBy("conv_id").orderBy("turn_idx", "ts")),
+    )
+    per_turn = per_turn.join(turns, ["conv_id", "turn_idx", "ts"])
+    w = Window.partitionBy("conv_id", "canonical").orderBy("turn_order")
+    return (
+        per_turn.withColumn("src_order", F.lag("turn_order").over(w))
+        .where(F.col("src_order").isNotNull())
+        .select(
+            "conv_id",
+            F.col("canonical").alias("variable"),
+            F.col("src_order").cast("long").alias("src_order"),
+            F.col("turn_order").cast("long").alias("dst_order"),
+        )
+    )
+
+
+def dominators_grouped(edges: DataFrame, entries: DataFrame) -> DataFrame:
+    """Per-group immediate dominators — the CfgDominatorPass analog (A17,
+    ``semanticcpg/.../cfgdominator/CfgDominator.scala:15-116``, Cooper-
+    Harvey-Kennedy iterative dataflow). The graph is conversation-local, so
+    the whole fixpoint runs inside one ``applyInPandas`` group (zero
+    iterative shuffles — SURVEY.md §4.2 item 3).
+
+    edges: (conv_id, s, o) directed; entries: (conv_id, entry).
+    Returns (conv_id, node, idom); the entry has idom = itself. Nodes not
+    reachable from the entry are omitted (matching the reference, which
+    walks from the entry).
+    """
+    import pandas as pd
+
+    e = edges.select("conv_id", "s", "o").dropDuplicates()
+    joined = e.join(F.broadcast(entries), "conv_id")
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].iloc[0]
+        entry = pdf["entry"].iloc[0]
+        succ: dict[str, list[str]] = {}
+        pred: dict[str, list[str]] = {}
+        for s, o in zip(pdf["s"], pdf["o"]):
+            succ.setdefault(s, []).append(o)
+            pred.setdefault(o, []).append(s)
+        # reverse post-order from entry
+        order: list[str] = []
+        seen: set[str] = set()
+        stack: list[tuple[str, int]] = [(entry, 0)]
+        while stack:
+            n, i = stack.pop()
+            if i == 0:
+                if n in seen:
+                    continue
+                seen.add(n)
+            kids = succ.get(n, [])
+            if i < len(kids):
+                stack.append((n, i + 1))
+                if kids[i] not in seen:
+                    stack.append((kids[i], 0))
+            else:
+                order.append(n)
+        rpo = list(reversed(order))
+        idx = {n: i for i, n in enumerate(rpo)}
+        idom: dict[str, str] = {entry: entry}
+
+        def intersect(a: str, b: str) -> str:
+            while a != b:
+                while idx[a] > idx[b]:
+                    a = idom[a]
+                while idx[b] > idx[a]:
+                    b = idom[b]
+            return a
+
+        changed = True
+        while changed:
+            changed = False
+            for n in rpo:
+                if n == entry:
+                    continue
+                ps = [p for p in pred.get(n, []) if p in idom]
+                if not ps:
+                    continue
+                new = ps[0]
+                for p in ps[1:]:
+                    new = intersect(new, p)
+                if idom.get(n) != new:
+                    idom[n] = new
+                    changed = True
+        return pd.DataFrame(
+            {"conv_id": conv, "node": list(idom), "idom": [idom[n] for n in idom]}
+        )
+
+    return joined.groupBy("conv_id").applyInPandas(
+        per_group, schema="conv_id string, node string, idom string"
+    )
+
+
+def control_dependence_grouped(edges: DataFrame, exits: DataFrame) -> DataFrame:
+    """CDG edges from the post-dominance frontier — the CdgPass analog (A18,
+    ``semanticcpg/.../codepencegraph/CdgPass.scala:22-49``, frontier
+    ``CfgDominatorFrontier.scala:1-40``): post-dominators = dominators of
+    the reversed graph from the exit; node n is control-dependent on m when
+    m ∈ PDF(n). Same per-group UDF pattern as :func:`dominators_grouped`.
+
+    edges: (conv_id, s, o); exits: (conv_id, exit). Returns
+    (conv_id, controller, dependent).
+    """
+    rev = edges.select(
+        "conv_id", F.col("o").alias("s"), F.col("s").alias("o")
+    )
+    pdom = dominators_grouped(
+        rev, exits.select("conv_id", F.col("exit").alias("entry"))
+    ).select("conv_id", "node", F.col("idom").alias("ipdom"))
+
+    import pandas as pd
+
+    e = edges.select("conv_id", "s", "o").dropDuplicates()
+    joined = e.join(pdom, "conv_id").withColumnRenamed("node", "pd_node")
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].iloc[0]
+        ipdom = dict(
+            pdf[["pd_node", "ipdom"]].drop_duplicates().itertuples(index=False)
+        )
+        pairs = set()
+        edge_set = set(
+            pdf[["s", "o"]].drop_duplicates().itertuples(index=False, name=None)
+        )
+        # PDF via the standard two-pointer walk: for edge (a, b), runner = a
+        # while runner != ipdom(b): b is control-dependent on runner
+        for a, b in edge_set:
+            if a not in ipdom or b not in ipdom:
+                continue
+            runner = a
+            stop = ipdom[b]
+            guard = 0
+            while runner != stop and guard < 10000:
+                pairs.add((runner, b))
+                if runner == ipdom.get(runner):
+                    break
+                runner = ipdom.get(runner)
+                if runner is None:
+                    break
+                guard += 1
+        pairs = sorted(pairs)
+        return pd.DataFrame(
+            {
+                "conv_id": conv,
+                "controller": [p[0] for p in pairs],
+                "dependent": [p[1] for p in pairs],
+            }
+        )
+
+    return joined.groupBy("conv_id").applyInPandas(
+        per_group, schema="conv_id string, controller string, dependent string"
+    )
+
+
 def reachable_within_grouped(
     edges: DataFrame, max_hops: int = 4, keyed_by: str = "conv_id"
 ) -> DataFrame:

@@ -1,0 +1,162 @@
+"""Tests for the training-data-pipeline operators (dedup, similarity,
+textstats, multimodal) on tiny handcrafted frames plus the sf0.001 driver
+tables where ground truth is computable independently.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from codepropertygraph_spark.operators import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _mini_docs(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g h"),  # exact dup of 1
+        (3, "a b c d e f g X"),  # near dup of 1
+        (4, "q r s t u v w z"),  # unrelated
+        (5, "xy"),  # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    d = dedup.exact_duplicates(_mini_docs(spark))
+    groups = {r.text_hash: (r.n_docs, r.keeper) for r in d.collect()}
+    dup_group = [v for v in groups.values() if v[0] > 1]
+    assert dup_group == [(2, 1)]  # docs 1+2, keeper = min id
+
+
+def test_minhash_pairs_match_ground_truth(spark, docs):
+    """LSH-blocked + verified pairs == exact all-pairs at the threshold
+    (recall loss would show as missing pairs; precision loss can't happen
+    because candidates are verified exactly)."""
+    lsh = {(r.a, r.b, r.jacc) for r in dedup.minhash_pairs(docs, 0.8).collect()}
+    exact = {(r.a, r.b, r.jacc) for r in dedup.ngram_jaccard_pairs(docs, 0.8).collect()}
+    assert lsh == exact
+    assert exact, "corpus should contain planted near-duplicates"
+
+
+def test_minhash_detects_planted_near_dup(spark):
+    pairs = {(r.a, r.b) for r in dedup.minhash_pairs(_mini_docs(spark), 0.5).collect()}
+    assert (1, 2) in pairs  # identical
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_similar_docs_close(spark):
+    s = {r.doc_id: r.simhash for r in dedup.simhash(_mini_docs(spark)).collect()}
+    assert s[1] == s[2]  # identical docs → identical signature
+    ham_near = bin(s[1] ^ s[3]).count("1")
+    ham_far = bin(s[1] ^ s[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ann_topk_against_numpy(spark, emb):
+    import numpy as np
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    got = similarity.cosine_topk(emb, query_max_id=3, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    for q in range(3):
+        sims = []
+        for vid, v in vecs.items():
+            if vid == q:
+                continue
+            cos = float(v @ vecs[q] / (np.linalg.norm(v) * np.linalg.norm(vecs[q])))
+            sims.append((round(cos, 6), -vid))
+        expected = [-i for _, i in sorted(sims, reverse=True)[:5]]
+        assert by_q[q] == expected
+
+
+def test_ann_lsh_subset_of_exact_candidates(spark, emb):
+    """The LSH variant returns genuine neighbors (correct cosine values),
+    just possibly fewer — every returned (query, neighbor, cos) must agree
+    with the exact scorer's cosine for that pair."""
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in similarity.cosine_topk(emb, query_max_id=10, k=10 ** 6).collect()
+    }
+    for r in similarity.cosine_topk_lsh(emb, query_max_id=10, k=5).collect():
+        assert exact_all[(r.query_id, r.neighbor_id)] == r.cos
+
+
+def test_token_counts(spark):
+    d = {r.doc_id: r for r in textstats.token_counts(_mini_docs(spark)).collect()}
+    assert d[1].n_tokens == 8
+    assert d[1].n_distinct_tokens == 8
+    assert d[5].n_tokens == 1
+
+
+def test_quality_monotonic_bounds(spark, docs):
+    rows = textstats.quality_scores(docs).collect()
+    assert all(0 <= r.quality_milli <= 1000 for r in rows)
+    assert all(0.0 <= r.stop_ratio <= 1.0 for r in rows)
+
+
+def test_fingerprint_stable_and_sensitive(spark):
+    fps = {r.doc_id: r.fingerprint for r in textstats.fingerprints(_mini_docs(spark)).collect()}
+    assert fps[1] == fps[2]  # identical content → identical fingerprint
+    assert fps[1] != fps[4]
+
+
+def test_multimodal_roundtrip(spark, docs):
+    payloads = multimodal.to_binary_payloads(docs)
+    decoded = multimodal.decode_stub(payloads)
+    got = {r.doc_id: r for r in decoded.collect()}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, text in list(src.items())[:20]:
+        r = got[doc_id]
+        assert r.n_bytes == len(text.encode())
+        assert r.content_hash == hashlib.md5(text.encode()).hexdigest()
+        assert 16 <= r.width < 256 and 16 <= r.height < 256
+
+
+def test_frame_sample(spark, docs):
+    payloads = multimodal.to_binary_payloads(docs.limit(10))
+    decoded = multimodal.decode_stub(payloads)
+    frames = multimodal.frame_sample(decoded, every=2)
+    n = {r.doc_id: r.n_frames for r in decoded.collect()}
+    cnt = {
+        r["doc_id"]: r["cnt"]
+        for r in frames.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    for doc_id, nf in n.items():
+        assert cnt[doc_id] == (nf + 1) // 2
+
+
+def test_extraction_udf_parity(spark, transcripts):
+    """The pandas-UDF extractor variants must equal the JVM path exactly
+    (the north-star's vectorized-UDF pass, cross-checked)."""
+    from codepropertygraph_spark.operators import extraction, extraction_udf
+
+    cols = ["conv_id", "turn_idx", "pos", "subj_surface", "pred", "obj_surface"]
+    jvm = {tuple(r) for r in extraction.raw_triples(transcripts).select(*cols).collect()}
+    arrow = {
+        tuple(r)
+        for r in extraction_udf.raw_triples_map_in_arrow(transcripts).select(*cols).collect()
+    }
+    grouped = {
+        tuple(r)
+        for r in extraction_udf.raw_triples_grouped(transcripts).select(*cols).collect()
+    }
+    assert jvm == arrow == grouped

@@ -1,0 +1,228 @@
+"""Traversal DSL steps, dominators / CDG / reaching-defs, DiffGraph
+mutation primitives, exports — golden tests on handcrafted graphs
+(the reference's CfgDominatorPassTests / DiffGraphTest / dotgenerator
+test pattern)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from codepropertygraph_spark import schema as S
+from codepropertygraph_spark.operators import dataflow, exports, traversal
+from codepropertygraph_spark.plans import diff as D
+from codepropertygraph_spark.plans import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, transcripts, alias_dict, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh_trav"))
+    return P.run_pipeline(spark, transcripts, alias_dict, wh)
+
+
+@pytest.fixture(scope="module")
+def g(catalog):
+    return traversal.GraphView(catalog.nodes(), catalog.edges())
+
+
+# -- traversal DSL ------------------------------------------------------------
+
+
+def test_label_starter_and_counts(g):
+    assert g.conversations().count() == 50
+    assert g.label(S.META_DATA).count() == 1
+
+
+def test_out_in_hops(g):
+    turns_of_conv = g.conversations().has(name="c000000").out("AST")
+    assert turns_of_conv.count() == 200  # mega-conversation: 20x mean(10)
+    back = turns_of_conv.in_("AST").dedup()
+    assert back.count() == 1
+    assert back.collect()[0].name == "c000000"
+
+
+def test_trait_starter(g):
+    n_expr = g.trait_("EXPRESSION").count()
+    assert n_expr == g.mentions().count() + g.toolcalls().count()
+
+
+def test_name_regex_and_where_not_in(g):
+    ext = g.entities().name("^external:")
+    non_ext = g.entities().where_not_in(ext)
+    assert ext.count() > 0
+    assert ext.count() + non_ext.count() == g.entities().count()
+
+
+def test_repeat_out_bounded(g):
+    # NEXT chain from the first turn of a conversation: 3 hops reach 4 turns
+    first = g.turns().has(conv_id="c000001").has(order=1)
+    reached = first.repeat_out("NEXT", max_hops=3)
+    n_turns = g.turns().has(conv_id="c000001").count()
+    assert reached.count() == min(4, n_turns)
+
+
+def test_tool_call_resolution_chain(g):
+    # TOOLCALL --CALL--> ENTITY: every toolcall resolves to exactly one entity
+    ents = g.toolcalls().out("CALL")
+    assert ents.df.count() == g.toolcalls().count()
+
+
+# -- dominators / CDG / reaching defs -----------------------------------------
+
+
+def _diamond(spark):
+    #      a
+    #    /   \
+    #   b     c
+    #    \   /
+    #      d -> e
+    edges = spark.createDataFrame(
+        [("g", "a", "b"), ("g", "a", "c"), ("g", "b", "d"), ("g", "c", "d"), ("g", "d", "e")],
+        "conv_id string, s string, o string",
+    )
+    entries = spark.createDataFrame([("g", "a")], "conv_id string, entry string")
+    exits = spark.createDataFrame([("g", "e")], "conv_id string, exit string")
+    return edges, entries, exits
+
+
+def test_dominators_diamond(spark):
+    edges, entries, _ = _diamond(spark)
+    idom = {r.node: r.idom for r in dataflow.dominators_grouped(edges, entries).collect()}
+    assert idom == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "d"}
+
+
+def test_post_dominators_via_reverse(spark):
+    edges, _, exits = _diamond(spark)
+    rev = edges.select("conv_id", F.col("o").alias("s"), F.col("s").alias("o"))
+    ipdom = {
+        r.node: r.idom
+        for r in dataflow.dominators_grouped(
+            rev, exits.select("conv_id", F.col("exit").alias("entry"))
+        ).collect()
+    }
+    assert ipdom == {"e": "e", "d": "e", "b": "d", "c": "d", "a": "d"}
+
+
+def test_control_dependence_diamond(spark):
+    edges, _, exits = _diamond(spark)
+    cdg = {
+        (r.controller, r.dependent)
+        for r in dataflow.control_dependence_grouped(edges, exits).collect()
+    }
+    # b and c are control-dependent on the branch at a; d/e post-dominate
+    assert ("a", "b") in cdg and ("a", "c") in cdg
+    assert ("a", "d") not in cdg
+
+
+def test_reaching_defs_linear(spark):
+    from datetime import datetime
+
+    rows = [
+        ("cR", 1, "user", "p1 mentions p2 x", None, datetime(2024, 1, 1, 0, 0, 0)),
+        ("cR", 2, "assistant", "filler only here", None, datetime(2024, 1, 1, 0, 0, 10)),
+        ("cR", 3, "user", "p1 mentions p9 y", None, datetime(2024, 1, 1, 0, 0, 20)),
+        ("cR", 4, "user", "p2 mentions p1 z", None, datetime(2024, 1, 1, 0, 0, 30)),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    ad = spark.createDataFrame(
+        [("p1", "person_one", "PERSON", 0.9), ("p2", "person_two", "PERSON", 0.9)],
+        "alias string, canonical_name string, entity_type string, prior double",
+    )
+    merge = spark.createDataFrame([], "canonical_name string, merged_name string")
+    got = {
+        (r.variable, r.src_order, r.dst_order)
+        for r in dataflow.reaching_def_edges(tr, ad, merge).collect()
+    }
+    assert got == {
+        ("person_one", 1, 3),  # p1@t1 reaches t3 (t2 defines nothing)
+        ("person_one", 3, 4),
+        ("person_two", 1, 4),
+    }
+
+
+# -- DiffGraph mutation primitives --------------------------------------------
+
+
+def test_set_node_props(spark, catalog):
+    nodes = catalog.nodes()
+    target = nodes.where(F.col("label") == S.CONVERSATION).limit(2).select("id")
+    updates = target.select(
+        "id", F.lit("reviewed").alias("key"), F.lit("yes").alias("value")
+    )
+    out = D.set_node_props(nodes, updates)
+    got = (
+        out.join(target, "id", "left_semi")
+        .select(F.element_at("props", "reviewed").alias("v"))
+        .collect()
+    )
+    assert [r.v for r in got] == ["yes", "yes"]
+    untouched = out.join(target, "id", "left_anti").where(
+        F.element_at("props", "reviewed").isNotNull()
+    )
+    assert untouched.count() == 0
+
+
+def test_remove_nodes_cascades_edges(spark, catalog):
+    nodes, edges = catalog.nodes(), catalog.edges()
+    victim = nodes.where(F.col("label") == S.TURN).limit(1).select("id")
+    vid = victim.collect()[0].id
+    n2, e2 = D.remove_nodes(nodes, edges, victim)
+    assert n2.where(F.col("id") == vid).count() == 0
+    assert e2.where((F.col("src") == vid) | (F.col("dst") == vid)).count() == 0
+
+
+def test_remove_edges_by_identity(spark, catalog):
+    edges = catalog.edges()
+    some = D.edge_identity(edges.where(F.col("label") == "NEXT").limit(3)).select(
+        "edge_id"
+    )
+    out = D.remove_edges(edges, some)
+    assert out.count() == edges.count() - 3
+
+
+def test_remove_shadowed_stubs(spark, catalog):
+    nodes, edges = catalog.nodes(), catalog.edges()
+    # inject a stub shadowed by a real entity
+    real = nodes.where(
+        (F.col("label") == S.ENTITY) & ~F.col("full_name").startswith("external:")
+    ).limit(1)
+    real_name = real.collect()[0].full_name
+    stub = real.select(
+        (F.col("id") + 999).alias("id"),
+        F.lit(S.ENTITY).alias("label"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit("external:" + real_name).alias("full_name"),
+        F.lit(None).cast("string").alias("code"),
+        F.lit(None).cast("int").alias("order"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    dirty = nodes.unionByName(stub)
+    clean, _ = D.remove_shadowed_stubs(dirty, edges)
+    assert dirty.where(F.col("full_name") == "external:" + real_name).count() == 1
+    assert clean.where(F.col("full_name") == "external:" + real_name).count() == 0
+    # legitimate stubs survive
+    assert clean.where(F.col("full_name").startswith("external:")).count() > 0
+
+
+# -- exports -------------------------------------------------------------------
+
+
+def test_export_json_roundtrip(spark, catalog, tmp_path):
+    out = str(tmp_path / "export")
+    exports.export_json(catalog.nodes(), catalog.edges(), out)
+    n = spark.read.json(f"{out}/nodes")
+    assert n.count() == catalog.nodes().count()
+
+
+def test_dot_export(catalog):
+    dot = exports.conversation_to_dot(catalog.nodes(), catalog.edges(), "c000001")
+    assert dot.startswith('digraph "c000001"')
+    assert '[label="NEXT"]' in dot and "CONVERSATION" in dot
+    # deterministic: same call → same string
+    assert dot == exports.conversation_to_dot(
+        catalog.nodes(), catalog.edges(), "c000001"
+    )
