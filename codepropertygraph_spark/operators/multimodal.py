@@ -93,7 +93,5 @@ def frame_sample(decoded: DataFrame, every: int = 2) -> DataFrame:
     frame index from the decoded n_frames. JVM-side explode, no Python."""
     return decoded.select(
         "doc_id",
-        F.explode(
-            F.expr(f"sequence(0, n_frames - 1, {every})")
-        ).cast("long").alias("frame_idx"),
-    )
+        F.explode(F.expr(f"sequence(0, n_frames - 1, {every})")).alias("__f"),
+    ).select("doc_id", F.col("__f").cast("long").alias("frame_idx"))

@@ -51,11 +51,14 @@ class Traversal:
     # -- expansion (graph hops) ----------------------------------------------
 
     def out(self, edge_label: str) -> "Traversal":
+        """One output element per traversed edge (multiplicity preserved,
+        like the reference's Traversal; use .dedup() for set semantics)."""
         e = self._g.edges.where(F.col("label") == edge_label)
         ids = self.df.select(F.col("id").alias("__src"))
         hop = e.join(ids, e.src == F.col("__src")).select(F.col("dst").alias("__id"))
         return Traversal(
-            self._g, self._g.nodes.join(hop, self._g.nodes.id == F.col("__id"), "left_semi")
+            self._g,
+            self._g.nodes.join(hop, self._g.nodes.id == F.col("__id")).drop("__id"),
         )
 
     def in_(self, edge_label: str) -> "Traversal":
@@ -63,7 +66,8 @@ class Traversal:
         ids = self.df.select(F.col("id").alias("__dst"))
         hop = e.join(ids, e.dst == F.col("__dst")).select(F.col("src").alias("__id"))
         return Traversal(
-            self._g, self._g.nodes.join(hop, self._g.nodes.id == F.col("__id"), "left_semi")
+            self._g,
+            self._g.nodes.join(hop, self._g.nodes.id == F.col("__id")).drop("__id"),
         )
 
     def repeat_out(self, edge_label: str, max_hops: int) -> "Traversal":
@@ -73,7 +77,7 @@ class Traversal:
         frontier = self
         for _ in range(max_hops):
             nxt = frontier.out(edge_label)
-            new = nxt.df.select("id").join(seen, "id", "left_anti")
+            new = nxt.df.select("id").dropDuplicates(["id"]).join(seen, "id", "left_anti")
             if new.isEmpty():
                 break
             seen = seen.unionByName(new).localCheckpoint(eager=True)
