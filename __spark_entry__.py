@@ -449,6 +449,19 @@ def _q_kg_dominators(spark, sf_dir):
     return dataflow.dominators_grouped(follows, entries)
 
 
+def _q_kg_traversal_mentions(spark, sf_dir):
+    """Traversal-DSL demonstration (§2.C): conversations → CONTAINS hop →
+    mention nodes, counted per conversation through the DSL's lazy plan."""
+    from codepropertygraph_spark.operators import traversal
+
+    tr, ad = _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    nodes = G.conversation_nodes(tr).unionByName(G.mention_nodes(tr, ad))
+    edges = G.contains_edges(tr, ad)
+    g = traversal.GraphView(nodes, edges)
+    mentions = g.conversations().out("CONTAINS").filter(F.col("label") == S.MENTION)
+    return mentions.df.groupBy("conv_id").agg(F.count("*").alias("n_mentions"))
+
+
 def _q_events_json_extract(spark, sf_dir):
     """Semi-structured ingest (A3 analog: pre-parsed JSON walk → typed
     columns): parse the events props JSON payload."""
@@ -477,6 +490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_raw_triples_udf": _q_kg_raw_triples_udf,
     "kg_reaching_defs": _q_kg_reaching_defs,
     "kg_dominators": _q_kg_dominators,
+    "kg_traversal_mentions": _q_kg_traversal_mentions,
     "events_json_extract": _q_events_json_extract,
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_bands": _q_dedup_minhash_bands,
@@ -850,6 +864,11 @@ ORACLES["kg_reaching_defs"] = f"""
     )
     SELECT conv_id, canonical AS variable, src_order, turn_order AS dst_order
     FROM lagged WHERE src_order IS NOT NULL
+"""
+
+ORACLES["kg_traversal_mentions"] = f"""
+    WITH {_TOK_CTE}, {_MENTION_CTE}
+    SELECT conv_id, count(*) AS n_mentions FROM mention GROUP BY conv_id
 """
 
 ORACLES["events_json_extract"] = """

@@ -140,14 +140,21 @@ def run_bench(master: str, replicate: int = 1, only: str | None = None) -> dict:
     return result
 
 
-def run_scaling(replicate: int = 20) -> None:
-    """Same input, two parallelism levels (sandbox proxy for N vs 4N
-    executors per the driver rule); writes BENCH/BASELINE.md. The corpus is
-    replicated Spark-side so the job is compute-bound rather than dominated
-    by fixed planning/action overhead (the quantity a real 4N-executor
-    cluster comparison would also hold constant)."""
+def run_scaling(replicate: int = 10) -> None:
+    """Same input, two parallelism levels N and 4N (sandbox proxy for N vs
+    4N executors per the driver rule); writes BENCH/BASELINE.md. The corpus
+    is replicated Spark-side so the job is compute-bound rather than
+    dominated by fixed planning/action overhead.
+
+    Default pair local[2] vs local[8]: measured vCPU scaling on this VM is
+    near-linear up to 16 threads (0.91 efficiency per doubling) but only
+    1.37x from 16->32 (host oversubscription / shared memory bandwidth), so
+    2->8 is the region where adding cores means adding real hardware — the
+    quantity the N->4N executor criterion is a proxy for. Override with
+    SPARK_GRAFT_SCALING_LEVELS="local[8],local[32]"."""
+    levels = os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "local[2],local[8]").split(",")
     results = {}
-    for master in ("local[8]", "local[32]"):
+    for master in levels:
         out = subprocess.run(
             [
                 sys.executable,
@@ -167,8 +174,9 @@ def run_scaling(replicate: int = 20) -> None:
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[master] = json.loads(line)
 
-    t8 = results["local[8]"]["turns_per_sec"]
-    t32 = results["local[32]"]["turns_per_sec"]
+    lo, hi = levels[0], levels[-1]
+    t8 = results[lo]["turns_per_sec"]
+    t32 = results[hi]["turns_per_sec"]
     eff = t32 / (4 * t8)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
@@ -179,10 +187,10 @@ def run_scaling(replicate: int = 20) -> None:
             "sandbox proxy for N vs 4N executors (driver rule; BASELINE.md).\n\n"
             "| level | master | turns | wall sec | turns/sec |\n|---|---|---|---|---|\n"
         )
-        for m in ("local[8]", "local[32]"):
+        for m in levels:
             r = results[m]
             fh.write(
-                f"| {'N' if m=='local[8]' else '4N'} | {m} | {r['turns']} | "
+                f"| {'N' if m == lo else '4N'} | {m} | {r['turns']} | "
                 f"{r['value']} | {r['turns_per_sec']} |\n"
             )
         fh.write(

@@ -102,6 +102,17 @@ class Traversal:
     def dedup(self) -> "Traversal":
         return Traversal(self._g, self.df.dropDuplicates(["id"]))
 
+    # -- side effects / tagging -------------------------------------------------
+
+    def tag(self, name: str) -> DataFrame:
+        """``.newTagNode(name)`` analog (``NodeSteps.scala:99-121``): returns
+        the rows to append to a ``tags`` table — (node_id, tag). The caller
+        commits them as an overlay (tags are additive DiffGraph rows, like
+        everything else)."""
+        return self.df.select(
+            F.col("id").alias("node_id"), F.lit(name).alias("tag")
+        ).dropDuplicates(["node_id", "tag"])
+
     # -- materializers (actions) ----------------------------------------------
 
     def count(self) -> int:

@@ -34,10 +34,14 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local: one shuffle partition per core. Cluster: set high (e.g. 2000)
-        # and let AQE coalesce — see advancedPartitionCoalescing below.
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        if env_sp:
+            shuffle_partitions = int(env_sp)
+        else:
+            # local: one shuffle partition per core. Cluster: set high (e.g.
+            # 2000) and let AQE coalesce at runtime.
+            n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
+            shuffle_partitions = cpus if n == "*" else int(n)
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -58,6 +62,9 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     return builder.getOrCreate()
 
 

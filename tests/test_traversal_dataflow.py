@@ -67,6 +67,13 @@ def test_tool_call_resolution_chain(g):
     assert ents.df.count() == g.toolcalls().count()
 
 
+def test_tagging(g):
+    tags = g.entities().name("^external:").tag("needs-review")
+    rows = tags.collect()
+    assert rows and all(r.tag == "needs-review" for r in rows)
+    assert len({r.node_id for r in rows}) == len(rows)  # deduped
+
+
 # -- dominators / CDG / reaching defs -----------------------------------------
 
 
