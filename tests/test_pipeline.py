@@ -81,6 +81,28 @@ def test_validator_detects_corruption(spark, transcripts, alias_dict, warehouse,
     assert P.validate(cat).count() == 2
 
 
+def test_pipeline_rerun_content_identical(spark, transcripts, alias_dict, warehouse, tmp_path):
+    """StableOutputTests analog at the pipeline level: two independent
+    warehouse builds produce content-identical node/edge/triple tables
+    (sorted-content comparison, the reference's sorted-node-strings check)."""
+    import hashlib
+
+    wh2 = str(tmp_path / "wh_rerun")
+    P.run_pipeline(spark, transcripts, alias_dict, wh2)
+
+    def content_hash(cat, table):
+        df = cat.read_table(table)
+        rows = sorted(str(sorted(r.asDict().items())) for r in df.collect())
+        h = hashlib.sha256()
+        for r in rows:
+            h.update(r.encode())
+        return h.hexdigest()
+
+    c1, c2 = P.Catalog(spark, warehouse), P.Catalog(spark, wh2)
+    for table in ("nodes", "edges", "triples", "merge_map"):
+        assert content_hash(c1, table) == content_hash(c2, table), table
+
+
 def test_graph_counts_consistent(spark, warehouse, expected_triples):
     cat = P.Catalog(spark, warehouse)
     nodes, edges = cat.nodes(), cat.edges()

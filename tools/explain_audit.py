@@ -28,19 +28,23 @@ def audit(name: str, df) -> None:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    checks = {
-        "BroadcastHashJoin": "broadcast join present",
-        "WholeStageCodegen": "codegen spans",
-        "partial": "map-side partial aggregation",
-    }
+    n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+    n_codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
+    n_partial = len(re.findall(r"partial_", plan)) + len(
+        re.findall(r"HashAggregate.*partial", plan)
+    )
+    n_py = len(re.findall(r"BatchEvalPython", plan))
+    # formatted mode lists operators as "(N) Exchange" with partitioning in
+    # the details section; count operator occurrences minus broadcasts
+    n_shuffle = len(re.findall(r"\(\d+\) Exchange", plan))
+    n_bcast = len(re.findall(r"BroadcastExchange", plan))
     print(f"\n===== {name} =====")
-    for pat, why in checks.items():
-        n = len(re.findall(pat, plan))
-        print(f"  {why:34s} {pat}: {n}")
-    bad = len(re.findall(r"BatchEvalPython", plan))
-    print(f"  row-at-a-time Python stages       BatchEvalPython: {bad} (must be 0)")
-    n_exchange = len(re.findall(r"Exchange", plan))
-    print(f"  exchanges (shuffles)              Exchange: {n_exchange}")
+    print(f"  broadcast joins                   {n_bhj}")
+    print(f"  codegen-covered spans             {n_codegen}")
+    print(f"  map-side partial aggregations     {n_partial}")
+    print(f"  row-at-a-time Python stages       {n_py} (must be 0)")
+    print(f"  shuffle exchanges                 {n_shuffle}")
+    print(f"  broadcast exchanges               {n_bcast}")
     if "--full" in sys.argv:
         print(plan)
 
