@@ -121,6 +121,16 @@ def run_bench(master: str, replicate: int = 1, only: str | None = None) -> dict:
 
     timed("kg_reachable_4hop", reach)
 
+    # training-data operators over the driver tables at the same sf
+    from codepropertygraph_spark.operators import dedup, similarity, textstats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed("dedup_minhash_pairs", lambda: _force(dedup.minhash_pairs(docs, 0.8)))
+    timed("dedup_simhash", lambda: _force(dedup.simhash(docs)))
+    timed("ann_cosine_topk", lambda: _force(similarity.cosine_topk(emb, 10, 5)))
+    timed("text_quality", lambda: _force(textstats.quality_scores(docs)))
+
     if not timings:
         spark.stop()
         raise SystemExit(f"--only {only!r} matched no benchmark query")

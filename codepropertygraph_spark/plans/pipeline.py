@@ -253,6 +253,13 @@ def _rel_pass(ctx: PassContext) -> dict[str, DataFrame]:
     }
 
 
+def _validate_pass(ctx: PassContext) -> dict[str, DataFrame]:
+    """cpgvalidator analog as a pipeline stage: the violations table is
+    committed as an overlay so downstream consumers (and the meta counters)
+    record conformance; an empty table = conformant graph."""
+    return {"violations": validate(ctx.catalog)}
+
+
 STANDARD_PASSES: tuple[Pass, ...] = (
     Pass("meta_data", _meta_pass),
     Pass("base_layer", _base_layer_pass, depends_on=("meta_data",)),
@@ -260,6 +267,7 @@ STANDARD_PASSES: tuple[Pass, ...] = (
     Pass("canonicalize", _canonicalize_pass, depends_on=("extraction",)),
     Pass("linking", _linking_pass, depends_on=("canonicalize",)),
     Pass("rel_triples", _rel_pass, depends_on=("linking",)),
+    Pass("validate", _validate_pass, depends_on=("rel_triples",)),
 )
 
 
