@@ -160,3 +160,46 @@ def test_extraction_udf_parity(spark, transcripts):
         for r in extraction_udf.raw_triples_grouped(transcripts).select(*cols).collect()
     }
     assert jvm == arrow == grouped
+
+
+def test_scored_link_pandas_parity(spark, transcripts, alias_dict):
+    """Batched-UDF scorer must equal the JVM broadcast-join linker exactly
+    (same max-prior / min-name dispatch)."""
+    from codepropertygraph_spark.operators import extraction, linking, linking_udf
+
+    m = extraction.mention_surfaces(transcripts, alias_dict)
+    cols = ["conv_id", "turn_idx", "pos", "surface", "canonical"]
+    jvm = {
+        tuple(r)
+        for r in linking.link_surfaces(m, alias_dict, "surface", "canonical")
+        .select(*cols)
+        .collect()
+    }
+    udf = {
+        tuple(r)
+        for r in linking_udf.scored_link_pandas(m, alias_dict, "surface", "canonical")
+        .select(*cols)
+        .collect()
+    }
+    assert udf == jvm
+
+
+def test_scored_link_pandas_custom_scorer(spark, alias_dict):
+    """Custom score_fn plugs in (here: min prior instead of max)."""
+    from codepropertygraph_spark.operators import linking_udf
+
+    df = spark.createDataFrame([("amb_0",), ("nope_x",)], "surface string")
+    out = {
+        r.surface: r.canonical
+        for r in linking_udf.scored_link_pandas(
+            df,
+            alias_dict,
+            "surface",
+            "canonical",
+            score_fn=lambda s, cands: min(cands, key=lambda c: (c[1], c[0]))[0],
+        ).collect()
+    }
+    assert out["nope_x"] == "external:nope_x"
+    # amb_0 maps to two entities with priors .9/.3 — min-prior picks the .3 one
+    lo = [r.canonical_name for r in alias_dict.where("alias='amb_0'").orderBy("prior").collect()][0]
+    assert out["amb_0"] == lo
