@@ -58,3 +58,131 @@ def stream_triples(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_follows_stateful(
+    spark: SparkSession,
+    input_dir: str,
+    alias_dict: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Cross-micro-batch ``follows`` edges via ``applyInPandasWithState``:
+    per-conversation state carries the last seen turn's first-mention, so a
+    conversation split across arriving files still yields the boundary
+    follows pair (the limitation of the stateless foreachBatch path).
+
+    State shape per conv_id: (last_turn_idx, last_ts_us, last_canonical).
+    Assumes per-conversation arrival in turn order (append-only transcript
+    logs), the same assumption the reference's single pass makes about its
+    input file. Emits (conv_id, subj, pred, obj) rows.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators import linking
+
+    best = {
+        r.alias: r.canonical_name
+        for r in linking.best_alias(alias_dict).collect()
+    }
+    preds = set(S.TEXT_PREDICATES)
+    bc = spark.sparkContext.broadcast(best)
+
+    def first_mention(text: str) -> str | None:
+        toks = text.split(" ")
+        d = bc.value
+        for i, t in enumerate(toks):
+            if t in d:
+                return d[t]
+            if t in preds and 0 < i < len(toks) - 1:
+                s = toks[i - 1]
+                return d.get(s, S.EXTERNAL_PREFIX + s)
+        return None
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        turns: list[tuple[int, int, str | None]] = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(["turn_idx", "ts"]).iterrows():
+                turns.append(
+                    (int(row["turn_idx"]), row["ts"].value, first_mention(row["text"]))
+                )
+        turns.sort(key=lambda t: (t[0], t[1]))
+        prev = state.get if state.exists else None  # (turn_idx, ts_us, canonical|'')
+        out_subj, out_obj = [], []
+        last = (prev[0], prev[1], prev[2] or None) if prev else None
+        for turn_idx, ts_us, canonical in turns:
+            if last is not None and canonical is not None and last[2] is not None:
+                out_subj.append(canonical)
+                out_obj.append(last[2])
+            last = (turn_idx, ts_us, canonical)
+        if last is not None:
+            state.update((last[0], last[1], last[2] or ""))
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id] * len(out_subj),
+                "subj": out_subj,
+                "pred": [S.PRED_FOLLOWS] * len(out_subj),
+                "obj": out_obj,
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(S.TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch: state must bridge them
+        .parquet(input_dir)
+    )
+    follows = (
+        stream.groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="conv_id string, subj string, pred string, obj string",
+            stateStructType="last_turn_idx int, last_ts_us long, last_canonical string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        follows.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_hourly_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    events_schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+):
+    """Watermarked windowed aggregation over a stream of event files —
+    late rows beyond the 1-hour watermark are dropped, counts emitted per
+    (event_type, 1-hour window). Returns the collected result (availableNow
+    drain into a memory sink)."""
+    stream = spark.readStream.schema(events_schema).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM hourly_counts")

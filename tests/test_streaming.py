@@ -34,3 +34,54 @@ def test_stream_triples_matches_batch(spark, transcripts, alias_dict, tmp_path):
     ingest.stream_triples(spark, f"{base}/in", alias_dict, f"{base}/out", f"{base}/ckpt")
     got2 = {tuple(r) for r in spark.read.parquet(f"{base}/out").collect()}
     assert got2 == got
+
+
+def test_stateful_follows_bridges_batches(spark, tmp_path):
+    """A conversation split across two arriving files: applyInPandasWithState
+    must emit the boundary follows pair the stateless path cannot see."""
+    from datetime import datetime
+
+    base = str(tmp_path)
+    rows1 = [("cS", 1, "user", "p1 mentions p2 x", None, datetime(2024, 1, 1, 0, 0, 0))]
+    rows2 = [("cS", 2, "assistant", "p2 mentions p1 y", None, datetime(2024, 1, 1, 0, 0, 10))]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ad = spark.createDataFrame(
+        [("p1", "person_one", "PERSON", 0.9), ("p2", "person_two", "PERSON", 0.9)],
+        "alias string, canonical_name string, entity_type string, prior double",
+    )
+    import os, shutil
+
+    os.makedirs(f"{base}/in", exist_ok=True)
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(f"{base}/t{i}")
+        for f in os.listdir(f"{base}/t{i}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{base}/t{i}/{f}", f"{base}/in/file{i}.parquet")
+
+    ingest.stream_follows_stateful(spark, f"{base}/in", ad, f"{base}/out", f"{base}/ckpt")
+    got = {tuple(r) for r in spark.read.parquet(f"{base}/out").collect()}
+    assert ("cS", "person_two", "follows", "person_one") in got
+
+
+def test_stream_hourly_counts_match_batch(spark, tmp_path):
+    import shutil, os
+
+    base = str(tmp_path)
+    src = "/root/testdata/sf0.001/events.parquet"
+    os.makedirs(f"{base}/in", exist_ok=True)
+    shutil.copy(src, f"{base}/in/events.parquet")
+    got = {
+        (r.hour, r.event_type, r.n)
+        for r in ingest.stream_hourly_event_counts(spark, f"{base}/in", f"{base}/ckpt").collect()
+    }
+    batch = {
+        (r.hour, r.event_type, r.n)
+        for r in spark.read.parquet(src)
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch
