@@ -99,17 +99,34 @@ class Catalog:
             shutil.rmtree(d)  # half-failed previous attempt
         t0 = time.time()
         counters: dict[str, int] = {}
+        partition_rows: dict[str, dict[str, int]] = {}
         for tname, df in tables.items():
             path = os.path.join(d, tname)
             df.write.mode("overwrite").parquet(path)
-            counters[tname] = self.spark.read.parquet(path).count()
+            written = self.spark.read.parquet(path)
+            # per-partition lineage (north_rule): row count per written file,
+            # so a resume/debug can pinpoint exactly which partition a
+            # discrepancy lives in without rescanning everything.
+            per_file = (
+                written.groupBy(F.input_file_name().alias("f"))
+                .count()
+                .collect()
+            )
+            partition_rows[tname] = {
+                os.path.basename(r["f"]): r["count"] for r in per_file
+            }
+            counters[tname] = sum(partition_rows[tname].values())
         record = {
             "overlay": name,
             "pass_index": index,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "wall_seconds": round(time.time() - t0, 3),
             "counters": counters,
-            "lineage": {"tables": sorted(tables), "warehouse": self.warehouse},
+            "lineage": {
+                "tables": sorted(tables),
+                "warehouse": self.warehouse,
+                "partition_rows": partition_rows,
+            },
         }
         tmp = os.path.join(d, "_COMMIT.json.tmp")
         with open(tmp, "w") as fh:
