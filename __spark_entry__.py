@@ -42,7 +42,7 @@ for _tier in ("sf0.001", "sf0.01"):
         pass
 
 _G01 = td.tier_dir("sf0.01")
-_T01 = f"{_G01}/transcripts.parquet"
+_T01 = f"{_G01}/transcripts.parquet/*.parquet"
 _A01 = f"{_G01}/alias_dict.parquet"
 _ET01 = f"{_G01}/expected_triples.parquet"
 _EC01 = f"{_G01}/expected_components.parquet"

@@ -69,16 +69,25 @@ def run_bench(master: str, replicate: int = 1, only: str | None = None) -> dict:
     ad = spark.read.parquet(f"{d}/alias_dict.parquet")
     n_turns = tr.count()  # warm-up: JVM, parquet footer, code paths
 
+    # the driver tables are single parquet files (= one input partition);
+    # spread them once — a real table is many files — and materialize,
+    # so operator timings measure the operator, not a serial scan.
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64).persist()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(64).persist()
+    docs.count(), emb.count()
+
     timings: dict[str, float] = {}
 
     def reset_cache():
         # drop every cached plan (so measurements never reuse a prior run's
-        # persisted intermediates), then re-materialize the input table —
+        # persisted intermediates), then re-materialize the input tables —
         # input residency is not pipeline work.
         spark.catalog.clearCache()
         if replicate > 1:
             tr.persist()
             tr.count()
+        docs.persist(); emb.persist()
+        docs.count(); emb.count()
 
     def timed(name, fn, warmup=False, runs=1):
         if only and name != only:
@@ -108,28 +117,31 @@ def run_bench(master: str, replicate: int = 1, only: str | None = None) -> dict:
         warmup=True,
         runs=3,
     )
-    timed("kg_mentions", lambda: _force(extraction.mention_surfaces(tr, ad)))
-    timed("kg_raw_triples", lambda: _force(extraction.raw_triples(tr)))
-    timed("kg_merge_map", lambda: _force(canonicalize.merge_map(ad)))
+    timed("kg_mentions", lambda: _force(extraction.mention_surfaces(tr, ad)), runs=2)
+    timed("kg_raw_triples", lambda: _force(extraction.raw_triples(tr)), runs=2)
+    timed("kg_merge_map", lambda: _force(canonicalize.merge_map(ad)), runs=2)
 
-    def reach():
-        triples = kg.final_triples(tr, ad, merge=merge)
-        follows = triples.where(F.col("pred") == "follows").select(
-            "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
-        )
-        _force(dataflow.reachable_within_grouped(follows, max_hops=4))
-
-    timed("kg_reachable_4hop", reach)
+    # reachability is measured on its own input (follows edges precomputed
+    # and resident) — kg_pipeline already accounts for producing them.
+    follows_edges = (
+        kg.final_triples(tr, ad, merge=merge)
+        .where(F.col("pred") == "follows")
+        .select("conv_id", F.col("subj").alias("s"), F.col("obj").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    timed(
+        "kg_reachable_4hop",
+        lambda: _force(dataflow.reachable_within_grouped(follows_edges, max_hops=4)),
+        runs=2,
+    )
 
     # training-data operators over the driver tables at the same sf
     from codepropertygraph_spark.operators import dedup, similarity, textstats
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    timed("dedup_minhash_pairs", lambda: _force(dedup.minhash_pairs(docs, 0.8)))
-    timed("dedup_simhash", lambda: _force(dedup.simhash(docs)))
-    timed("ann_cosine_topk", lambda: _force(similarity.cosine_topk(emb, 10, 5)))
-    timed("text_quality", lambda: _force(textstats.quality_scores(docs)))
+    timed("dedup_minhash_pairs", lambda: _force(dedup.minhash_pairs(docs, 0.8)), runs=2)
+    timed("dedup_simhash", lambda: _force(dedup.simhash(docs)), runs=2)
+    timed("ann_cosine_topk", lambda: _force(similarity.cosine_topk(emb, 10, 5)), runs=2)
+    timed("text_quality", lambda: _force(textstats.quality_scores(docs)), runs=2)
 
     if not timings:
         spark.stop()

@@ -361,12 +361,20 @@ def tier_of_sf_dir(sf_dir: str) -> str:
     return base if base in _TIERS else "sf0.01"
 
 
+GENERATOR_VERSION = 2  # bump to invalidate cached corpora
+
+
 def ensure_generated(tier: str) -> str:
     """Idempotently generate the tier's corpus; returns the tier dir."""
     d = tier_dir(tier)
     marker = os.path.join(d, "_GENERATED.json")
     if os.path.exists(marker):
-        return d
+        with open(marker) as fh:
+            if json.load(fh).get("version") == GENERATOR_VERSION:
+                return d
+        import shutil
+
+        shutil.rmtree(d)
     os.makedirs(d, exist_ok=True)
     rows, alias_rows = generate_transcripts(tier)
 
@@ -407,16 +415,37 @@ def ensure_generated(tier: str) -> str:
     )
     tmp = d + ".tmp"
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(t_table, os.path.join(tmp, "transcripts.parquet"))
+    # transcripts are written as a DIRECTORY of part files: a single small
+    # parquet file is one Spark input partition (maxPartitionBytes), which
+    # serializes every downstream map stage — a real table is many files.
+    n_parts = max(8, min(64, len(rows) // 4000))
+    tdir = os.path.join(tmp, "transcripts.parquet")
+    os.makedirs(tdir, exist_ok=True)
+    chunk = (t_table.num_rows + n_parts - 1) // n_parts
+    for i in range(n_parts):
+        sl = t_table.slice(i * chunk, chunk)
+        if sl.num_rows:
+            pq.write_table(sl, os.path.join(tdir, f"part-{i:03d}.parquet"))
     pq.write_table(a_table, os.path.join(tmp, "alias_dict.parquet"))
     pq.write_table(tr_table, os.path.join(tmp, "expected_triples.parquet"))
     pq.write_table(mm_table, os.path.join(tmp, "expected_components.parquet"))
+    import shutil
+
     for f in os.listdir(tmp):
-        os.replace(os.path.join(tmp, f), os.path.join(d, f))
+        dst = os.path.join(d, f)
+        if os.path.exists(dst):
+            shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
+        os.replace(os.path.join(tmp, f), dst)
     os.rmdir(tmp)
     with open(marker, "w") as fh:
         json.dump(
-            {"tier": tier, "seed": SEED, "turns": len(rows), "triples": len(triples)},
+            {
+                "tier": tier,
+                "seed": SEED,
+                "version": GENERATOR_VERSION,
+                "turns": len(rows),
+                "triples": len(triples),
+            },
             fh,
         )
     return d
