@@ -462,6 +462,44 @@ def _q_kg_traversal_mentions(spark, sf_dir):
     return mentions.df.groupBy("conv_id").agg(F.count("*").alias("n_mentions"))
 
 
+def _q_kg_entities(spark, sf_dir):
+    """Final entity table: every post-merge canonical in use, with type and
+    external flag (TypeNodePass + MethodStubCreator output projection)."""
+    tr, ad = _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    merge = canonicalize.merge_map(ad).localCheckpoint(eager=True)
+    nodes = G.entity_nodes(tr, ad, merge)
+    return nodes.select(
+        "full_name",
+        F.element_at("props", "entity_type").alias("entity_type"),
+        (F.element_at("props", "is_external") == "true").alias("is_external"),
+    )
+
+
+def _q_dedup_keep_list(spark, sf_dir):
+    """End-to-end dedup policy: drop exact duplicates (keep min doc_id of
+    each text-hash group) and the larger side of every verified near-dup
+    pair. Returns the surviving doc_ids."""
+    from codepropertygraph_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    exact_losers = (
+        docs.withColumn("text_hash", F.md5("text"))
+        .withColumn(
+            "keeper",
+            F.min("doc_id").over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "text_hash"
+                )
+            ),
+        )
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    near_losers = dedup.minhash_pairs(docs, 0.8).select(F.col("b").alias("doc_id"))
+    losers = exact_losers.unionByName(near_losers).distinct()
+    return docs.select("doc_id").join(losers, "doc_id", "left_anti")
+
+
 def _q_events_json_extract(spark, sf_dir):
     """Semi-structured ingest (A3 analog: pre-parsed JSON walk → typed
     columns): parse the events props JSON payload."""
@@ -491,6 +529,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_reaching_defs": _q_kg_reaching_defs,
     "kg_dominators": _q_kg_dominators,
     "kg_traversal_mentions": _q_kg_traversal_mentions,
+    "kg_entities": _q_kg_entities,
+    "dedup_keep_list": _q_dedup_keep_list,
     "events_json_extract": _q_events_json_extract,
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_bands": _q_dedup_minhash_bands,
@@ -869,6 +909,51 @@ ORACLES["kg_reaching_defs"] = f"""
 ORACLES["kg_traversal_mentions"] = f"""
     WITH {_TOK_CTE}, {_MENTION_CTE}
     SELECT conv_id, count(*) AS n_mentions FROM mention GROUP BY conv_id
+"""
+
+ORACLES["kg_entities"] = f"""
+    WITH {_TOK_CTE}, {_MENTION_CTE}, {_BEST_CTE},
+    linked AS (
+      SELECT coalesce(mm.merged_name,
+                      coalesce(b.canonical_name, 'external:' || m.surface)) AS full_name
+      FROM mention m
+      LEFT JOIN best b ON m.surface = b.alias
+      LEFT JOIN read_parquet('{_EC01}') mm
+             ON coalesce(b.canonical_name, 'external:' || m.surface) = mm.canonical_name
+    ),
+    used AS (SELECT DISTINCT full_name FROM linked),
+    typed AS (
+      SELECT canonical_name, min(entity_type) AS entity_type
+      FROM best GROUP BY canonical_name
+    )
+    SELECT u.full_name,
+           coalesce(t.entity_type, 'EXTERNAL') AS entity_type,
+           (u.full_name LIKE 'external:%') AS is_external
+    FROM used u LEFT JOIN typed t ON u.full_name = t.canonical_name
+"""
+
+ORACLES["dedup_keep_list"] = f"""
+    WITH {_SH_CTE}, {_SIG_CTE},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM band_rows x JOIN band_rows y
+        ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+       AND x.doc_id < y.doc_id
+    ),
+    near_losers AS (
+      SELECT cand.b AS doc_id
+      FROM cand JOIN s x ON cand.a = x.doc_id JOIN s y ON cand.b = y.doc_id
+      WHERE {_JACC} >= 0.8
+    ),
+    exact_losers AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents
+      ) WHERE doc_id != keeper
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM near_losers
+                         UNION SELECT doc_id FROM exact_losers)
 """
 
 ORACLES["events_json_extract"] = """
