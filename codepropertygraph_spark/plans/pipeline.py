@@ -102,6 +102,14 @@ class Catalog:
         partition_rows: dict[str, dict[str, int]] = {}
         for tname, df in tables.items():
             path = os.path.join(d, tname)
+            if tname == "nodes":
+                # sort within partitions by (label, full_name, id): parquet
+                # min/max column stats then prune label/full_name scans —
+                # the CpgLoader.createIndexes FULL_NAME-index analog
+                # (Iceberg sort-order + bloom filter in production).
+                df = df.sortWithinPartitions("label", "full_name", "id")
+            elif tname == "edges":
+                df = df.sortWithinPartitions("label", "src", "dst")
             df.write.mode("overwrite").parquet(path)
             written = self.spark.read.parquet(path)
             # per-partition lineage (north_rule): row count per written file,
@@ -343,10 +351,30 @@ def validate(catalog: Catalog) -> DataFrame:
         "left",
     )
     # a violation is a missing endpoint (null label) or a disallowed fact
-    return checked.where(F.col("allowed").isNull()).select(
-        joined.src_label.alias("src_label"),
+    edge_violations = checked.where(F.col("allowed").isNull()).select(
+        F.lit("edge_fact").alias("kind"),
+        F.coalesce(joined.src_label, F.lit("<missing>")).alias("src_label"),
         F.col("label").alias("edge_label"),
-        joined.dst_label.alias("dst_label"),
+        F.coalesce(joined.dst_label, F.lit("<missing>")).alias("dst_label"),
         "src",
         "dst",
     )
+    # required-property checks (node-key conformance, the cpgvalidator
+    # key-facts side): labels must come from the declared set and carry
+    # their identity-critical properties.
+    n = catalog.nodes()
+    bad_label = ~F.col("label").isin(list(S.NODE_LABELS))
+    missing_key = (
+        ((F.col("label") == S.ENTITY) & F.col("full_name").isNull())
+        | (F.col("label").isin([S.TURN, S.MENTION, S.TOOLCALL]) & F.col("conv_id").isNull())
+        | ((F.col("label") == S.CONVERSATION) & F.col("conv_id").isNull())
+    )
+    node_violations = n.where(bad_label | missing_key).select(
+        F.lit("node_keys").alias("kind"),
+        F.col("label").alias("src_label"),
+        F.lit(None).cast("string").alias("edge_label"),
+        F.lit(None).cast("string").alias("dst_label"),
+        F.col("id").alias("src"),
+        F.lit(None).cast("long").alias("dst"),
+    )
+    return edge_violations.unionByName(node_violations)

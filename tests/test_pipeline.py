@@ -112,3 +112,24 @@ def test_graph_counts_consistent(spark, warehouse, expected_triples):
     assert e_by_label[S.NEXT] == n_by_label[S.TURN] - n_by_label[S.CONVERSATION]
     assert e_by_label[S.REF] == n_by_label[S.MENTION]
     assert e_by_label[S.REL] == expected_triples.count()
+
+
+def test_validator_detects_bad_node_keys(spark, warehouse, tmp_path):
+    """Node-key conformance: an ENTITY without full_name and an undeclared
+    label are both violations (cpgvalidator key-facts analog)."""
+    import shutil
+
+    wh2 = str(tmp_path / "wh_badnodes")
+    shutil.copytree(warehouse, wh2)
+    cat = P.Catalog(spark, wh2)
+    bad_nodes = spark.createDataFrame(
+        [
+            (111222333444, S.ENTITY, None, None, None, None, None, None, None),
+            (111222333445, "BOGUS_LABEL", None, None, None, None, "c0", None, None),
+        ],
+        "id long, label string, name string, full_name string, code string, "
+        "order int, conv_id string, turn_idx int, props map<string,string>",
+    )
+    cat.commit_overlay(98, "bad_nodes", {"nodes": bad_nodes})
+    v = P.validate(cat)
+    assert v.where(v.kind == "node_keys").count() == 2
