@@ -479,18 +479,15 @@ def _q_dedup_keep_list(spark, sf_dir):
     """End-to-end dedup policy: drop exact duplicates (keep min doc_id of
     each text-hash group) and the larger side of every verified near-dup
     pair. Returns the surviving doc_ids."""
+    from pyspark.sql import Window
+
     from codepropertygraph_spark.operators import dedup
 
     docs = _docs(spark, sf_dir)
     exact_losers = (
         docs.withColumn("text_hash", F.md5("text"))
         .withColumn(
-            "keeper",
-            F.min("doc_id").over(
-                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
-                    "text_hash"
-                )
-            ),
+            "keeper", F.min("doc_id").over(Window.partitionBy("text_hash"))
         )
         .where(F.col("doc_id") != F.col("keeper"))
         .select("doc_id")
