@@ -39,3 +39,8 @@ def expected_triples(spark, tier_dir):
 @pytest.fixture(scope="session")
 def expected_components(spark, tier_dir):
     return spark.read.parquet(f"{tier_dir}/expected_components.parquet")
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    return spark

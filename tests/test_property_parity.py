@@ -1,0 +1,90 @@
+"""Property-based semantic parity: for ANY grammar-conforming transcript
+set, the distributed pipeline's triples equal the frozen single-node
+reference extractor's. This goes beyond the reference's test strategy
+(which has no property-based tests) and fuzzes the edge shapes the fixed
+corpus can't cover: single-turn conversations, duplicate turn_idx clusters,
+all-unknown clauses, hub-only conversations, repeated identical turns.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from codepropertygraph_spark import schema as S
+from codepropertygraph_spark import testdata as td
+from codepropertygraph_spark.operators import kg
+
+ALIASES = sorted({r["alias"] for r in td.build_alias_dict(td.build_entities())})
+UNKNOWNS = [f"zzq_{i}" for i in range(5)]
+SUBJ_OBJ = ALIASES[::37] + UNKNOWNS  # small, diverse surface pool
+FILLERS = list(td.FILLERS)
+
+clause = st.tuples(
+    st.sampled_from(SUBJ_OBJ),
+    st.sampled_from(S.TEXT_PREDICATES),
+    st.sampled_from(SUBJ_OBJ),
+)
+
+turn_text = st.lists(clause, min_size=0, max_size=3).flatmap(
+    lambda clauses: st.sampled_from(FILLERS).map(
+        lambda f: " ".join(
+            [f] + [tok for c in clauses for tok in (*c, f)] if clauses else [f]
+        )
+    )
+)
+
+
+@st.composite
+def transcripts_rows(draw):
+    n_convs = draw(st.integers(1, 3))
+    rows = []
+    base = datetime(2024, 1, 1)
+    for c in range(n_convs):
+        n_turns = draw(st.integers(1, 6))
+        turn_idx = 0
+        for t in range(n_turns):
+            # duplicate and gapped turn_idx, ts strictly increasing
+            if not draw(st.booleans()):
+                turn_idx += draw(st.integers(1, 2))
+            rows.append(
+                {
+                    "conv_id": f"h{c}",
+                    "turn_idx": turn_idx,
+                    "role": "user" if t % 2 == 0 else "assistant",
+                    "text": draw(turn_text),
+                    "tool": None,
+                    "ts": base + timedelta(seconds=c * 10000 + t * 10),
+                }
+            )
+    return rows
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(rows=transcripts_rows())
+def test_pipeline_equals_reference_on_arbitrary_grammar(spark_global, rows):
+    _, alias_rows = td.generate_transcripts("sf0.001")  # dictionary only
+    expected = td.reference_extract(rows, alias_rows)
+
+    tr = spark_global.createDataFrame(
+        [
+            (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+            for r in rows
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    ad = spark_global.createDataFrame(
+        [
+            (a["alias"], a["canonical_name"], a["entity_type"], a["prior"])
+            for a in alias_rows
+        ],
+        "alias string, canonical_name string, entity_type string, prior double",
+    )
+    got = {tuple(r) for r in kg.final_triples(tr, ad).collect()}
+    assert got == expected
