@@ -65,8 +65,10 @@ _MENTION_CTE = f"""
 fl AS (
   SELECT conv_id, turn_idx, ts, pos, tok,
          (tok IN (SELECT alias FROM read_parquet('{_A01}'))) AS in_dict,
-         coalesce(lag(tok)  OVER w IN {_PREDS_SQL}, false)
-         OR coalesce(lead(tok) OVER w IN {_PREDS_SQL}, false) AS pred_adjacent
+         coalesce(lag(tok)  OVER w IN {_PREDS_SQL}
+                  AND lag(tok, 2)  OVER w IS NOT NULL, false)
+         OR coalesce(lead(tok) OVER w IN {_PREDS_SQL}
+                  AND lead(tok, 2) OVER w IS NOT NULL, false) AS pred_adjacent
   FROM tok
   WINDOW w AS (PARTITION BY conv_id, turn_idx, ts ORDER BY pos)
 ),
@@ -711,14 +713,14 @@ ORACLES: dict[str, str] = {
     """,
     "events_sessionize": """
         WITH g AS (
-          SELECT event_id, user_id,
+          SELECT event_id, user_id, ts,
                  date_diff('second', lag(ts) OVER w, ts) AS gap
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
         SELECT event_id, user_id,
                CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY user_id ORDER BY event_id
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         FROM g
     """,
@@ -820,11 +822,16 @@ ORACLES: dict[str, str] = {
     """,
     "kg_graph_nodes": f"""
         WITH {_TOK_CTE}, {_MENTION_CTE}, {_BEST_CTE},
+        surfaces AS (
+          SELECT surface FROM mention
+          UNION ALL
+          SELECT tool AS surface FROM tr WHERE tool IS NOT NULL
+        ),
         merged AS (
           SELECT DISTINCT coalesce(
                    mm.merged_name,
                    coalesce(b.canonical_name, 'external:' || m.surface)) AS full_name
-          FROM mention m
+          FROM surfaces m
           LEFT JOIN best b ON m.surface = b.alias
           LEFT JOIN read_parquet('{_EC01}') mm
                  ON coalesce(b.canonical_name, 'external:' || m.surface) = mm.canonical_name
@@ -910,10 +917,15 @@ ORACLES["kg_traversal_mentions"] = f"""
 
 ORACLES["kg_entities"] = f"""
     WITH {_TOK_CTE}, {_MENTION_CTE}, {_BEST_CTE},
+    surfaces AS (
+      SELECT surface FROM mention
+      UNION ALL
+      SELECT tool AS surface FROM tr WHERE tool IS NOT NULL
+    ),
     linked AS (
       SELECT coalesce(mm.merged_name,
                       coalesce(b.canonical_name, 'external:' || m.surface)) AS full_name
-      FROM mention m
+      FROM surfaces m
       LEFT JOIN best b ON m.surface = b.alias
       LEFT JOIN read_parquet('{_EC01}') mm
              ON coalesce(b.canonical_name, 'external:' || m.surface) = mm.canonical_name

@@ -58,9 +58,13 @@ def turn_tokens(transcripts: DataFrame) -> DataFrame:
 
 def flagged_tokens(transcripts: DataFrame) -> DataFrame:
     """The single token-scan both extractors share: every token with its
-    neighbors, **computed array-side before the explode** — ``transform``
-    over the split array emits (pos, tok, prev, next) structs, so the whole
-    stage is a zero-shuffle map (wholly inside whole-stage codegen).
+    neighbors (distance 1 AND 2), **computed array-side before the explode**
+    — ``transform`` over the split array emits (pos, tok, prev, next, prev2,
+    next2) structs, so the whole stage is a zero-shuffle map (wholly inside
+    whole-stage codegen). The distance-2 neighbors exist so mention
+    detection can require an adjacent predicate to form a COMPLETE clause
+    (both the subject at i-1 and the object at i+1 must exist), matching the
+    frozen extractor's ``0 < i < len-1`` clause guard exactly.
 
     This replaces a naive lag/lead window partitioned by turn, which would
     shuffle the *token* stream (10× the turn stream) — the difference between
@@ -76,7 +80,9 @@ def flagged_tokens(transcripts: DataFrame) -> DataFrame:
                 "transform(toks, (t, i) -> named_struct("
                 "'pos', i + 1, 'tok', t, "
                 "'prev_tok', if(i > 0, toks[i - 1], cast(null as string)), "
-                "'next_tok', if(i < size(toks) - 1, toks[i + 1], cast(null as string))))"
+                "'next_tok', if(i < size(toks) - 1, toks[i + 1], cast(null as string)), "
+                "'prev2_tok', if(i > 1, toks[i - 2], cast(null as string)), "
+                "'next2_tok', if(i < size(toks) - 2, toks[i + 2], cast(null as string))))"
             )
         ).alias("x"),
     )
@@ -88,7 +94,22 @@ def flagged_tokens(transcripts: DataFrame) -> DataFrame:
         F.col("x.tok").alias("tok"),
         F.col("x.prev_tok").alias("prev_tok"),
         F.col("x.next_tok").alias("next_tok"),
+        F.col("x.prev2_tok").alias("prev2_tok"),
+        F.col("x.next2_tok").alias("next2_tok"),
     )
+
+
+def _pred_adjacent_col():
+    """A token is predicate-adjacent only through a COMPLETE clause: it is
+    the subject of a predicate that also has an object (next is a predicate
+    with a next2), or the object of a predicate that also has a subject
+    (prev is a predicate with a prev2). A predicate dangling at a turn
+    boundary promotes nothing — the frozen extractor's ``0 < i < len-1``
+    guard (testdata.reference_extract)."""
+    preds = list(S.TEXT_PREDICATES)
+    obj_side = F.col("prev_tok").isin(preds) & F.col("prev2_tok").isNotNull()
+    subj_side = F.col("next_tok").isin(preds) & F.col("next2_tok").isNotNull()
+    return F.coalesce(obj_side, F.lit(False)) | F.coalesce(subj_side, F.lit(False))
 
 
 def raw_triples_from(flagged: DataFrame) -> DataFrame:
@@ -116,9 +137,7 @@ def raw_triples(transcripts: DataFrame) -> DataFrame:
 def mention_surfaces_from(flagged: DataFrame, alias_dict: DataFrame) -> DataFrame:
     surfaces = F.broadcast(alias_dict.select(F.col("alias").alias("surface")).distinct())
     candidates = flagged.withColumn(
-        "pred_adjacent",
-        F.coalesce(F.col("prev_tok").isin(list(S.TEXT_PREDICATES)), F.lit(False))
-        | F.coalesce(F.col("next_tok").isin(list(S.TEXT_PREDICATES)), F.lit(False)),
+        "pred_adjacent", _pred_adjacent_col()
     ).where(~F.col("tok").isin(list(S.TEXT_PREDICATES)))
     matched = candidates.join(surfaces, candidates.tok == surfaces.surface, "left")
     return matched.where(
@@ -147,9 +166,7 @@ def mention_candidates_from(flagged: DataFrame, alias_dict: DataFrame) -> DataFr
         )
     )
     is_pred = F.col("tok").isin(list(S.TEXT_PREDICATES))
-    pred_adjacent = F.coalesce(
-        F.col("prev_tok").isin(list(S.TEXT_PREDICATES)), F.lit(False)
-    ) | F.coalesce(F.col("next_tok").isin(list(S.TEXT_PREDICATES)), F.lit(False))
+    pred_adjacent = _pred_adjacent_col()
     joined = flagged.join(best, flagged.tok == F.col("__alias"), "left")
     return joined.select(
         "conv_id",

@@ -155,12 +155,26 @@ def entity_nodes(
     transcripts: DataFrame, alias_dict: DataFrame, merge: DataFrame
 ) -> DataFrame:
     """Distinct post-merge canonical entities used anywhere (subjects,
-    objects, first mentions), plus dictionary type info; external stubs get
-    is_external=true (MethodStubCreator semantics)."""
+    objects, first mentions, AND the resolved targets of the ``tool``
+    column), plus dictionary type info; external stubs get is_external=true
+    (MethodStubCreator semantics).
+
+    The tool-column union is load-bearing: ``call_edges`` links TOOLCALL →
+    resolved(tool), so every canonical the tool column resolves to must have
+    an ENTITY node even when the tool alias never appears as a text token —
+    otherwise the committed graph carries dangling CALL edges that the
+    validator flags and traversals silently drop."""
     m = extraction.mention_surfaces(transcripts, alias_dict)
     linked = linking.link_surfaces(m, alias_dict, "surface", "canonical")
     linked = linking.apply_merge(linked, merge, "canonical")
-    used = linked.select(F.col("canonical").alias("full_name")).distinct()
+    tools = transcripts.where(F.col("tool").isNotNull()).select("tool")
+    tool_linked = linking.link_surfaces(tools, alias_dict, "tool", "canonical")
+    tool_linked = linking.apply_merge(tool_linked, merge, "canonical")
+    used = (
+        linked.select(F.col("canonical").alias("full_name"))
+        .unionByName(tool_linked.select(F.col("canonical").alias("full_name")))
+        .distinct()
+    )
     types = F.broadcast(
         linking.best_alias(alias_dict)
         .select(F.col("canonical_name"), F.col("entity_type"))

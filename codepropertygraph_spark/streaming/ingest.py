@@ -82,8 +82,18 @@ def stream_follows_stateful(
 
     from ..operators import linking
 
+    # Dictionary canonicals are rewritten through the canonicalization merge
+    # map ONCE at broadcast-build time, so the stateful path emits exactly
+    # the same post-merge names as the batch kg.follows_triples (and the
+    # frozen extractor's link_surface). External stubs are never merge-map
+    # keys (the map is dictionary-canonical-scoped), so the external
+    # fallback below is already parity-correct.
+    merge = {
+        r.canonical_name: r.merged_name
+        for r in canonicalize.merge_map(alias_dict).collect()
+    }
     best = {
-        r.alias: r.canonical_name
+        r.alias: merge.get(r.canonical_name, r.canonical_name)
         for r in linking.best_alias(alias_dict).collect()
     }
     preds = set(S.TEXT_PREDICATES)

@@ -156,3 +156,64 @@ def test_follows_skips_mentionless_turn(spark):
     }
     # adjacent pairs only: (t1,t2) and (t2,t3) have a mentionless side → empty
     assert f == set()
+
+
+def test_pred_adjacent_requires_complete_clause(spark):
+    """ADVICE regression: a predicate dangling at a turn boundary (no subject
+    or no object) promotes NO external mention — the frozen extractor's
+    0<i<len-1 clause guard. Dict tokens are mentions regardless."""
+    rows = [
+        # pred-first: 'mentions' has no subject → weird_a is NOT a mention
+        ("cP", 1, "user", "mentions weird_a p1", None, datetime(2024, 1, 1, 0, 0, 0)),
+        # pred-last: 'mentions' has no object → weird_b is NOT a mention
+        ("cP", 2, "user", "weird_b mentions", None, datetime(2024, 1, 1, 0, 0, 10)),
+        # complete clause: both unknown sides ARE mentions
+        ("cP", 3, "user", "weird_c mentions weird_d", None, datetime(2024, 1, 1, 0, 0, 20)),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    m = extraction.mention_surfaces(tr, _mini_alias(spark))
+    got = {(r.surface, r.in_dict) for r in m.collect()}
+    assert got == {("p1", True), ("weird_c", False), ("weird_d", False)}
+
+    # frozen-extractor parity on the same rows (triples incl. follows)
+    from codepropertygraph_spark import testdata as td
+
+    row_dicts = [
+        dict(zip(("conv_id", "turn_idx", "role", "text", "tool", "ts"), r))
+        for r in rows
+    ]
+    alias_rows = [
+        {"alias": "p1", "canonical_name": "person_one", "entity_type": "PERSON", "prior": 0.9},
+    ]
+    expected = td.reference_extract(row_dicts, alias_rows)
+    ad = spark.createDataFrame(
+        [(a["alias"], a["canonical_name"], a["entity_type"], a["prior"]) for a in alias_rows],
+        "alias string, canonical_name string, entity_type string, prior double",
+    )
+    got_triples = {tuple(r) for r in kg.final_triples(tr, ad).collect()}
+    assert got_triples == expected
+
+
+def test_entity_nodes_cover_tool_column(spark):
+    """ADVICE regression (high): a turn whose tool value never appears in any
+    turn text must still produce the ENTITY node its CALL edge points to —
+    no dangling CALL endpoints."""
+    from codepropertygraph_spark.operators import graph as G
+
+    rows = [
+        # tool column = 'hammer' but the text never contains that token
+        ("cT", 1, "tool", "p1 asks_about p2 ok", "hammer", datetime(2024, 1, 1)),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    ad = _mini_alias(spark)
+    merge = canonicalize.merge_map(ad).localCheckpoint(eager=True)
+    entity_ids = {r.id for r in G.entity_nodes(tr, ad, merge).collect()}
+    call_dsts = {r.dst for r in G.call_edges(tr, ad, merge).collect()}
+    assert call_dsts, "expected a CALL edge"
+    assert call_dsts <= entity_ids, "CALL edge dst must exist as an ENTITY node"
+    names = {r.full_name for r in G.entity_nodes(tr, ad, merge).collect()}
+    assert "tool_hammer" in names  # resolved through the scored dictionary

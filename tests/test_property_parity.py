@@ -36,6 +36,27 @@ turn_text = st.lists(clause, min_size=0, max_size=3).flatmap(
     )
 )
 
+# out-of-grammar shapes: predicates dangling at turn boundaries (incomplete
+# clauses) — 'pred obj ...', '... subj pred', a lone predicate. The frozen
+# extractor's 0<i<len-1 guard skips these; the pipeline must agree (the
+# pred_adjacent complete-clause gate in extraction._pred_adjacent_col).
+boundary_pred_text = st.tuples(
+    st.sampled_from(S.TEXT_PREDICATES),
+    st.sampled_from(SUBJ_OBJ),
+    st.sampled_from(SUBJ_OBJ),
+    st.sampled_from(S.TEXT_PREDICATES),
+    st.sampled_from([0, 1, 2, 3]),
+).map(
+    lambda t: {
+        0: t[0],                                  # lone predicate
+        1: f"{t[0]} {t[1]}",                      # predicate-first, no subject
+        2: f"{t[1]} {t[3]}",                      # predicate-last, no object
+        3: f"{t[0]} {t[1]} {t[2]} {t[3]}",        # dangling at both ends
+    }[t[4]]
+)
+
+any_turn_text = st.one_of(turn_text, turn_text, turn_text, boundary_pred_text)
+
 
 @st.composite
 def transcripts_rows(draw):
@@ -54,7 +75,7 @@ def transcripts_rows(draw):
                     "conv_id": f"h{c}",
                     "turn_idx": turn_idx,
                     "role": "user" if t % 2 == 0 else "assistant",
-                    "text": draw(turn_text),
+                    "text": draw(any_turn_text),
                     "tool": None,
                     "ts": base + timedelta(seconds=c * 10000 + t * 10),
                 }

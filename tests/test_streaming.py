@@ -8,7 +8,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
-from codepropertygraph_spark.operators import kg
+from codepropertygraph_spark.operators import canonicalize, kg
 from codepropertygraph_spark.streaming import ingest
 
 
@@ -61,6 +61,49 @@ def test_stateful_follows_bridges_batches(spark, tmp_path):
     ingest.stream_follows_stateful(spark, f"{base}/in", ad, f"{base}/out", f"{base}/ckpt")
     got = {tuple(r) for r in spark.read.parquet(f"{base}/out").collect()}
     assert ("cS", "person_two", "follows", "person_one") in got
+
+
+def test_stateful_follows_applies_merge_map(spark, tmp_path):
+    """Regression: the stateful path must emit POST-merge canonicals. The
+    dictionary carries a mergeable twin pair (token-Jaccard 2/3 ≥ 0.5), so a
+    pre-merge dictionary lookup would emit 'person_4_4dup' where batch
+    (kg.follows_triples) emits 'person_4'."""
+    from datetime import datetime
+
+    base = str(tmp_path)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    rows1 = [("cM", 1, "user", "p4d mentions p4 x", None, datetime(2024, 1, 1, 0, 0, 0))]
+    rows2 = [("cM", 2, "assistant", "p4 mentions p4d y", None, datetime(2024, 1, 1, 0, 0, 10))]
+    ad = spark.createDataFrame(
+        [
+            ("p4", "person_4", "PERSON", 0.9),
+            ("p4d", "person_4_4dup", "PERSON", 0.9),
+            ("person_4", "person_4", "PERSON", 0.9),
+            ("person_4_4dup", "person_4_4dup", "PERSON", 0.9),
+        ],
+        "alias string, canonical_name string, entity_type string, prior double",
+    )
+    import os, shutil
+
+    os.makedirs(f"{base}/in", exist_ok=True)
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(f"{base}/t{i}")
+        for f in os.listdir(f"{base}/t{i}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{base}/t{i}/{f}", f"{base}/in/file{i}.parquet")
+
+    ingest.stream_follows_stateful(spark, f"{base}/in", ad, f"{base}/out", f"{base}/ckpt")
+    got = {tuple(r) for r in spark.read.parquet(f"{base}/out").collect()}
+    # both sides resolve to the merged representative person_4
+    assert got == {("cM", "person_4", "follows", "person_4")}
+
+    # parity with the batch path on the concatenated input
+    tr = spark.createDataFrame(rows1 + rows2, schema)
+    batch = {
+        tuple(r)
+        for r in kg.follows_triples(tr, ad, canonicalize.merge_map(ad)).collect()
+    }
+    assert got == batch
 
 
 def test_stream_hourly_counts_match_batch(spark, tmp_path):
