@@ -439,7 +439,8 @@ def _q_kg_reaching_defs(spark, sf_dir):
 def _q_kg_dominators(spark, sf_dir):
     """Immediate dominators of each conversation's follows-graph, rooted at
     the entity of the first mention (per-group CHK fixpoint in
-    applyInPandas). Iterative + per-group → rows-only check."""
+    applyInPandas). Hash-checked against an independent DuckDB formulation
+    (removal characterization + recursive CTE)."""
     from pyspark.sql import Window
 
     triples = kg.final_triples(_transcripts(spark, sf_dir), _alias_dict(spark, sf_dir))
@@ -449,6 +450,21 @@ def _q_kg_dominators(spark, sf_dir):
     # entry = lexicographically-min source node per conversation (stable)
     entries = follows.groupBy("conv_id").agg(F.min("s").alias("entry"))
     return dataflow.dominators_grouped(follows, entries)
+
+
+def _q_kg_cdg(spark, sf_dir):
+    """Control-dependence edges (A18, CdgPass analog): post-dominance
+    frontier of each conversation's follows-graph, exit = max node name
+    (deterministic). Same per-group CHK pattern as kg_dominators."""
+    triples = kg.final_triples(_transcripts(spark, sf_dir), _alias_dict(spark, sf_dir))
+    follows = triples.where(F.col("pred") == S.PRED_FOLLOWS).select(
+        "conv_id", F.col("obj").alias("s"), F.col("subj").alias("o")
+    )
+    nodes = follows.select("conv_id", F.col("s").alias("n")).unionByName(
+        follows.select("conv_id", F.col("o").alias("n"))
+    )
+    exits = nodes.groupBy("conv_id").agg(F.max("n").alias("exit"))
+    return dataflow.control_dependence_grouped(follows, exits)
 
 
 def _q_kg_traversal_mentions(spark, sf_dir):
@@ -527,6 +543,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_raw_triples_udf": _q_kg_raw_triples_udf,
     "kg_reaching_defs": _q_kg_reaching_defs,
     "kg_dominators": _q_kg_dominators,
+    "kg_cdg": _q_kg_cdg,
     "kg_traversal_mentions": _q_kg_traversal_mentions,
     "kg_entities": _q_kg_entities,
     "dedup_keep_list": _q_dedup_keep_list,
@@ -878,6 +895,100 @@ ORACLES: dict[str, str] = {
 
 # the UDF extraction variant must produce byte-identical rows to the JVM path
 ORACLES["kg_raw_triples_udf"] = ORACLES["kg_raw_triples"]
+
+
+def _dom_cte(edges_body: str, entry_body: str) -> str:
+    """CTE chain ending in ``idom_out(conv_id, node, idom)`` — immediate
+    dominators via the removal characterization: m dominates n iff n is NOT
+    reachable from the entry once m is deleted from the graph; the immediate
+    dominator is the strict dominator with the largest own dominator set
+    (dominators of a node form a chain). This is an independent formulation
+    from the Spark side's Cooper-Harvey-Kennedy fixpoint (dataflow.py), so
+    the hash check cross-validates two different algorithms."""
+    return f"""
+e AS ({edges_body}),
+en AS ({entry_body}),
+nd AS (SELECT conv_id, s AS n FROM e UNION SELECT conv_id, o AS n FROM e),
+full_reach AS (
+  SELECT conv_id, entry AS node FROM en
+  UNION
+  SELECT f.conv_id, e.o FROM full_reach f
+  JOIN e ON e.conv_id = f.conv_id AND e.s = f.node
+),
+reach_avoid AS (
+  SELECT nd.conv_id, nd.n AS avoid, en.entry AS node
+  FROM nd JOIN en ON en.conv_id = nd.conv_id
+  WHERE en.entry != nd.n
+  UNION
+  SELECT r.conv_id, r.avoid, e.o AS node
+  FROM reach_avoid r JOIN e ON e.conv_id = r.conv_id AND e.s = r.node
+  WHERE e.o != r.avoid
+),
+dom AS (
+  SELECT fr.conv_id, fr.node AS n, nd.n AS m
+  FROM full_reach fr JOIN nd ON nd.conv_id = fr.conv_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM reach_avoid r
+    WHERE r.conv_id = fr.conv_id AND r.avoid = nd.n AND r.node = fr.node)
+),
+ndom AS (SELECT conv_id, n, count(*) AS sz FROM dom GROUP BY conv_id, n),
+sd AS (
+  SELECT d.conv_id, d.n, d.m, x.sz
+  FROM dom d JOIN ndom x ON x.conv_id = d.conv_id AND x.n = d.m
+  WHERE d.m != d.n
+),
+pick AS (
+  SELECT conv_id, n, m,
+         row_number() OVER (PARTITION BY conv_id, n ORDER BY sz DESC, m) AS rk
+  FROM sd
+),
+idom_out AS (
+  SELECT conv_id, n AS node, m AS idom FROM pick WHERE rk = 1
+  UNION ALL
+  SELECT conv_id, entry AS node, entry AS idom FROM en
+)"""
+
+
+_FOLLOWS_EDGES = (
+    f"SELECT DISTINCT conv_id, obj AS s, subj AS o "
+    f"FROM read_parquet('{_ET01}') WHERE pred = 'follows'"
+)
+
+ORACLES["kg_dominators"] = (
+    "WITH RECURSIVE "
+    + _dom_cte(
+        _FOLLOWS_EDGES,
+        "SELECT conv_id, min(s) AS entry FROM e GROUP BY conv_id",
+    )
+    + " SELECT conv_id, node, idom FROM idom_out"
+)
+
+# CDG: post-dominators = dominators of the REVERSED follows graph rooted at
+# the exit (max node name); then the standard post-dominance-frontier walk:
+# for each original edge (a, b), runner = a climbs the ipdom chain until
+# ipdom(b), emitting (runner controls b) at every step.
+ORACLES["kg_cdg"] = (
+    "WITH RECURSIVE eo AS (" + _FOLLOWS_EDGES + "), "
+    + _dom_cte(
+        "SELECT conv_id, o AS s, s AS o FROM eo",
+        "SELECT conv_id, max(n) AS entry FROM "
+        "(SELECT conv_id, s AS n FROM eo UNION SELECT conv_id, o AS n FROM eo) "
+        "GROUP BY conv_id",
+    )
+    + """,
+walk AS (
+  SELECT eo.conv_id, eo.o AS b, eo.s AS runner, ipb.idom AS stop
+  FROM eo
+  JOIN idom_out ipa ON ipa.conv_id = eo.conv_id AND ipa.node = eo.s
+  JOIN idom_out ipb ON ipb.conv_id = eo.conv_id AND ipb.node = eo.o
+  WHERE eo.s != ipb.idom
+  UNION
+  SELECT w.conv_id, w.b, ip.idom AS runner, w.stop
+  FROM walk w JOIN idom_out ip ON ip.conv_id = w.conv_id AND ip.node = w.runner
+  WHERE w.runner != ip.idom AND ip.idom != w.stop
+)
+SELECT DISTINCT conv_id, runner AS controller, b AS dependent FROM walk"""
+)
 
 ORACLES["kg_reaching_defs"] = f"""
     WITH {_TOK_CTE}, {_MENTION_CTE}, {_BEST_CTE},
