@@ -452,6 +452,18 @@ def _q_kg_dominators(spark, sf_dir):
     return dataflow.dominators_grouped(follows, entries)
 
 
+def _q_kg_flows_4hop(spark, sf_dir):
+    """reachableByFlows analog: every simple path (with the full node path as
+    evidence) of length 1..4 over the follows-graph — the reference's
+    flagship query shape returns flows, not pair sets
+    (queries/.../MallocMemcpyTests.scala:30-43)."""
+    triples = kg.final_triples(_transcripts(spark, sf_dir), _alias_dict(spark, sf_dir))
+    follows = triples.where(F.col("pred") == S.PRED_FOLLOWS).select(
+        "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
+    )
+    return dataflow.flow_paths_grouped(follows, max_hops=4)
+
+
 def _q_kg_cdg(spark, sf_dir):
     """Control-dependence edges (A18, CdgPass analog): post-dominance
     frontier of each conversation's follows-graph, exit = max node name
@@ -544,6 +556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_reaching_defs": _q_kg_reaching_defs,
     "kg_dominators": _q_kg_dominators,
     "kg_cdg": _q_kg_cdg,
+    "kg_flows_4hop": _q_kg_flows_4hop,
     "kg_traversal_mentions": _q_kg_traversal_mentions,
     "kg_entities": _q_kg_entities,
     "dedup_keep_list": _q_dedup_keep_list,
@@ -895,6 +908,27 @@ ORACLES: dict[str, str] = {
 
 # the UDF extraction variant must produce byte-identical rows to the JVM path
 ORACLES["kg_raw_triples_udf"] = ORACLES["kg_raw_triples"]
+
+
+ORACLES["kg_flows_4hop"] = f"""
+    WITH RECURSIVE
+    e AS (
+      SELECT DISTINCT conv_id, subj AS s, obj AS o
+      FROM read_parquet('{_ET01}') WHERE pred = 'follows'
+    ),
+    p AS (
+      SELECT conv_id, s AS src, o AS dst, 1 AS hops, [s, o] AS nodes
+      FROM e WHERE s != o
+      UNION ALL
+      SELECT p.conv_id, p.src, e.o AS dst, p.hops + 1,
+             list_append(p.nodes, e.o) AS nodes
+      FROM p JOIN e ON e.conv_id = p.conv_id AND e.s = p.dst
+      WHERE p.hops < 4 AND NOT list_contains(p.nodes, e.o)
+    )
+    SELECT conv_id, src, dst, CAST(hops AS BIGINT) AS hops,
+           array_to_string(nodes, '->') AS path
+    FROM p
+"""
 
 
 def _dom_cte(edges_body: str, entry_body: str) -> str:

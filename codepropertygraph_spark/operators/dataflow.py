@@ -242,6 +242,68 @@ def control_dependence_grouped(edges: DataFrame, exits: DataFrame) -> DataFrame:
     )
 
 
+def flow_paths_grouped(
+    edges: DataFrame, max_hops: int = 4, keyed_by: str = "conv_id"
+) -> DataFrame:
+    """Path-returning reachability — the ``reachableByFlows`` analog: where
+    :func:`reachable_within_grouped` returns (src, dst) *pairs*, this returns
+    the EVIDENCE — every simple path (no repeated node, so no cycles and no
+    self-loops) of length 1..max_hops, as the reference's flow results carry
+    the full element path per flow (``dataflowengineoss/.../language/
+    TrackingPoint.scala:48-66`` → ``queryengine/Engine.scala:255-331``; path
+    dedup discipline ``Engine.scala:217-239``).
+
+    Output: (keyed_by, src, dst, hops, path) with ``path`` the '->'-joined
+    node sequence — a deterministic set, so it hash-checks against a DuckDB
+    recursive-CTE oracle enumerating the same simple paths.
+
+    Scale shape: one shuffle groups each conversation's edges; enumeration is
+    conversation-local (graphs are small by construction — same skew argument
+    as reachable_within_grouped). Path count is bounded by V·b^max_hops per
+    group; max_hops=4 keeps the reference's default call-depth bound.
+    """
+    import pandas as pd
+
+    def paths(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[keyed_by].iloc[0]
+        adj: dict[str, set[str]] = {}
+        for s, o in zip(pdf["s"], pdf["o"]):
+            if s != o:
+                adj.setdefault(s, set()).add(o)
+        out_src, out_dst, out_hops, out_path = [], [], [], []
+        for start in adj:
+            # iterative DFS carrying the path; a node may appear on many
+            # paths but never twice on one (simple-path discipline)
+            stack: list[tuple[str, ...]] = [(start,)]
+            while stack:
+                path = stack.pop()
+                node = path[-1]
+                for nb in adj.get(node, ()):
+                    if nb in path:
+                        continue
+                    new = path + (nb,)
+                    out_src.append(start)
+                    out_dst.append(nb)
+                    out_hops.append(len(new) - 1)
+                    out_path.append("->".join(new))
+                    if len(new) <= max_hops:
+                        stack.append(new)
+        return pd.DataFrame(
+            {
+                keyed_by: key,
+                "src": out_src,
+                "dst": out_dst,
+                "hops": out_hops,
+                "path": out_path,
+            }
+        )
+
+    e = edges.select(keyed_by, "s", "o").dropDuplicates([keyed_by, "s", "o"])
+    return e.groupBy(keyed_by).applyInPandas(
+        paths, schema=f"{keyed_by} string, src string, dst string, hops long, path string"
+    )
+
+
 def reachable_within_grouped(
     edges: DataFrame, max_hops: int = 4, keyed_by: str = "conv_id"
 ) -> DataFrame:

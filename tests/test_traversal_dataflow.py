@@ -233,3 +233,32 @@ def test_dot_export(catalog):
     assert dot == exports.conversation_to_dot(
         catalog.nodes(), catalog.edges(), "c000001"
     )
+
+
+def test_flow_paths_diamond(spark):
+    """reachableByFlows analog: full evidence paths, simple-path discipline
+    (no repeated node, self-loops excluded)."""
+    edges = spark.createDataFrame(
+        [("g", "a", "b"), ("g", "a", "c"), ("g", "b", "d"), ("g", "c", "d"),
+         ("g", "d", "e"), ("g", "e", "e")],  # self-loop must not appear
+        "conv_id string, s string, o string",
+    )
+    got = {
+        (r.src, r.dst, r.hops, r.path)
+        for r in dataflow.flow_paths_grouped(edges, max_hops=3).collect()
+    }
+    assert ("a", "d", 2, "a->b->d") in got
+    assert ("a", "d", 2, "a->c->d") in got
+    assert ("a", "e", 3, "a->b->d->e") in got
+    assert ("a", "e", 3, "a->c->d->e") in got
+    assert not any(h > 3 for _, _, h, _ in got)
+    assert not any(s == d for s, d, h, _ in got if h == 1)  # no self-loop flows
+    # pair projection of flows == the pair-returning operator (minus
+    # self-loop pairs, which flows exclude by the simple-path rule)
+    pairs = {
+        (r.src, r.dst)
+        for r in dataflow.reachable_within_grouped(edges, max_hops=3).collect()
+        if r.src != r.dst
+    }
+    flow_pairs = {(s, d) for s, d, _, _ in got}
+    assert pairs == flow_pairs
