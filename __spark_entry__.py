@@ -186,7 +186,17 @@ def _q_kg_entity_stubs(spark, sf_dir):
 
 
 def _q_kg_merge_map(spark, sf_dir):
+    """Canonicalization via the default MinHash-LSH blocking (the 100 TB
+    path), hash-checked against the frozen expected_components oracle."""
     return canonicalize.merge_map(_alias_dict(spark, sf_dir)).select(
+        "canonical_name", "merged_name"
+    )
+
+
+def _q_kg_merge_map_tokenblock(spark, sf_dir):
+    """Exact-recall token blocking variant — must produce the identical
+    merge map (same oracle) as the LSH default."""
+    return canonicalize.merge_map(_alias_dict(spark, sf_dir), use_lsh=False).select(
         "canonical_name", "merged_name"
     )
 
@@ -546,6 +556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_linked_mentions": _q_kg_linked_mentions,
     "kg_entity_stubs": _q_kg_entity_stubs,
     "kg_merge_map": _q_kg_merge_map,
+    "kg_merge_map_tokenblock": _q_kg_merge_map_tokenblock,
     "kg_triples": _q_kg_triples,
     "kg_conv_stats": _q_kg_conv_stats,
     "kg_toolcalls": _q_kg_toolcalls,
@@ -833,6 +844,9 @@ ORACLES: dict[str, str] = {
         FROM mention WHERE NOT in_dict
     """,
     "kg_merge_map": f"""
+        SELECT canonical_name, merged_name FROM read_parquet('{_EC01}')
+    """,
+    "kg_merge_map_tokenblock": f"""
         SELECT canonical_name, merged_name FROM read_parquet('{_EC01}')
     """,
     "kg_triples": f"""

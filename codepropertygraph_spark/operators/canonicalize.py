@@ -171,10 +171,22 @@ def connected_components(
     return labels
 
 
-def merge_map(alias_dict: DataFrame, use_lsh: bool = False) -> DataFrame:
+def merge_map(alias_dict: DataFrame, use_lsh: bool = True) -> DataFrame:
     """(canonical_name, merged_name) for every canonical in the dictionary
     (identity rows included) — the canonicalization output contract,
-    matching the frozen ``expected_components`` oracle."""
+    matching the frozen ``expected_components`` oracle.
+
+    The DEFAULT blocking is MinHash-LSH (the 100 TB path). Token blocking
+    degrades two ways on stop-token-heavy dictionaries: uncapped it admits
+    O(df²) pairs per shared token, and its df-cap escape hatch LOSES true
+    pairs whose only shared token was capped ('svc' vs 'svc_0', J=1/2).
+    LSH collision probability depends on pair similarity, not token df, so
+    neither failure mode applies (test_lsh_beats_token_blocking_on_stop_
+    tokens). Both paths feed the same exact-Jaccard verify, so precision is
+    identical; LSH recall at the 0.5 threshold is ≥ 99% in theory and
+    exhaustively identical to token blocking on the shipped dictionary
+    (test_merge_map_token_vs_lsh, kg_merge_map vs kg_merge_map_tokenblock
+    driver rows)."""
     pairs = (
         candidate_pairs_lsh(alias_dict)
         if use_lsh

@@ -119,7 +119,7 @@ def clause_triples(
 def final_triples(
     transcripts: DataFrame,
     alias_dict: DataFrame,
-    use_lsh: bool = False,
+    use_lsh: bool = True,
     merge: DataFrame | None = None,
 ) -> DataFrame:
     """The flagship output: DISTINCT (conv_id, subj, pred, obj).

@@ -217,3 +217,45 @@ def test_entity_nodes_cover_tool_column(spark):
     assert call_dsts <= entity_ids, "CALL edge dst must exist as an ENTITY node"
     names = {r.full_name for r in G.entity_nodes(tr, ad, merge).collect()}
     assert "tool_hammer" in names  # resolved through the scored dictionary
+
+
+def test_lsh_beats_token_blocking_on_stop_tokens(spark):
+    """Why LSH is the default at scale: token blocking on a stop-token-heavy
+    dictionary is (a) quadratic in the stop token's document frequency and
+    (b) loses RECALL once the df cap kicks in — a true ≥0.5-Jaccard pair
+    whose ONLY shared token is the capped stop token ('svc' vs 'svc_0',
+    J = 1/2) silently never merges. LSH blocking is similarity-based, not
+    df-based: it finds that pair regardless, and reproduces the uncapped
+    token-blocking merge map exactly."""
+    rows = [("svc", "svc", "TOOL", 0.9)]
+    for i in range(80):
+        # every name carries the stop token 'svc'
+        rows.append((f"svc_{i}", f"svc_{i}", "TOOL", 0.9))
+    ad = spark.createDataFrame(
+        rows, "alias string, canonical_name string, entity_type string, prior double"
+    )
+    # uncapped token blocking: the 'svc' block alone is C(81,2) = 3240 pairs
+    assert canonicalize.candidate_pairs_token_block(ad).count() >= 3240
+    # capped (the regime a 100x dictionary is always in): the stop token is
+    # dropped from blocking and the true pair ('svc','svc_0') is LOST
+    capped_pairs = canonicalize.verified_pairs(
+        canonicalize.candidate_pairs_token_block(ad, max_token_df=50)
+    )
+    assert capped_pairs.where(
+        (F.col("a") == "svc") & (F.col("b") == "svc_0")
+    ).count() == 0
+    # LSH finds it (similarity 1/2 >= threshold), with no df dependence
+    lsh_pairs = canonicalize.verified_pairs(canonicalize.candidate_pairs_lsh(ad))
+    assert lsh_pairs.where(
+        (F.col("a") == "svc") & (F.col("b") == "svc_0")
+    ).count() == 1
+    # and the full LSH merge map equals the exact-recall (uncapped) one
+    token_map = {
+        (r.canonical_name, r.merged_name)
+        for r in canonicalize.merge_map(ad, use_lsh=False).collect()
+    }
+    lsh_map = {
+        (r.canonical_name, r.merged_name)
+        for r in canonicalize.merge_map(ad, use_lsh=True).collect()
+    }
+    assert lsh_map == token_map
