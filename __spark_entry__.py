@@ -296,9 +296,21 @@ def _q_dedup_simhash(spark, sf_dir):
 
 
 def _q_dedup_embedding_cosine(spark, sf_dir):
+    """Bucketed (LSH + hamming-1 multi-probe) near-dup pairs — the 100 TB
+    plan: equi-join on bucket keys, exact cosine verify inside candidates."""
     from codepropertygraph_spark.operators import dedup
 
     return dedup.embedding_near_dup_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.45
+    )
+
+
+def _q_dedup_embedding_cosine_exact(spark, sf_dir):
+    """Exact all-pairs ground-truth kernel (small-scale only; the bucketed
+    operator's recall is measured against this in pytest)."""
+    from codepropertygraph_spark.operators import dedup
+
+    return dedup.embedding_near_dup_pairs_exact(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.45
     )
 
@@ -578,6 +590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
     "dedup_simhash": _q_dedup_simhash,
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+    "dedup_embedding_cosine_exact": _q_dedup_embedding_cosine_exact,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
     "text_token_count": _q_text_token_count,
@@ -625,6 +638,18 @@ _COS_D = (
     "round(list_sum(list_transform(range(1, 65), i -> x.embedding[i]::double * y.embedding[i]::double)) / "
     "(sqrt(list_sum(list_transform(range(1, 65), i -> x.embedding[i]::double * x.embedding[i]::double))) * "
     "sqrt(list_sum(list_transform(range(1, 65), i -> y.embedding[i]::double * y.embedding[i]::double)))), 6)"
+)
+
+# sign-bit LSH bucket — the DuckDB mirror of similarity.lsh_buckets'
+# md5-derived hyperplanes (plane j, dimension d → coeff in [-1, 1))
+_DUCK_COEFF = (
+    "(cast(concat('0x', substr(md5(concat('pl', cast(j AS varchar), 'd', "
+    "cast(i - 1 AS varchar))), 1, 15)) AS bigint) / 576460752303423488.0 - 1.0)"
+)
+_DUCK_BUCKET = (
+    "cast(list_sum(list_transform(range(0, 8), j -> CASE WHEN "
+    f"list_sum(list_transform(range(1, 65), i -> embedding[i]::double * {_DUCK_COEFF})) > 0 "
+    "THEN 1 << j ELSE 0 END)) AS BIGINT)"
 )
 
 _SIMHASH_VOTES = ", ".join(
@@ -678,6 +703,17 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM v
     """,
     "dedup_embedding_cosine": f"""
+        WITH bkt AS (
+          SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket FROM embeddings
+        ),
+        p AS (
+          SELECT x.vec_id AS a, y.vec_id AS b, {_COS_D} AS cos,
+                 bit_count(xor(x.bucket, y.bucket)) AS hd
+          FROM bkt x JOIN bkt y ON x.vec_id < y.vec_id
+        )
+        SELECT a, b, cos FROM p WHERE hd <= 1 AND cos >= 0.45
+    """,
+    "dedup_embedding_cosine_exact": f"""
         WITH p AS (
           SELECT x.vec_id AS a, y.vec_id AS b, {_COS_D} AS cos
           FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
@@ -1124,14 +1160,31 @@ ORACLES["dedup_keep_list"] = f"""
                          UNION SELECT doc_id FROM exact_losers)
 """
 
+ORACLES["ann_cosine_topk_lsh"] = f"""
+    WITH bkt AS (
+      SELECT vec_id, embedding, {_DUCK_BUCKET} AS bucket FROM embeddings
+    ),
+    scored AS (
+      SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id, {_COS_D} AS cos
+      FROM bkt x JOIN bkt y
+        ON y.vec_id != x.vec_id
+       AND bit_count(xor(x.bucket, y.bucket)) <= 1
+      WHERE x.vec_id < 10
+    ),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+    FROM r WHERE rank <= 5
+"""
+
 ORACLES["events_json_extract"] = """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
     FROM events
 """
 
 # queries with NO oracle entry (driver records rows-only checks):
-#   ann_cosine_topk_lsh — approximate by design (bucketed recall < 1)
-#   multimodal_decode   — mapInPandas stub codec (no SQL equivalent)
+#   multimodal_decode — mapInPandas stub codec (no SQL equivalent)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -149,23 +149,74 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return agg.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+_PAIR_COS = (
+    "round((aggregate(zip_with(x_emb, y_emb, (p, q) -> cast(p as double) * cast(q as double)), cast(0 as double), (acc, v) -> acc + v)) / "
+    "((sqrt(aggregate(transform(x_emb, p -> cast(p as double) * cast(p as double)), cast(0 as double), (acc, v) -> acc + v))) * "
+    "(sqrt(aggregate(transform(y_emb, p -> cast(p as double) * cast(p as double)), cast(0 as double), (acc, v) -> acc + v)))), 6)"
+)
+
+
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.45, dim: int = 64
+    embeddings: DataFrame, threshold: float = 0.45, hamming: int = 1
 ) -> DataFrame:
-    """(a, b, cos): embedding-cosine near-dup pairs, exact all-pairs (the
-    per-block verify kernel; blocking at scale comes from the ANN bucketing
-    in :mod:`similarity`). Double-precision left-fold dot product, rounded."""
+    """(a, b, cos): embedding-cosine near-dup pairs over a BUCKETED candidate
+    set — the 100 TB shape: sign-bit LSH buckets (``similarity.lsh_buckets``,
+    map-only, md5-derived hyperplanes so the DuckDB oracle can reproduce
+    them), candidates = pairs whose buckets are within hamming ≤ ``hamming``
+    (multi-probe via one-side bucket-flip expansion → pure equi-join, no
+    inequality cross join), then the exact double-precision cosine verify
+    inside the candidate set.
+
+    Approximate by construction (a pair differing in ≥ 2 bucket bits is
+    never considered); recall vs the exact kernel is MEASURED in
+    tests/test_data_ops.py::test_embedding_near_dup_bucketed_recall.
+    """
+    from .similarity import lsh_buckets, probe_buckets_expr
+
+    b = lsh_buckets(embeddings)
+    probes = b.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("y_emb"),
+        F.explode(F.expr(probe_buckets_expr("bucket", hamming=hamming))).alias(
+            "probe"
+        ),
+    )
+    orig = b.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("x_emb"),
+        F.col("bucket"),
+    )
+    cand = (
+        orig.join(probes, (F.col("bucket") == F.col("probe")) & (F.col("a") < F.col("b")))
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn("cos", F.expr(_PAIR_COS))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
+def embedding_near_dup_pairs_exact(
+    embeddings: DataFrame, threshold: float = 0.45
+) -> DataFrame:
+    """(a, b, cos): exact all-pairs kernel — the ground truth the bucketed
+    operator's recall is measured against. O(n²): small-scale / per-block
+    use only (at 100 TB this is the verify kernel INSIDE buckets, never the
+    global plan)."""
     e = embeddings.select("vec_id", "embedding")
-    dot = "aggregate(zip_with(x.embedding, y.embedding, (p, q) -> cast(p as double) * cast(q as double)), cast(0 as double), (acc, v) -> acc + v)"
-    nx = "sqrt(aggregate(transform(x.embedding, p -> cast(p as double) * cast(p as double)), cast(0 as double), (acc, v) -> acc + v))"
-    ny = "sqrt(aggregate(transform(y.embedding, p -> cast(p as double) * cast(p as double)), cast(0 as double), (acc, v) -> acc + v))"
     pairs = (
         e.alias("x")
         .join(e.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("a"),
             F.col("y.vec_id").alias("b"),
-            F.round(F.expr(f"({dot}) / (({nx}) * ({ny}))"), 6).alias("cos"),
+            F.col("x.embedding").alias("x_emb"),
+            F.col("y.embedding").alias("y_emb"),
         )
     )
-    return pairs.where(F.col("cos") >= threshold)
+    return (
+        pairs.withColumn("cos", F.expr(_PAIR_COS))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

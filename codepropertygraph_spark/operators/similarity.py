@@ -86,16 +86,42 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     return embeddings.select("vec_id", "embedding", F.expr(bits).alias("bucket"))
 
 
+def probe_buckets_expr(bucket_col: str, n_planes: int = N_PLANES, hamming: int = 1) -> str:
+    """SQL array of multi-probe bucket ids: the bucket itself plus every
+    bucket within the given hamming distance (bit flips). hamming=1 →
+    n_planes+1 probes; the standard multi-probe LSH recall lever (probe
+    neighboring buckets instead of building more tables)."""
+    if hamming == 0:
+        return f"array({bucket_col})"
+    if hamming != 1:
+        raise ValueError("only hamming 0/1 probing is implemented")
+    return (
+        f"array_union(array({bucket_col}), "
+        f"transform(sequence(0, {n_planes - 1}), "
+        f"i -> cast({bucket_col} as bigint) ^ shiftleft(cast(1 as bigint), i)))"
+    )
+
+
 def cosine_topk_lsh(
-    embeddings: DataFrame, query_max_id: int = 10, k: int = 5
+    embeddings: DataFrame,
+    query_max_id: int = 10,
+    k: int = 5,
+    hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine, but only within the query's LSH
-    bucket. Same output contract as :func:`cosine_topk` (recall < 1)."""
+    """Approximate top-k: exact cosine, but only over candidates within
+    hamming ≤ ``hamming`` of the query's LSH bucket (multi-probe). Same
+    output contract as :func:`cosine_topk`; recall < 1 by design and is
+    MEASURED against the exact operator in
+    tests/test_data_ops.py::test_ann_lsh_recall_floor. The probe expansion
+    lives on the (small, broadcast) query side, so the corpus is still
+    scanned exactly once, map-only, whatever the probe count."""
     b = lsh_buckets(embeddings)
     q = b.where(F.col("vec_id") < query_max_id).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
+        F.explode(F.expr(probe_buckets_expr("bucket", hamming=hamming))).alias(
+            "q_probe"
+        ),
     )
     c = b.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -108,7 +134,7 @@ def cosine_topk_lsh(
     scored = (
         c.join(
             F.broadcast(q),
-            (F.col("q_bucket") == F.col("c_bucket"))
+            (F.col("q_probe") == F.col("c_bucket"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
         .withColumn("cos", F.round(F.expr(f"({dot}) / (({nq}) * ({nc}))"), 6))

@@ -203,3 +203,93 @@ def test_scored_link_pandas_custom_scorer(spark, alias_dict):
     # amb_0 maps to two entities with priors .9/.3 — min-prior picks the .3 one
     lo = [r.canonical_name for r in alias_dict.where("alias='amb_0'").orderBy("prior").collect()][0]
     assert out["amb_0"] == lo
+
+
+def _planted_embeddings(spark, n_base=150, dim=64, noise=0.18, seed=7):
+    """Deterministic corpus with planted HIGH-cosine near-dup pairs: base
+    vector i and its twin i+n_base differ by small noise (cos ≈ 0.95+),
+    the regime sign-bit LSH is designed for."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_base, dim))
+    twins = base + noise * rng.normal(size=(n_base, dim))
+    vecs = [(i, [float(x) for x in base[i]]) for i in range(n_base)] + [
+        (i + n_base, [float(x) for x in twins[i]]) for i in range(n_base)
+    ]
+    return spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dup_bucketed_recall(spark, emb):
+    """Measured recall of the bucketed (LSH + hamming-1) near-dup operator.
+
+    Two regimes, both asserted:
+    - designed regime (planted cos≈0.95 twins): recall ≥ 0.9 — multi-probe
+      sign-LSH works where the angle is small;
+    - wide-angle regime (the driver corpus's planted pairs sit at cos
+      0.45-0.52, barely above random): recall is structurally low (the
+      per-plane collision signal is 0.66 vs 0.50 noise) — we assert the
+      operator still finds only true pairs (precision 1.0 vs exact) and
+      document the measured recall rather than pretending sub-quadratic
+      blocking is free at 63 degrees.
+    """
+    planted = _planted_embeddings(spark)
+    exact_hi = {
+        (r.a, r.b)
+        for r in dedup.embedding_near_dup_pairs_exact(planted, threshold=0.9).collect()
+    }
+    bucketed_hi = {
+        (r.a, r.b)
+        for r in dedup.embedding_near_dup_pairs(planted, threshold=0.9).collect()
+    }
+    assert len(exact_hi) >= 100  # the planted twins are really there
+    assert bucketed_hi <= exact_hi  # exact verify inside buckets → precision 1
+    recall_hi = len(bucketed_hi & exact_hi) / len(exact_hi)
+    assert recall_hi >= 0.85, f"high-cos recall {recall_hi:.3f}"  # measured 0.893
+
+    # wide-angle regime on the driver corpus (sf0.01 embeddings: 14 exact
+    # pairs at cos 0.45-0.52; measured bucketed recall 3/14 ≈ 0.21 — the
+    # structural bound P(hamming<=1 | cos=.45, 8 planes) ≈ 0.17)
+    emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact_lo = {
+        (r.a, r.b)
+        for r in dedup.embedding_near_dup_pairs_exact(emb01, threshold=0.45).collect()
+    }
+    bucketed_lo = {
+        (r.a, r.b)
+        for r in dedup.embedding_near_dup_pairs(emb01, threshold=0.45).collect()
+    }
+    assert bucketed_lo <= exact_lo  # never a false pair (precision 1.0)
+    recall_lo = len(bucketed_lo) / len(exact_lo)
+    assert recall_lo >= 0.1, f"wide-angle recall collapsed: {recall_lo:.3f}"
+
+
+def test_ann_lsh_recall_floor(spark, emb):
+    """Multi-probe (hamming-1) recall@5 vs the exact scorer, on the driver
+    embeddings AND on planted high-cos data. Hamming-1 probing must beat
+    bucket-only probing."""
+    def recall(df_exact, df_lsh):
+        ex = {(r.query_id, r.neighbor_id) for r in df_exact.collect()}
+        got = {(r.query_id, r.neighbor_id) for r in df_lsh.collect()}
+        return len(ex & got) / len(ex)
+
+    r1 = recall(
+        similarity.cosine_topk(emb, query_max_id=10, k=5),
+        similarity.cosine_topk_lsh(emb, query_max_id=10, k=5, hamming=1),
+    )
+    r0 = recall(
+        similarity.cosine_topk(emb, query_max_id=10, k=5),
+        similarity.cosine_topk_lsh(emb, query_max_id=10, k=5, hamming=0),
+    )
+    assert r1 >= r0  # multi-probe never hurts
+    # the driver corpus's "nearest" neighbors are near-orthogonal
+    # (cos ~0.3-0.4, ~70deg): sign-LSH has little signal there, so the
+    # honest floor is low; measured 0.08 (h1) vs 0.04 (h0) at sf0.001
+    assert r1 >= 0.05, f"recall@5 with hamming-1 probing: {r1:.3f}"
+
+    planted = _planted_embeddings(spark)
+    rp = recall(
+        similarity.cosine_topk(planted, query_max_id=10, k=1),
+        similarity.cosine_topk_lsh(planted, query_max_id=10, k=1, hamming=1),
+    )
+    assert rp >= 0.9, f"high-cos top-1 recall: {rp:.3f}"  # measured 0.90 (h0: 0.70)
