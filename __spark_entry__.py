@@ -549,6 +549,17 @@ def _q_dedup_keep_list(spark, sf_dir):
     return docs.select("doc_id").join(losers, "doc_id", "left_anti")
 
 
+def _q_kg_ast_json_tree(spark, sf_dir):
+    """Deep semi-structured ingest (A3 parity): recursive walk of the nested
+    per-turn AST-JSON into typed tree rows with deterministic content-
+    addressed node ids (FuzzyC2Cpg.scala:1661-1781 children walk)."""
+    from codepropertygraph_spark.sources import json_ingest
+
+    d = td.ensure_generated(td.tier_of_sf_dir(sf_dir))
+    aj = spark.read.parquet(f"{d}/ast_json.parquet")
+    return json_ingest.json_tree(aj, "ast_id", "ast")
+
+
 def _q_events_json_extract(spark, sf_dir):
     """Semi-structured ingest (A3 analog: pre-parsed JSON walk → typed
     columns): parse the events props JSON payload."""
@@ -584,6 +595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entities": _q_kg_entities,
     "dedup_keep_list": _q_dedup_keep_list,
     "events_json_extract": _q_events_json_extract,
+    "kg_ast_json_tree": _q_kg_ast_json_tree,
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_bands": _q_dedup_minhash_bands,
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -1176,6 +1188,46 @@ ORACLES["ann_cosine_topk_lsh"] = f"""
           FROM scored)
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
     FROM r WHERE rank <= 5
+"""
+
+_AJ01 = f"{_G01}/ast_json.parquet"
+
+ORACLES["kg_ast_json_tree"] = f"""
+    WITH RECURSIVE walk AS (
+      SELECT ast_id, '$' AS path, CAST(NULL AS VARCHAR) AS parent_path,
+             ast AS frag, 0 AS depth
+      FROM read_parquet('{_AJ01}')
+      UNION ALL
+      SELECT ast_id, path || c.p, path, c.f, depth + 1
+      FROM (
+        SELECT ast_id, path, depth,
+          unnest(CASE WHEN json_type(frag) = 'OBJECT'
+            THEN list_transform(json_keys(frag), k ->
+                 {{'p': '.' || k,
+                   'f': coalesce(CAST(json_extract(frag, '$.' || k) AS VARCHAR), 'null')}})
+            WHEN json_type(frag) = 'ARRAY'
+            THEN list_transform(range(CAST(json_array_length(frag) AS INT)), i ->
+                 {{'p': '[' || i || ']',
+                   'f': coalesce(CAST(json_extract(frag, '$[' || i || ']') AS VARCHAR), 'null')}})
+            ELSE CAST([] AS STRUCT(p VARCHAR, f VARCHAR)[]) END) AS c
+        FROM walk
+      )
+    )
+    SELECT ast_id, path, parent_path, CAST(depth AS BIGINT) AS depth,
+      CASE json_type(frag) WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+           WHEN 'VARCHAR' THEN 'string' WHEN 'BOOLEAN' THEN 'boolean'
+           WHEN 'NULL' THEN 'null' ELSE 'number' END AS kind,
+      CASE WHEN json_type(frag) IN ('OBJECT', 'ARRAY', 'NULL') THEN NULL
+           WHEN json_type(frag) = 'VARCHAR' THEN json_extract_string(frag, '$')
+           ELSE CAST(json_extract(frag, '$') AS VARCHAR) END AS value,
+      CAST(CASE WHEN json_type(frag) = 'OBJECT' THEN len(json_keys(frag))
+                WHEN json_type(frag) = 'ARRAY' THEN CAST(json_array_length(frag) AS INT)
+                ELSE 0 END AS BIGINT) AS n_children,
+      cast(concat('0x', substr(md5(concat_ws('|', 'JSON', CAST(ast_id AS VARCHAR), path)), 1, 15)) AS BIGINT) AS node_id,
+      CASE WHEN parent_path IS NOT NULL THEN
+        cast(concat('0x', substr(md5(concat_ws('|', 'JSON', CAST(ast_id AS VARCHAR), parent_path)), 1, 15)) AS BIGINT)
+      END AS parent_id
+    FROM walk
 """
 
 ORACLES["events_json_extract"] = """

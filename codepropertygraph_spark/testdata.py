@@ -355,13 +355,45 @@ def expected_components_path(tier: str) -> str:
     return os.path.join(tier_dir(tier), "expected_components.parquet")
 
 
+def ast_json_path(tier: str) -> str:
+    return os.path.join(tier_dir(tier), "ast_json.parquet")
+
+
 def tier_of_sf_dir(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to a generator tier."""
     base = os.path.basename(sf_dir.rstrip("/"))
     return base if base in _TIERS else "sf0.01"
 
 
-GENERATOR_VERSION = 2  # bump to invalidate cached corpora
+def turn_ast_json(row: dict) -> str:
+    """Nested AST-JSON for one turn — the semi-structured frontend input the
+    deep-walk ingest (A3, ``FuzzyC2Cpg.scala:1661-1781`` JSON AST walk)
+    parses into typed tree rows. Pure function of the row (no RNG), byte-
+    stable (sorted keys, no whitespace). Shape exercises every JSON kind:
+    object / array / string / number / boolean / null."""
+    toks = row["text"].split(" ")
+    preds = set(S.TEXT_PREDICATES)
+    clauses = []
+    for i, tok in enumerate(toks):
+        if tok in preds and 0 < i < len(toks) - 1:
+            clauses.append(
+                {
+                    "pred": tok,
+                    "subj": {"surface": toks[i - 1], "pos": i},
+                    "obj": {"surface": toks[i + 1], "pos": i + 2},
+                }
+            )
+    doc = {
+        "role": row["role"],
+        "idx": row["turn_idx"],
+        "is_tool": row["role"] == "tool",
+        "tool": row["tool"],  # null for non-tool turns → JSON null coverage
+        "clauses": clauses,
+    }
+    return json.dumps(doc, sort_keys=True, separators=(",", ":"))
+
+
+GENERATOR_VERSION = 3  # bump to invalidate cached corpora
 
 
 def ensure_generated(tier: str) -> str:
@@ -427,6 +459,23 @@ def ensure_generated(tier: str) -> str:
         if sl.num_rows:
             pq.write_table(sl, os.path.join(tdir, f"part-{i:03d}.parquet"))
     pq.write_table(a_table, os.path.join(tmp, "alias_dict.parquet"))
+    # nested AST-JSON per turn (ordered by the original generation order, so
+    # ast_id is a stable dense key independent of the shuffled row order)
+    aj_rows = sorted(
+        range(len(rows)),
+        key=lambda i: (rows[i]["conv_id"], rows[i]["turn_idx"], rows[i]["ts"]),
+    )
+    aj_table = pa.table(
+        {
+            "ast_id": pa.array(range(len(aj_rows)), pa.int64()),
+            "conv_id": [rows[i]["conv_id"] for i in aj_rows],
+            "turn_idx": pa.array(
+                [rows[i]["turn_idx"] for i in aj_rows], pa.int32()
+            ),
+            "ast": [turn_ast_json(rows[i]) for i in aj_rows],
+        }
+    )
+    pq.write_table(aj_table, os.path.join(tmp, "ast_json.parquet"))
     pq.write_table(tr_table, os.path.join(tmp, "expected_triples.parquet"))
     pq.write_table(mm_table, os.path.join(tmp, "expected_components.parquet"))
     import shutil

@@ -293,3 +293,57 @@ def test_ann_lsh_recall_floor(spark, emb):
         similarity.cosine_topk_lsh(planted, query_max_id=10, k=1, hamming=1),
     )
     assert rp >= 0.9, f"high-cos top-1 recall: {rp:.3f}"  # measured 0.90 (h0: 0.70)
+
+
+def test_json_tree_golden(spark):
+    """Generic deep-JSON walk: every JSON kind, empty containers, depth."""
+    from codepropertygraph_spark.sources import json_ingest
+
+    doc = '{"a":{"b":[3,"x",true,null]},"c":"s","e":{},"f":[]}'
+    rows = {
+        (r.path, r.kind, r.value, r.n_children, r.depth, r.parent_path)
+        for r in json_ingest.json_tree(
+            spark.createDataFrame([(1, doc)], "ast_id long, ast string"),
+            "ast_id",
+            "ast",
+        ).collect()
+    }
+    assert ("$", "object", None, 4, 0, None) in rows
+    assert ("$.a", "object", None, 1, 1, "$") in rows
+    assert ("$.a.b", "array", None, 4, 2, "$.a") in rows
+    assert ("$.a.b[0]", "number", "3", 0, 3, "$.a.b") in rows
+    assert ("$.a.b[1]", "string", "x", 0, 3, "$.a.b") in rows
+    assert ("$.a.b[2]", "boolean", "true", 0, 3, "$.a.b") in rows
+    assert ("$.a.b[3]", "null", None, 0, 3, "$.a.b") in rows
+    assert ("$.c", "string", "s", 0, 1, "$") in rows
+    assert ("$.e", "object", None, 0, 1, "$") in rows
+    assert ("$.f", "array", None, 0, 1, "$") in rows
+    assert len(rows) == 10
+
+    # parent_id arithmetic: every non-root node's parent_id is an existing node_id
+    df = json_ingest.json_tree(
+        spark.createDataFrame([(7, doc)], "ast_id long, ast string"), "ast_id", "ast"
+    )
+    ids = {r.node_id for r in df.collect()}
+    parents = {r.parent_id for r in df.where(F.col("parent_id").isNotNull()).collect()}
+    assert parents <= ids
+
+
+def test_json_tree_matches_generator(spark):
+    """The walked tree of a generated turn's AST-JSON reproduces the clause
+    structure the extraction pipeline sees (A3 <-> A2 consistency)."""
+    from codepropertygraph_spark import testdata as td
+    from codepropertygraph_spark.sources import json_ingest
+
+    d = td.ensure_generated("sf0.001")
+    aj = spark.read.parquet(f"{d}/ast_json.parquet").limit(50)
+    tree = json_ingest.json_tree(aj, "ast_id", "ast")
+    n_clause_objs = (
+        tree.where(F.col("path").rlike(r"^\$\.clauses\[\d+\]$")).count()
+    )
+    import json as _json
+
+    expected = sum(
+        len(_json.loads(r.ast)["clauses"]) for r in aj.collect()
+    )
+    assert n_clause_objs == expected
