@@ -514,6 +514,27 @@ def _q_kg_traversal_mentions(spark, sf_dir):
     return mentions.df.groupBy("conv_id").agg(F.count("*").alias("n_mentions"))
 
 
+def _q_kg_traversal_coalesce(spark, sf_dir):
+    """Branching traversal (§2.C choose/coalesce): per TURN, its TOOLCALL
+    child if it has one, else its MENTION children — first-non-empty-branch
+    semantics through the DSL's provenance-rooted coalesce."""
+    from codepropertygraph_spark.operators import traversal
+
+    tr, ad = _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    nodes = (
+        G.turn_nodes(tr)
+        .unionByName(G.mention_nodes(tr, ad))
+        .unionByName(G.toolcall_nodes(tr))
+    )
+    edges = G.ast_edges(tr, ad)
+    g = traversal.GraphView(nodes, edges)
+    picked = g.turns().coalesce_steps(
+        lambda t: t.out("AST").filter(F.col("label") == S.TOOLCALL),
+        lambda t: t.out("AST").filter(F.col("label") == S.MENTION),
+    )
+    return picked.df.groupBy("label").agg(F.count("*").alias("n")).orderBy("label")
+
+
 def _q_kg_entities(spark, sf_dir):
     """Final entity table: every post-merge canonical in use, with type and
     external flag (TypeNodePass + MethodStubCreator output projection)."""
@@ -592,6 +613,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_cdg": _q_kg_cdg,
     "kg_flows_4hop": _q_kg_flows_4hop,
     "kg_traversal_mentions": _q_kg_traversal_mentions,
+    "kg_traversal_coalesce": _q_kg_traversal_coalesce,
     "kg_entities": _q_kg_entities,
     "dedup_keep_list": _q_dedup_keep_list,
     "events_json_extract": _q_events_json_extract,
@@ -1120,6 +1142,17 @@ ORACLES["kg_reaching_defs"] = f"""
 ORACLES["kg_traversal_mentions"] = f"""
     WITH {_TOK_CTE}, {_MENTION_CTE}
     SELECT conv_id, count(*) AS n_mentions FROM mention GROUP BY conv_id
+"""
+
+ORACLES["kg_traversal_coalesce"] = f"""
+    WITH {_TOK_CTE}, {_MENTION_CTE}
+    SELECT 'MENTION' AS label, count(*) AS n
+    FROM mention m JOIN tr t
+      ON m.conv_id = t.conv_id AND m.turn_idx = t.turn_idx AND m.ts = t.ts
+    WHERE t.tool IS NULL
+    UNION ALL
+    SELECT 'TOOLCALL', count(*) FROM tr WHERE tool IS NOT NULL
+    ORDER BY label
 """
 
 ORACLES["kg_entities"] = f"""

@@ -12,7 +12,10 @@ are the actions. Step-by-step mapping:
 | ``cpg.method`` / label starters     | ``G.label("TURN")`` (partition-pruned scan) |
 | ``.name(regex)`` / ``.nameExact``   | ``.name(regex)`` / ``.has(name=...)`` (rlike / equality) |
 | ``.out(lbl)`` / ``.in(lbl)``        | equi hash join through the edges table |
-| ``.repeat(...).until(...)``         | ``.repeat_out(lbl, max_hops)`` — iterative join loop |
+| ``.repeat(...).until(...)``         | ``.repeat_out(lbl, max_hops, until=pred, emit_all=...)`` — iterative join loop |
+| ``.choose`` / ``.coalesce``         | ``.choose(cond, then, else)`` / ``.coalesce_steps(*branches)`` |
+| ``.outE`` / ``.inE``                | ``.out_e(lbl)`` / ``.in_e(lbl)`` — edge rows with props |
+| ``.calledMethod`` / ``.callIn``     | ``.callee()`` / ``.caller()`` over CALL edges |
 | ``.where(trav)`` / ``.not(trav)``   | ``.where_in(other)`` / ``.where_not_in(other)`` — semi/anti join |
 | ``.dedup``                          | ``.dedup()`` → dropDuplicates(id)   |
 | ``.count`` / ``.l`` / ``.toJson``   | ``.count()`` / ``.collect()`` / ``.to_json()`` |
@@ -50,39 +53,123 @@ class Traversal:
 
     # -- expansion (graph hops) ----------------------------------------------
 
-    def out(self, edge_label: str) -> "Traversal":
-        """One output element per traversed edge (multiplicity preserved,
-        like the reference's Traversal; use .dedup() for set semantics)."""
+    def _hop(self, edge_label: str, forward: bool) -> "Traversal":
+        """Shared hop: one output element per traversed edge (multiplicity
+        preserved, like the reference's Traversal; use .dedup() for set
+        semantics). A ``__root`` provenance column, if present (coalesce /
+        choose install one), is carried through the hop."""
         e = self._g.edges.where(F.col("label") == edge_label)
-        ids = self.df.select(F.col("id").alias("__src"))
-        hop = e.join(ids, e.src == F.col("__src")).select(F.col("dst").alias("__id"))
+        from_col, to_col = ("src", "dst") if forward else ("dst", "src")
+        keep = ["__root"] if "__root" in self.df.columns else []
+        ids = self.df.select(F.col("id").alias("__from"), *keep)
+        hop = e.join(ids, e[from_col] == F.col("__from")).select(
+            F.col(to_col).alias("__id"), *keep
+        )
         return Traversal(
             self._g,
             self._g.nodes.join(hop, self._g.nodes.id == F.col("__id")).drop("__id"),
         )
+
+    def out(self, edge_label: str) -> "Traversal":
+        return self._hop(edge_label, forward=True)
 
     def in_(self, edge_label: str) -> "Traversal":
+        return self._hop(edge_label, forward=False)
+
+    def out_e(self, edge_label: str) -> DataFrame:
+        """Edge-exposing step (``outE``): the matching edge ROWS (src, dst,
+        label, props) — for predicates over edge properties (e.g. REL pred
+        filtering) before .in_v()/.out_v() via the edges' dst/src ids."""
+        e = self._g.edges.where(F.col("label") == edge_label)
+        ids = self.df.select(F.col("id").alias("__src"))
+        return e.join(ids, e.src == F.col("__src")).drop("__src")
+
+    def in_e(self, edge_label: str) -> DataFrame:
+        """``inE``: edge rows arriving at the current elements."""
         e = self._g.edges.where(F.col("label") == edge_label)
         ids = self.df.select(F.col("id").alias("__dst"))
-        hop = e.join(ids, e.dst == F.col("__dst")).select(F.col("src").alias("__id"))
-        return Traversal(
-            self._g,
-            self._g.nodes.join(hop, self._g.nodes.id == F.col("__id")).drop("__id"),
-        )
+        return e.join(ids, e.dst == F.col("__dst")).drop("__dst")
 
-    def repeat_out(self, edge_label: str, max_hops: int) -> "Traversal":
-        """Bounded transitive expansion (repeat/until analog): iterative
-        frontier join with dedup, driver-controlled (SURVEY.md §2.C)."""
+    def repeat_out(
+        self, edge_label: str, max_hops: int, until=None, emit_all: bool = True
+    ) -> "Traversal":
+        """Bounded transitive expansion — ``repeat(out(lbl)).until(pred)``
+        (``Steps.scala`` repeat/until semantics): nodes satisfying ``until``
+        (a Column predicate over node rows) stop expanding; without
+        ``until`` this is plain bounded expansion. ``emit_all=True`` returns
+        every visited node (the reference's ``emit`` flavor); False returns
+        only the stops (until-satisfying nodes, plus the final frontier if
+        the bound hit first). Iterative frontier join with dedup,
+        driver-controlled, one isEmpty action per hop (SURVEY.md §2.C)."""
         seen = self.df.select("id")
+        stops = None
         frontier = self
+        if until is not None:
+            stopped = frontier.df.where(until).select("id")
+            stops = stopped
+            frontier = Traversal(self._g, frontier.df.where(~until))
         for _ in range(max_hops):
             nxt = frontier.out(edge_label)
             new = nxt.df.select("id").dropDuplicates(["id"]).join(seen, "id", "left_anti")
             if new.isEmpty():
                 break
             seen = seen.unionByName(new).localCheckpoint(eager=True)
-            frontier = Traversal(self._g, self._g.nodes.join(new, "id", "left_semi"))
-        return Traversal(self._g, self._g.nodes.join(seen, "id", "left_semi"))
+            new_nodes = self._g.nodes.join(new, "id", "left_semi")
+            if until is not None:
+                stops = stops.unionByName(new_nodes.where(until).select("id"))
+                new_nodes = new_nodes.where(~until)
+            frontier = Traversal(self._g, new_nodes)
+        if emit_all or until is None:
+            keep = seen
+        else:
+            keep = stops.unionByName(frontier.df.select("id")).dropDuplicates(["id"])
+        return Traversal(self._g, self._g.nodes.join(keep, "id", "left_semi"))
+
+    # -- branching (NodeSteps.scala:28-33 choose / coalesce) -------------------
+
+    def coalesce_steps(self, *branches) -> "Traversal":
+        """Per-element first-non-empty branch (``coalesce`` semantics): each
+        source element runs branch 1; elements that produced nothing run
+        branch 2; and so on. Branches are Traversal → Traversal callables.
+        Implemented with provenance roots + anti-joins — fully lazy, no
+        driver iteration over elements."""
+        remaining = Traversal(self._g, self.df.withColumn("__root", F.col("id")))
+        outs: list[DataFrame] = []
+        for branch in branches:
+            res = branch(remaining)
+            if "__root" not in res.df.columns:
+                raise ValueError(
+                    "coalesce branch must preserve provenance (use hop/filter steps)"
+                )
+            outs.append(res.df)
+            matched = res.df.select(F.col("__root").alias("id")).distinct()
+            remaining = Traversal(
+                self._g, remaining.df.join(matched, "id", "left_anti")
+            )
+        unioned = outs[0]
+        for o in outs[1:]:
+            unioned = unioned.unionByName(o)
+        return Traversal(self._g, unioned.drop("__root"))
+
+    def choose(self, cond, on_true, on_false) -> "Traversal":
+        """``choose`` (if/else branching): elements satisfying ``cond`` (a
+        Column over node rows) flow through ``on_true``, the rest through
+        ``on_false``; results union (NodeSteps.scala:28-33)."""
+        t = on_true(Traversal(self._g, self.df.where(cond)))
+        f = on_false(Traversal(self._g, self.df.where(~cond)))
+        return t.union(f)
+
+    # -- call-graph sugar (callIn / calledMethod analog) -----------------------
+
+    def callee(self) -> "Traversal":
+        """TOOLCALL elements → the ENTITY each resolves to (CALL edge),
+        the reference's ``call.calledMethod``."""
+        return self.out(S.CALL)
+
+    def caller(self) -> "Traversal":
+        """ENTITY elements → the TOOLCALL sites invoking them
+        (``method.callIn``)."""
+        return self.in_(S.CALL)
 
     # -- set semantics --------------------------------------------------------
 

@@ -262,3 +262,92 @@ def test_flow_paths_diamond(spark):
     }
     flow_pairs = {(s, d) for s, d, _, _ in got}
     assert pairs == flow_pairs
+
+
+# -- branching / until / edge steps (NodeSteps.scala:28-33, Steps repeat) ------
+
+
+@pytest.fixture(scope="module")
+def tiny_g(spark):
+    """Handcrafted 2-conversation graph:
+    t1 -NEXT-> t2 -NEXT-> t3 (t3 is a tool turn with a TOOLCALL child; t1/t2
+    have MENTION children m1/m2); toolcall c1 -CALL-> entity e1."""
+    nodes = spark.createDataFrame(
+        [
+            (1, "TURN", "user", None, None, 1, "cX", 1, {}),
+            (2, "TURN", "assistant", None, None, 2, "cX", 2, {}),
+            (3, "TURN", "tool", None, None, 3, "cX", 3, {}),
+            (10, "MENTION", "p1", None, "p1", 2, "cX", 1, {}),
+            (11, "MENTION", "p2", None, "p2", 2, "cX", 2, {}),
+            (20, "TOOLCALL", "hammer", None, None, 3, "cX", 3, {}),
+            (30, "ENTITY", "tool_hammer", "tool_hammer", None, None, None, None, {}),
+        ],
+        "id long, label string, name string, full_name string, code string, "
+        "order int, conv_id string, turn_idx int, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, 2, "NEXT", {}),
+            (2, 3, "NEXT", {}),
+            (1, 10, "AST", {}),
+            (2, 11, "AST", {}),
+            (3, 20, "AST", {}),
+            (20, 30, "CALL", {}),
+            (30, 30, "REL", {"pred": "mentions"}),
+        ],
+        "src long, dst long, label string, props map<string,string>",
+    )
+    return traversal.GraphView(nodes, edges)
+
+
+def test_coalesce_first_nonempty_branch(tiny_g):
+    """coalesce: turns with a TOOLCALL child emit it; only the others emit
+    their MENTION children."""
+    picked = tiny_g.turns().coalesce_steps(
+        lambda t: t.out("AST").filter(F.col("label") == S.TOOLCALL),
+        lambda t: t.out("AST").filter(F.col("label") == S.MENTION),
+    )
+    got = {(r.id, r.label) for r in picked.df.collect()}
+    assert got == {(20, "TOOLCALL"), (10, "MENTION"), (11, "MENTION")}
+
+
+def test_coalesce_second_branch_only_for_unmatched(tiny_g):
+    """An element matching branch 1 must NOT also run branch 2."""
+    picked = tiny_g.turns().coalesce_steps(
+        lambda t: t.out("AST").filter(F.col("label") == S.TOOLCALL),
+        lambda t: t,  # identity fallback: the turns themselves
+    )
+    got = {(r.id, r.label) for r in picked.df.collect()}
+    assert got == {(20, "TOOLCALL"), (1, "TURN"), (2, "TURN")}
+
+
+def test_choose_branching(tiny_g):
+    res = tiny_g.turns().choose(
+        F.col("name") == "tool",
+        lambda t: t.out("AST"),  # tool turn -> its toolcall
+        lambda t: t,  # others stay
+    )
+    got = {r.id for r in res.df.collect()}
+    assert got == {20, 1, 2}
+
+
+def test_repeat_until_stops_at_predicate(tiny_g):
+    stops = tiny_g.turns().has(order=1).repeat_out(
+        "NEXT", max_hops=10, until=F.col("name") == "tool", emit_all=False
+    )
+    assert {r.id for r in stops.df.collect()} == {3}
+    # emit_all returns the whole visited chain
+    all_seen = tiny_g.turns().has(order=1).repeat_out("NEXT", max_hops=10)
+    assert {r.id for r in all_seen.df.collect()} == {1, 2, 3}
+
+
+def test_out_e_exposes_props(tiny_g):
+    rel = tiny_g.entities().out_e("REL").collect()
+    assert len(rel) == 1 and rel[0].props["pred"] == "mentions"
+    ine = tiny_g.entities().in_e("CALL").collect()
+    assert len(ine) == 1 and ine[0].src == 20
+
+
+def test_caller_callee_sugar(tiny_g):
+    assert {r.id for r in tiny_g.toolcalls().callee().df.collect()} == {30}
+    assert {r.id for r in tiny_g.entities().caller().df.collect()} == {20}
