@@ -63,6 +63,61 @@ def set_node_props(nodes: DataFrame, updates: DataFrame) -> DataFrame:
     return joined.withColumn("props", merged).drop("__upd")
 
 
+def set_edge_props(edges: DataFrame, updates: DataFrame) -> DataFrame:
+    """SetEdgeProperty (``DiffGraph.scala:128``): ``updates(src, dst, label,
+    key, value)`` merged into the edge props map. Later updates win per
+    (edge, key). Edges are addressed by (src, dst, label) — multi-edges on
+    the same triple (e.g. REL with different preds) all receive the update,
+    the MERGE INTO semantics of a relational edge store."""
+    per_edge = updates.groupBy("src", "dst", "label").agg(
+        F.map_from_entries(F.collect_list(F.struct("key", "value"))).alias("__upd")
+    )
+    joined = edges.join(per_edge, ["src", "dst", "label"], "left")
+    merged = F.when(
+        F.col("__upd").isNotNull(),
+        F.map_concat(
+            F.map_filter(
+                F.coalesce(F.col("props"), F.create_map().cast("map<string,string>")),
+                lambda k, _: ~F.array_contains(F.map_keys(F.col("__upd")), k),
+            ),
+            F.col("__upd"),
+        ),
+    ).otherwise(F.col("props"))
+    return joined.withColumn("props", merged).drop("__upd")
+
+
+def remove_node_property(nodes: DataFrame, removals: DataFrame) -> DataFrame:
+    """RemoveNodeProperty (``DiffGraph.scala:123``): drop ``key`` from the
+    props map of each node in ``removals(id, key)``."""
+    per_node = removals.groupBy("id").agg(F.collect_set("key").alias("__rm"))
+    joined = nodes.join(per_node, "id", "left")
+    cleaned = F.when(
+        F.col("__rm").isNotNull(),
+        F.map_filter(
+            F.coalesce(F.col("props"), F.create_map().cast("map<string,string>")),
+            lambda k, _: ~F.array_contains(F.col("__rm"), k),
+        ),
+    ).otherwise(F.col("props"))
+    return joined.withColumn("props", cleaned).drop("__rm")
+
+
+def remove_edge_property(edges: DataFrame, removals: DataFrame) -> DataFrame:
+    """RemoveEdgeProperty (``DiffGraph.scala:124``): drop ``key`` from the
+    props of each edge in ``removals(src, dst, label, key)``."""
+    per_edge = removals.groupBy("src", "dst", "label").agg(
+        F.collect_set("key").alias("__rm")
+    )
+    joined = edges.join(per_edge, ["src", "dst", "label"], "left")
+    cleaned = F.when(
+        F.col("__rm").isNotNull(),
+        F.map_filter(
+            F.coalesce(F.col("props"), F.create_map().cast("map<string,string>")),
+            lambda k, _: ~F.array_contains(F.col("__rm"), k),
+        ),
+    ).otherwise(F.col("props"))
+    return joined.withColumn("props", cleaned).drop("__rm")
+
+
 def remove_nodes(
     nodes: DataFrame, edges: DataFrame, ids: DataFrame
 ) -> tuple[DataFrame, DataFrame]:

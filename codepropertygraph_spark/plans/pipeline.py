@@ -377,4 +377,42 @@ def validate(catalog: Catalog) -> DataFrame:
         F.col("id").alias("src"),
         F.lit(None).cast("long").alias("dst"),
     )
-    return edge_violations.unionByName(node_violations)
+    # edge-cardinality checks (the reference's ValidationFacts side,
+    # CpgValidator.scala:8-14: out/in edge cardinalities declared in the
+    # schema). One aggregation per direction over the edges table, then a
+    # broadcast probe of the declared facts; a node violates when its count
+    # for (direction, edge_label) falls outside [min, max].
+    facts = catalog.spark.createDataFrame(
+        [
+            (nl, d, el, lo, hi if hi is not None else 1 << 30)
+            for nl, d, el, lo, hi in S.CARDINALITY_FACTS
+        ],
+        "node_label string, direction string, edge_label string, lo int, hi int",
+    )
+    card_violations = None
+    for direction, end_col in (("out", "src"), ("in", "dst")):
+        dir_facts = F.broadcast(
+            facts.where(F.col("direction") == direction).drop("direction")
+        )
+        counts = (
+            edges.groupBy(F.col(end_col).alias("id"), F.col("label").alias("edge_label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        checked_n = (
+            nodes.withColumnRenamed("node_label", "label")
+            .join(dir_facts, F.col("label") == F.col("node_label"))
+            .join(counts, ["id", "edge_label"], "left")
+            .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        )
+        v = checked_n.where(
+            (F.col("cnt") < F.col("lo")) | (F.col("cnt") > F.col("hi"))
+        ).select(
+            F.concat(F.lit("cardinality_"), F.lit(direction)).alias("kind"),
+            F.col("label").alias("src_label"),
+            F.col("edge_label"),
+            F.lit(None).cast("string").alias("dst_label"),
+            F.col("id").alias("src"),
+            F.lit(None).cast("long").alias("dst"),
+        )
+        card_violations = v if card_violations is None else card_violations.unionByName(v)
+    return edge_violations.unionByName(node_violations).unionByName(card_violations)

@@ -80,6 +80,26 @@ EDGE_FACTS: frozenset[tuple[str, str, str]] = frozenset(
     }
 )
 
+# Edge-cardinality facts — the reference schema's outEdges cardinality
+# declarations the validator enforces (``CpgValidator.scala:8-14`` walks
+# ``ValidationFacts``; base.json edge entries carry cardinality ONE /
+# ZERO_OR_ONE / LIST). Each fact: a node of ``node_label`` must have between
+# ``min`` and ``max`` (None = unbounded) ``edge_label`` edges in
+# ``direction`` ('out' | 'in').
+CARDINALITY_FACTS: tuple[tuple[str, str, str, int, int | None], ...] = (
+    (MENTION, "out", REF, 1, 1),        # every mention resolves to exactly one entity
+    (TOOLCALL, "out", CALL, 1, 1),      # every toolcall dispatches to exactly one entity
+    (TURN, "out", NEXT, 0, 1),          # linear CFG: at most one successor
+    (TURN, "in", NEXT, 0, 1),           # ... and one predecessor
+    (TURN, "in", AST, 1, 1),            # every turn has exactly one AST parent
+    (MENTION, "in", AST, 1, 1),
+    (TOOLCALL, "in", AST, 1, 1),
+    (TURN, "in", CONTAINS, 1, 1),       # transitive-containment shortcut is 1:1 here
+    (MENTION, "in", CONTAINS, 1, 1),
+    (TOOLCALL, "in", CONTAINS, 1, 1),
+    (CONVERSATION, "in", AST, 0, 0),    # conversations are roots
+)
+
 # ---------------------------------------------------------------------------
 # Base traits (base.json:605-614 analog). The reference query DSL dispatches
 # on traits via implicits (semanticcpg/.../language/package.scala:137-151);

@@ -78,7 +78,11 @@ def test_validator_detects_corruption(spark, transcripts, alias_dict, warehouse,
         "src long, dst long, label string, props map<string,string>",
     )
     cat.commit_overlay(99, "corruption", {"edges": bad_edges})
-    assert P.validate(cat).count() == 2
+    v = P.validate(cat).collect()
+    kinds = sorted(r.kind for r in v)
+    # 2 edge-fact violations plus the conversation gaining a forbidden
+    # incoming AST edge (cardinality 0..0)
+    assert kinds == ["cardinality_in", "edge_fact", "edge_fact"]
 
 
 def test_pipeline_rerun_content_identical(spark, transcripts, alias_dict, warehouse, tmp_path):
@@ -133,3 +137,67 @@ def test_validator_detects_bad_node_keys(spark, warehouse, tmp_path):
     cat.commit_overlay(98, "bad_nodes", {"nodes": bad_nodes})
     v = P.validate(cat)
     assert v.where(v.kind == "node_keys").count() == 2
+
+
+def test_validator_cardinality_violations(spark, transcripts, alias_dict, warehouse, tmp_path):
+    """Cardinality facts (CpgValidator ValidationFacts analog): a duplicated
+    NEXT successor violates TURN out-NEXT <= 1 and is flagged."""
+    import shutil
+
+    wh3 = str(tmp_path / "wh3")
+    shutil.copytree(f"{warehouse}", wh3)
+    cat = P.Catalog(spark, wh3)
+    edges = cat.edges()
+    a_next = edges.where(F.col("label") == S.NEXT).limit(1).collect()[0]
+    nodes = cat.nodes()
+    # give the NEXT src a second successor: another TURN node
+    other_turn = (
+        nodes.where((F.col("label") == S.TURN) & (F.col("id") != a_next.dst))
+        .limit(1)
+        .collect()[0]
+        .id
+    )
+    extra = spark.createDataFrame(
+        [(a_next.src, other_turn, "NEXT", None)],
+        "src long, dst long, label string, props map<string,string>",
+    )
+    cat.commit_overlay(98, "dup_next", {"edges": extra})
+    v = P.validate(cat).where(F.col("kind") == "cardinality_out").collect()
+    assert any(r.src == a_next.src and r.edge_label == "NEXT" for r in v)
+
+
+def test_diff_edge_property_primitives(spark):
+    """set_edge_props / remove_edge_property / remove_node_property goldens."""
+    from codepropertygraph_spark.plans import diff as D
+
+    edges = spark.createDataFrame(
+        [(1, 2, "REL", {"pred": "mentions"}), (2, 3, "REL", {"pred": "asks_about"})],
+        "src long, dst long, label string, props map<string,string>",
+    )
+    upd = spark.createDataFrame(
+        [(1, 2, "REL", "weight", "0.9"), (1, 2, "REL", "pred", "refers_to")],
+        "src long, dst long, label string, key string, value string",
+    )
+    got = {
+        (r.src, r.dst): dict(r.props)
+        for r in D.set_edge_props(edges, upd).collect()
+    }
+    assert got[(1, 2)] == {"pred": "refers_to", "weight": "0.9"}  # update wins
+    assert got[(2, 3)] == {"pred": "asks_about"}  # untouched
+
+    rm = spark.createDataFrame(
+        [(1, 2, "REL", "pred")], "src long, dst long, label string, key string"
+    )
+    got2 = {
+        (r.src, r.dst): dict(r.props)
+        for r in D.remove_edge_property(D.set_edge_props(edges, upd), rm).collect()
+    }
+    assert got2[(1, 2)] == {"weight": "0.9"}
+
+    nodes = spark.createDataFrame(
+        [(1, "ENTITY", {"a": "1", "b": "2"})],
+        "id long, label string, props map<string,string>",
+    )
+    nrm = spark.createDataFrame([(1, "a")], "id long, key string")
+    got3 = dict(D.remove_node_property(nodes, nrm).collect()[0].props)
+    assert got3 == {"b": "2"}
