@@ -486,6 +486,38 @@ def _q_kg_flows_4hop(spark, sf_dir):
     return dataflow.flow_paths_grouped(follows, max_hops=4)
 
 
+def _q_kg_flow_edges_semantics(spark, sf_dir):
+    """Flow-semantics application point (Parser.scala:34-76 analog): the
+    triple set rewritten into directed flow edges under the parsed default
+    rule file (per-predicate subj/obj propagation directions)."""
+    from codepropertygraph_spark.operators import semantics
+
+    triples = kg.final_triples(_transcripts(spark, sf_dir), _alias_dict(spark, sf_dir))
+    rules = semantics.semantics_table(spark)
+    return semantics.flow_edges(triples, rules)
+
+
+def _q_kg_reachable_semantics(spark, sf_dir):
+    """Rule-pruned reachability: 4-hop closure over the semantics-rewritten
+    flow edges (the engine consults semantics at every expansion)."""
+    from codepropertygraph_spark.operators import semantics
+
+    triples = kg.final_triples(_transcripts(spark, sf_dir), _alias_dict(spark, sf_dir))
+    fe = semantics.flow_edges(triples, semantics.semantics_table(spark))
+    return dataflow.reachable_within_grouped(fe, max_hops=4)
+
+
+def _q_kg_reachable_cross_conv(spark, sf_dir):
+    """Cross-procedure propagation, call depth <= 1 (EngineConfig.maxCallDepth
+    analog): follows-reachability that may continue through one other
+    conversation via a shared canonical entity."""
+    triples = kg.final_triples(_transcripts(spark, sf_dir), _alias_dict(spark, sf_dir))
+    follows = triples.where(F.col("pred") == S.PRED_FOLLOWS).select(
+        "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
+    )
+    return dataflow.reachable_cross_conversation(follows, max_hops=4, max_crossings=1)
+
+
 def _q_kg_cdg(spark, sf_dir):
     """Control-dependence edges (A18, CdgPass analog): post-dominance
     frontier of each conversation's follows-graph, exit = max node name
@@ -612,6 +644,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_dominators": _q_kg_dominators,
     "kg_cdg": _q_kg_cdg,
     "kg_flows_4hop": _q_kg_flows_4hop,
+    "kg_flow_edges_semantics": _q_kg_flow_edges_semantics,
+    "kg_reachable_semantics": _q_kg_reachable_semantics,
+    "kg_reachable_cross_conv": _q_kg_reachable_cross_conv,
     "kg_traversal_mentions": _q_kg_traversal_mentions,
     "kg_traversal_coalesce": _q_kg_traversal_coalesce,
     "kg_entities": _q_kg_entities,
@@ -993,6 +1028,67 @@ ORACLES: dict[str, str] = {
 # the UDF extraction variant must produce byte-identical rows to the JVM path
 ORACLES["kg_raw_triples_udf"] = ORACLES["kg_raw_triples"]
 
+
+# the default semantics rules (operators/semantics.DEFAULT_SEMANTICS),
+# mirrored literally: subj->obj for uses_tool/mentions/refers_to/follows,
+# obj->subj for mentions/asks_about
+_SEM_EDGES = f"""
+t AS (SELECT * FROM read_parquet('{_ET01}')),
+fe AS (
+  SELECT DISTINCT conv_id, s, o FROM (
+    SELECT conv_id, subj AS s, obj AS o FROM t
+    WHERE pred IN ('uses_tool', 'mentions', 'refers_to', 'follows')
+    UNION ALL
+    SELECT conv_id, obj AS s, subj AS o FROM t
+    WHERE pred IN ('mentions', 'asks_about')
+  )
+)
+"""
+
+ORACLES["kg_flow_edges_semantics"] = f"""
+    WITH {_SEM_EDGES}
+    SELECT conv_id, s, o FROM fe
+"""
+
+ORACLES["kg_reachable_semantics"] = f"""
+    WITH {_SEM_EDGES},
+    h2 AS (SELECT a.conv_id, a.s, b.o FROM fe a JOIN fe b
+            ON a.conv_id = b.conv_id AND a.o = b.s),
+    h3 AS (SELECT a.conv_id, a.s, b.o FROM h2 a JOIN fe b
+            ON a.conv_id = b.conv_id AND a.o = b.s),
+    h4 AS (SELECT a.conv_id, a.s, b.o FROM h3 a JOIN fe b
+            ON a.conv_id = b.conv_id AND a.o = b.s)
+    SELECT DISTINCT conv_id, s AS src, o AS dst
+    FROM (SELECT * FROM fe UNION ALL SELECT * FROM h2
+          UNION ALL SELECT * FROM h3 UNION ALL SELECT * FROM h4)
+"""
+
+ORACLES["kg_reachable_cross_conv"] = f"""
+    WITH e AS (
+      SELECT DISTINCT conv_id, subj AS s, obj AS o
+      FROM read_parquet('{_ET01}') WHERE pred = 'follows'
+    ),
+    h2 AS (SELECT a.conv_id, a.s, b.o FROM e a JOIN e b
+            ON a.conv_id = b.conv_id AND a.o = b.s),
+    h3 AS (SELECT a.conv_id, a.s, b.o FROM h2 a JOIN e b
+            ON a.conv_id = b.conv_id AND a.o = b.s),
+    h4 AS (SELECT a.conv_id, a.s, b.o FROM h3 a JOIN e b
+            ON a.conv_id = b.conv_id AND a.o = b.s),
+    within AS (
+      SELECT DISTINCT conv_id, s AS src, o AS dst
+      FROM (SELECT * FROM e UNION ALL SELECT * FROM h2
+            UNION ALL SELECT * FROM h3 UNION ALL SELECT * FROM h4)
+    ),
+    lv AS (
+      SELECT src, dst, 0 AS c FROM within
+      UNION ALL
+      SELECT a.src, b.dst, 1 AS c
+      FROM within a JOIN within b
+        ON a.dst = b.src AND a.conv_id != b.conv_id
+    )
+    SELECT src, dst, CAST(min(c) AS BIGINT) AS crossings
+    FROM lv GROUP BY src, dst
+"""
 
 ORACLES["kg_flows_4hop"] = f"""
     WITH RECURSIVE

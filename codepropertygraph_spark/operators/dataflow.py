@@ -242,6 +242,61 @@ def control_dependence_grouped(edges: DataFrame, exits: DataFrame) -> DataFrame:
     )
 
 
+def reachable_cross_conversation(
+    edges: DataFrame,
+    max_hops: int = 4,
+    max_crossings: int = 1,
+    keyed_by: str = "conv_id",
+) -> DataFrame:
+    """Cross-procedure propagation with a call-depth bound — the engine's
+    continuation tasks at call sites (``Engine.scala:70-127`` params/returns,
+    ``EngineConfig.maxCallDepth`` ``Engine.scala:243-244``): a canonical
+    entity appearing in two conversations is the same global node, so flow
+    leaving conversation A through entity x may continue in conversation B —
+    one "crossing" is one call-depth unit.
+
+    Returns DISTINCT global (src, dst, crossings) pairs where dst is
+    reachable from src with ≤ max_hops hops inside each conversation and at
+    most ``max_crossings`` conversation crossings; ``crossings`` is the
+    MINIMUM number needed. Shape: the within-conversation closure runs once
+    (grouped BFS, one shuffle), then each crossing level is one equi-join on
+    the bridging entity + a min-aggregate — no per-level BFS re-run.
+    """
+    within = reachable_within_grouped(edges, max_hops=max_hops, keyed_by=keyed_by)
+    within = within.persist()
+    # depth 0: pairs reachable inside a single conversation
+    levels = within.select("src", "dst").dropDuplicates().withColumn(
+        "crossings", F.lit(0)
+    )
+    frontier = within.select("src", F.col("dst").alias("bridge"), keyed_by)
+    for depth in range(1, max_crossings + 1):
+        # continue from the bridge entity inside ANY OTHER conversation
+        step = (
+            frontier.alias("f")
+            .join(
+                within.alias("w"),
+                (F.col("f.bridge") == F.col("w.src"))
+                & (F.col(f"f.{keyed_by}") != F.col(f"w.{keyed_by}")),
+            )
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("w.dst").alias("dst"),
+                F.col(f"w.{keyed_by}").alias(keyed_by),
+            )
+            .dropDuplicates(["src", "dst", keyed_by])
+        )
+        levels = levels.unionByName(
+            step.select("src", "dst").dropDuplicates().withColumn(
+                "crossings", F.lit(depth)
+            )
+        )
+        frontier = step.select("src", F.col("dst").alias("bridge"), keyed_by)
+    out = levels.groupBy("src", "dst").agg(
+        F.min("crossings").cast("long").alias("crossings")
+    )
+    return out
+
+
 def flow_paths_grouped(
     edges: DataFrame, max_hops: int = 4, keyed_by: str = "conv_id"
 ) -> DataFrame:

@@ -351,3 +351,69 @@ def test_out_e_exposes_props(tiny_g):
 def test_caller_callee_sugar(tiny_g):
     assert {r.id for r in tiny_g.toolcalls().callee().df.collect()} == {30}
     assert {r.id for r in tiny_g.entities().caller().df.collect()} == {20}
+
+# -- flow semantics + cross-conversation propagation ---------------------------
+
+
+def test_semantics_parser_golden(spark):
+    from codepropertygraph_spark.operators import semantics
+
+    rules = semantics.parse_semantics(
+        '# comment\n"uses_tool" subj -> obj\n"mentions" subj->obj, obj -> subj\n'
+        '"refers_to" -\n\n"asks_about" obj->subj  # trailing\n'
+    )
+    assert rules == [
+        ("uses_tool", "subj", "obj"),
+        ("mentions", "subj", "obj"),
+        ("mentions", "obj", "subj"),
+        ("asks_about", "obj", "subj"),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        semantics.parse_semantics('"x" subj -> nowhere')
+
+
+def test_semantics_flow_edges_prune(spark):
+    from codepropertygraph_spark.operators import semantics
+
+    triples = spark.createDataFrame(
+        [
+            ("c1", "a", "uses_tool", "b"),
+            ("c1", "a", "refers_to", "b"),
+            ("c1", "x", "mentions", "y"),
+        ],
+        "conv_id string, subj string, pred string, obj string",
+    )
+    rules = semantics.semantics_table(
+        spark, '"uses_tool" subj -> obj\n"mentions" subj->obj, obj->subj\n"refers_to" -\n'
+    )
+    got = {(r.s, r.o) for r in semantics.flow_edges(triples, rules).collect()}
+    # refers_to contributes nothing; mentions is bidirectional
+    assert got == {("a", "b"), ("x", "y"), ("y", "x")}
+
+
+def test_reachable_cross_conversation_bridges(spark):
+    """Entity x in conv A reaches entity z only through conv B — one
+    crossing; within-conv pairs report crossings=0."""
+    edges = spark.createDataFrame(
+        [("A", "a", "x"), ("B", "x", "z")],
+        "conv_id string, s string, o string",
+    )
+    got = {
+        (r.src, r.dst): r.crossings
+        for r in dataflow.reachable_cross_conversation(
+            edges, max_hops=4, max_crossings=1
+        ).collect()
+    }
+    assert got[("a", "x")] == 0
+    assert got[("x", "z")] == 0
+    assert got[("a", "z")] == 1  # only via the conv-B continuation
+    # with crossings disabled the bridge pair disappears
+    got0 = {
+        (r.src, r.dst)
+        for r in dataflow.reachable_cross_conversation(
+            edges, max_hops=4, max_crossings=0
+        ).collect()
+    }
+    assert ("a", "z") not in got0
