@@ -613,6 +613,26 @@ def _q_kg_ast_json_tree(spark, sf_dir):
     return json_ingest.json_tree(aj, "ast_id", "ast")
 
 
+_TAINT_PATTERN = "$.clauses[*].subj.surface"
+
+
+def _q_kg_access_path_match(spark, sf_dir):
+    """Access-path algebra (AccessPath.scala matchAndDiff analog): classify
+    every AST-tree node path against the tracked pattern
+    '$.clauses[*].subj.surface' (wildcard index = VariableAccess); counts
+    per match kind."""
+    from codepropertygraph_spark.functions import access_path
+    from codepropertygraph_spark.sources import json_ingest
+
+    d = td.ensure_generated(td.tier_of_sf_dir(sf_dir))
+    aj = spark.read.parquet(f"{d}/ast_json.parquet")
+    tree = json_ingest.json_tree(aj, "ast_id", "ast")
+    m = tree.select(
+        access_path.match_path(F.col("path"), _TAINT_PATTERN).getField("kind").alias("kind")
+    )
+    return m.groupBy("kind").agg(F.count("*").alias("n")).orderBy("kind")
+
+
 def _q_events_json_extract(spark, sf_dir):
     """Semi-structured ingest (A3 analog: pre-parsed JSON walk → typed
     columns): parse the events props JSON payload."""
@@ -653,6 +673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_list": _q_dedup_keep_list,
     "events_json_extract": _q_events_json_extract,
     "kg_ast_json_tree": _q_kg_ast_json_tree,
+    "kg_access_path_match": _q_kg_access_path_match,
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_bands": _q_dedup_minhash_bands,
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -1357,6 +1378,48 @@ ORACLES["kg_ast_json_tree"] = f"""
         cast(concat('0x', substr(md5(concat_ws('|', 'JSON', CAST(ast_id AS VARCHAR), parent_path)), 1, 15)) AS BIGINT)
       END AS parent_id
     FROM walk
+"""
+
+ORACLES["kg_access_path_match"] = f"""
+    WITH RECURSIVE walk AS (
+      SELECT ast_id, '$' AS path, ast AS frag
+      FROM read_parquet('{_AJ01}')
+      UNION ALL
+      SELECT ast_id, path || c.p, c.f
+      FROM (
+        SELECT ast_id, path,
+          unnest(CASE WHEN json_type(frag) = 'OBJECT'
+            THEN list_transform(json_keys(frag), k ->
+                 {{'p': '.' || k,
+                   'f': coalesce(CAST(json_extract(frag, '$.' || k) AS VARCHAR), 'null')}})
+            WHEN json_type(frag) = 'ARRAY'
+            THEN list_transform(range(CAST(json_array_length(frag) AS INT)), i ->
+                 {{'p': '[' || i || ']',
+                   'f': coalesce(CAST(json_extract(frag, '$[' || i || ']') AS VARCHAR), 'null')}})
+            ELSE CAST([] AS STRUCT(p VARCHAR, f VARCHAR)[]) END) AS c
+        FROM walk
+      )
+    ),
+    el AS (
+      SELECT
+        list_filter(string_split(replace('{_TAINT_PATTERN}', '[', '.['), '.'),
+                    x -> x != '$' AND x != '') AS a,
+        list_filter(string_split(replace(path, '[', '.['), '.'),
+                    x -> x != '$' AND x != '') AS b
+      FROM walk
+    ),
+    m AS (
+      SELECT a, b, least(len(a), len(b)) AS k,
+             len(list_filter(range(1, least(len(a), len(b)) + 1),
+                 i -> NOT (a[i] = b[i] OR a[i] = '[*]' OR b[i] = '[*]'))) = 0 AS ok
+      FROM el
+    )
+    SELECT CASE WHEN NOT ok THEN 'NO_MATCH'
+                WHEN len(a) = len(b) THEN 'EXACT'
+                WHEN len(a) < len(b) THEN 'A_PREFIX_OF_B'
+                ELSE 'B_PREFIX_OF_A' END AS kind,
+           count(*) AS n
+    FROM m GROUP BY 1 ORDER BY 1
 """
 
 ORACLES["events_json_extract"] = """

@@ -417,3 +417,30 @@ def test_reachable_cross_conversation_bridges(spark):
         ).collect()
     }
     assert ("a", "z") not in got0
+
+
+def test_access_path_match_and_diff(spark):
+    """AccessPath.matchAndDiff analog goldens: exact / prefix / extension /
+    mismatch, wildcard index = VariableAccess."""
+    from codepropertygraph_spark.functions import access_path as AP
+
+    rows = [
+        ("$.a[0].b", "$.a[0].b", "EXACT", []),
+        ("$.a[*].b", "$.a[7].b", "EXACT", []),          # wildcard matches any index
+        ("$.a", "$.a[0].b", "A_PREFIX_OF_B", ["[0]", "b"]),
+        ("$.a[0].b.c", "$.a[0].b", "B_PREFIX_OF_A", ["c"]),
+        ("$.a[0].b", "$.a[1].b", "NO_MATCH", []),
+        ("$.x", "$.y", "NO_MATCH", []),
+        ("$", "$.y", "A_PREFIX_OF_B", ["y"]),           # root covers everything
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b, _, _ in rows], "a string, b string"
+    )
+    got = df.select(
+        "a",
+        "b",
+        AP.match_and_diff(AP.elements("a"), AP.elements("b")).alias("m"),
+    ).collect()
+    by_pair = {(r.a, r.b): (r.m.kind, list(r.m.diff)) for r in got}
+    for a, b, kind, diff in rows:
+        assert by_pair[(a, b)] == (kind, diff), (a, b)
