@@ -486,6 +486,18 @@ def _q_kg_flows_4hop(spark, sf_dir):
     return dataflow.flow_paths_grouped(follows, max_hops=4)
 
 
+def _q_kg_flows_witness(spark, sf_dir):
+    """Scale-path flows: ONE shortest witness path per reachable pair (the
+    Engine ResultTable per-(head,last) dedup discipline) — bounded output
+    where full enumeration (kg_flows_4hop) is output-exponential on
+    hub-dense graphs."""
+    triples = kg.final_triples(_transcripts(spark, sf_dir), _alias_dict(spark, sf_dir))
+    follows = triples.where(F.col("pred") == S.PRED_FOLLOWS).select(
+        "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
+    )
+    return dataflow.flow_witness_grouped(follows, max_hops=4)
+
+
 def _q_kg_flow_edges_semantics(spark, sf_dir):
     """Flow-semantics application point (Parser.scala:34-76 analog): the
     triple set rewritten into directed flow edges under the parsed default
@@ -633,6 +645,16 @@ def _q_kg_access_path_match(spark, sf_dir):
     return m.groupBy("kind").agg(F.count("*").alias("n")).orderBy("kind")
 
 
+def _q_kg_ast_json_tree_arrow(spark, sf_dir):
+    """Single-pass Arrow walker variant — must hash-match the declarative
+    walker's oracle exactly (cross-engine parity of the two shapes)."""
+    from codepropertygraph_spark.sources import json_ingest
+
+    d = td.ensure_generated(td.tier_of_sf_dir(sf_dir))
+    aj = spark.read.parquet(f"{d}/ast_json.parquet")
+    return json_ingest.json_tree_arrow(aj, "ast_id", "ast")
+
+
 def _q_events_json_extract(spark, sf_dir):
     """Semi-structured ingest (A3 analog: pre-parsed JSON walk → typed
     columns): parse the events props JSON payload."""
@@ -664,6 +686,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_dominators": _q_kg_dominators,
     "kg_cdg": _q_kg_cdg,
     "kg_flows_4hop": _q_kg_flows_4hop,
+    "kg_flows_witness": _q_kg_flows_witness,
     "kg_flow_edges_semantics": _q_kg_flow_edges_semantics,
     "kg_reachable_semantics": _q_kg_reachable_semantics,
     "kg_reachable_cross_conv": _q_kg_reachable_cross_conv,
@@ -673,6 +696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_list": _q_dedup_keep_list,
     "events_json_extract": _q_events_json_extract,
     "kg_ast_json_tree": _q_kg_ast_json_tree,
+    "kg_ast_json_tree_arrow": _q_kg_ast_json_tree_arrow,
     "kg_access_path_match": _q_kg_access_path_match,
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_bands": _q_dedup_minhash_bands,
@@ -1050,6 +1074,48 @@ ORACLES: dict[str, str] = {
 ORACLES["kg_raw_triples_udf"] = ORACLES["kg_raw_triples"]
 
 
+def _witness_levels_sql(max_hops: int = 4) -> str:
+    """Unrolled per-level CTEs mirroring flow_witness_grouped's BFS
+    recurrence: wL(start, node) = min over (u reached at L-1, edge u->node,
+    node unreached at < L and != start) of wL-1(u) || '->node'."""
+    parts = [
+        "w1 AS (SELECT conv_id, s AS start, o AS node, s || '->' || o AS path "
+        "FROM e)"
+    ]
+    for lv in range(2, max_hops + 1):
+        prev = f"w{lv - 1}"
+        earlier = " UNION ALL ".join(
+            f"SELECT conv_id, start, node FROM w{j}" for j in range(1, lv)
+        )
+        parts.append(
+            f"""w{lv} AS (
+  SELECT conv_id, start, node, min(path) AS path FROM (
+    SELECT p.conv_id, p.start, e.o AS node, p.path || '->' || e.o AS path
+    FROM {prev} p JOIN e ON e.conv_id = p.conv_id AND e.s = p.node
+    WHERE e.o != p.start
+      AND NOT EXISTS (
+        SELECT 1 FROM ({earlier}) r
+        WHERE r.conv_id = p.conv_id AND r.start = p.start AND r.node = e.o)
+  ) GROUP BY conv_id, start, node
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT conv_id, start, node, {lv} AS hops, path FROM w{lv}"
+        for lv in range(1, max_hops + 1)
+    )
+    return ", ".join(parts) + f", wall AS ({union})"
+
+
+ORACLES["kg_flows_witness"] = f"""
+    WITH e AS (
+      SELECT DISTINCT conv_id, subj AS s, obj AS o
+      FROM read_parquet('{_ET01}') WHERE pred = 'follows' AND subj != obj
+    ),
+    {_witness_levels_sql(4)}
+    SELECT conv_id, start AS src, node AS dst, CAST(hops AS BIGINT) AS hops, path
+    FROM wall
+"""
+
 # the default semantics rules (operators/semantics.DEFAULT_SEMANTICS),
 # mirrored literally: subj->obj for uses_tool/mentions/refers_to/follows,
 # obj->subj for mentions/asks_about
@@ -1340,7 +1406,7 @@ ORACLES["ann_cosine_topk_lsh"] = f"""
     FROM r WHERE rank <= 5
 """
 
-_AJ01 = f"{_G01}/ast_json.parquet"
+_AJ01 = f"{_G01}/ast_json.parquet/*.parquet"
 
 ORACLES["kg_ast_json_tree"] = f"""
     WITH RECURSIVE walk AS (
@@ -1421,6 +1487,8 @@ ORACLES["kg_access_path_match"] = f"""
            count(*) AS n
     FROM m GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["kg_ast_json_tree_arrow"] = ORACLES["kg_ast_json_tree"]
 
 ORACLES["events_json_extract"] = """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value

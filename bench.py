@@ -117,9 +117,28 @@ def run_bench(master: str, replicate: int = 1, only: str | None = None) -> dict:
         warmup=True,
         runs=3,
     )
-    timed("kg_mentions", lambda: _force(extraction.mention_surfaces(tr, ad)), runs=2)
-    timed("kg_raw_triples", lambda: _force(extraction.raw_triples(tr)), runs=2)
-    timed("kg_merge_map", lambda: _force(canonicalize.merge_map(ad)), runs=2)
+    # min-of-3 on every sub-query: BENCH_r01 recorded kg_raw_triples at
+    # 40.3 s (vs 11.1 s for the strictly-more-work pipeline) on a query the
+    # plan audit proves is zero-shuffle; re-measured alone it is ~0.7-1.0 s.
+    # This box has noisy neighbors; contention is additive, so min-of-N is
+    # the unbiased estimator (see memory: bench noise).
+    timed("kg_mentions", lambda: _force(extraction.mention_surfaces(tr, ad)), runs=3)
+    timed("kg_raw_triples", lambda: _force(extraction.raw_triples(tr)), runs=3)
+    timed("kg_merge_map", lambda: _force(canonicalize.merge_map(ad)), runs=3)
+
+    def _json_tree():
+        # the single-pass Arrow walker (the throughput shape); the
+        # declarative per-level walker is correctness-equivalent (same
+        # oracle) but re-serializes fragments per level — measured 87.7 s vs
+        # 9.5 s here at sf0.1, kept out of the headline bench.
+        from codepropertygraph_spark.sources import json_ingest
+
+        # small part files coalesce into few input splits (openCost /
+        # maxPartitionBytes); spread once so the walk is actually parallel
+        aj = spark.read.parquet(f"{d}/ast_json.parquet").repartition(64)
+        return _force(json_ingest.json_tree_arrow(aj, "ast_id", "ast"))
+
+    timed("kg_ast_json_tree", _json_tree, runs=2)
 
     # reachability is measured on its own input (follows edges precomputed
     # and resident) — kg_pipeline already accounts for producing them.
@@ -132,6 +151,24 @@ def run_bench(master: str, replicate: int = 1, only: str | None = None) -> dict:
     timed(
         "kg_reachable_4hop",
         lambda: _force(dataflow.reachable_within_grouped(follows_edges, max_hops=4)),
+        runs=2,
+    )
+    # flows: the WITNESS variant (one shortest path per pair) is the scale
+    # path; full simple-path enumeration (kg_flows_4hop query) is
+    # output-exponential on hub-dense graphs — deliberately not benched at
+    # sf0.1, exactly as the reference never enumerates all-pairs flows.
+    timed(
+        "kg_flows_witness",
+        lambda: _force(dataflow.flow_witness_grouped(follows_edges, max_hops=4)),
+        runs=2,
+    )
+    timed(
+        "kg_reachable_cross_conv",
+        lambda: _force(
+            dataflow.reachable_cross_conversation(
+                follows_edges, max_hops=4, max_crossings=1
+            )
+        ),
         runs=2,
     )
 

@@ -242,6 +242,74 @@ def control_dependence_grouped(edges: DataFrame, exits: DataFrame) -> DataFrame:
     )
 
 
+def flow_witness_grouped(
+    edges: DataFrame, max_hops: int = 4, keyed_by: str = "conv_id"
+) -> DataFrame:
+    """The SCALE path for path-returning flows: ONE deterministic witness
+    path per reachable (src, dst) pair — the shortest, tie-broken by the
+    lexicographically smallest path at each BFS level — instead of
+    enumerating every simple path (:func:`flow_paths_grouped`), which is
+    output-exponential on hub-dense graphs. The reference's engine has the
+    same discipline: its ResultTable dedups flows per (head, last) rather
+    than returning every expansion (``Engine.scala:217-239``).
+
+    The witness is defined by a level-synchronized recurrence (so the DuckDB
+    oracle can mirror it with one unrolled CTE per level):
+      W1(v)   = min over edges (start, v) of 'start->v'
+      WL(v)   = min over edges (u, v), u reached at level L-1, v unreached
+                at any level < L and v != start, of WL-1(u) || '->v'
+    Appending a child preserves string order because the separator '-'
+    sorts below every character used in canonical names, so per-level min
+    composition is well-defined. Output bounded by the reachable pair count;
+    per-group work is O(starts · E · max_hops)."""
+    import pandas as pd
+
+    def witness(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[keyed_by].iloc[0]
+        adj: dict[str, set[str]] = {}
+        for s, o in zip(pdf["s"], pdf["o"]):
+            if s != o:
+                adj.setdefault(s, set()).add(o)
+        out_src, out_dst, out_hops, out_path = [], [], [], []
+        for start in adj:
+            best: dict[str, str] = {start: start}
+            frontier = [start]
+            for hop in range(1, max_hops + 1):
+                cand: dict[str, str] = {}
+                for u in frontier:
+                    pu = best[u]
+                    for v in adj.get(u, ()):
+                        if v in best:
+                            continue
+                        s = pu + "->" + v
+                        if v not in cand or s < cand[v]:
+                            cand[v] = s
+                if not cand:
+                    break
+                for v, s in cand.items():
+                    best[v] = s
+                    out_src.append(start)
+                    out_dst.append(v)
+                    out_hops.append(hop)
+                    out_path.append(s)
+                frontier = sorted(cand)
+        return pd.DataFrame(
+            {
+                keyed_by: key,
+                "src": out_src,
+                "dst": out_dst,
+                "hops": out_hops,
+                "path": out_path,
+            }
+        )
+
+    e = edges.select(keyed_by, "s", "o").dropDuplicates([keyed_by, "s", "o"])
+    return e.groupBy(keyed_by).applyInPandas(
+        witness,
+        schema=f"{keyed_by} string, src string, dst string, hops long, path string",
+    )
+
+
 def reachable_cross_conversation(
     edges: DataFrame,
     max_hops: int = 4,
@@ -268,33 +336,70 @@ def reachable_cross_conversation(
     levels = within.select("src", "dst").dropDuplicates().withColumn(
         "crossings", F.lit(0)
     )
-    frontier = within.select("src", F.col("dst").alias("bridge"), keyed_by)
-    for depth in range(1, max_crossings + 1):
-        # continue from the bridge entity inside ANY OTHER conversation
-        step = (
-            frontier.alias("f")
-            .join(
-                within.alias("w"),
-                (F.col("f.bridge") == F.col("w.src"))
-                & (F.col(f"f.{keyed_by}") != F.col(f"w.{keyed_by}")),
-            )
-            .select(
-                F.col("f.src").alias("src"),
-                F.col("w.dst").alias("dst"),
-                F.col(f"w.{keyed_by}").alias(keyed_by),
-            )
-            .dropDuplicates(["src", "dst", keyed_by])
+    if max_crossings >= 1:
+        # Skew-safe single crossing: carrying conv_id into the bridge join
+        # makes the hub entity quadratic in its conversation count (org_1 in
+        # 2/3 of conversations → ~(0.66·n_conv)² rows through one key). The
+        # conv_id only matters through the constraint conv_a != conv_b, so
+        # pre-aggregate each side to (entity pair, distinct-conv count, the
+        # single conv when count == 1): a crossing is valid unless BOTH sides
+        # have exactly one witness conversation and it is the same one. The
+        # bridge join is then bounded by entity-pair counts, independent of
+        # how many conversations the hub appears in.
+        arrive = within.groupBy("src", F.col("dst").alias("bridge")).agg(
+            F.countDistinct(keyed_by).alias("n_a"),
+            F.min(keyed_by).alias("c_a"),
         )
-        levels = levels.unionByName(
-            step.select("src", "dst").dropDuplicates().withColumn(
-                "crossings", F.lit(depth)
-            )
+        depart = within.groupBy(
+            F.col("src").alias("bridge"), F.col("dst").alias("dst2")
+        ).agg(
+            F.countDistinct(keyed_by).alias("n_d"),
+            F.min(keyed_by).alias("c_d"),
         )
-        frontier = step.select("src", F.col("dst").alias("bridge"), keyed_by)
-    out = levels.groupBy("src", "dst").agg(
+        step1 = (
+            arrive.join(depart, "bridge")
+            .where(
+                ~(
+                    (F.col("n_a") == 1)
+                    & (F.col("n_d") == 1)
+                    & (F.col("c_a") == F.col("c_d"))
+                )
+            )
+            .select("src", F.col("dst2").alias("dst"))
+            .dropDuplicates()
+            .withColumn("crossings", F.lit(1))
+        )
+        levels = levels.unionByName(step1)
+    if max_crossings >= 2:
+        # deeper call depths keep the exact conv-carrying frontier loop —
+        # correct but hub-quadratic; salt the bridge key before using this
+        # at scale (documented, not the shipped configuration).
+        frontier = within.select("src", F.col("dst").alias("bridge"), keyed_by)
+        for depth in range(1, max_crossings + 1):
+            step = (
+                frontier.alias("f")
+                .join(
+                    within.alias("w"),
+                    (F.col("f.bridge") == F.col("w.src"))
+                    & (F.col(f"f.{keyed_by}") != F.col(f"w.{keyed_by}")),
+                )
+                .select(
+                    F.col("f.src").alias("src"),
+                    F.col("w.dst").alias("dst"),
+                    F.col(f"w.{keyed_by}").alias(keyed_by),
+                )
+                .dropDuplicates(["src", "dst", keyed_by])
+            )
+            if depth >= 2:
+                levels = levels.unionByName(
+                    step.select("src", "dst").dropDuplicates().withColumn(
+                        "crossings", F.lit(depth)
+                    )
+                )
+            frontier = step.select("src", F.col("dst").alias("bridge"), keyed_by)
+    return levels.groupBy("src", "dst").agg(
         F.min("crossings").cast("long").alias("crossings")
     )
-    return out
 
 
 def flow_paths_grouped(

@@ -393,7 +393,7 @@ def turn_ast_json(row: dict) -> str:
     return json.dumps(doc, sort_keys=True, separators=(",", ":"))
 
 
-GENERATOR_VERSION = 3  # bump to invalidate cached corpora
+GENERATOR_VERSION = 4  # bump to invalidate cached corpora
 
 
 def ensure_generated(tier: str) -> str:
@@ -475,7 +475,15 @@ def ensure_generated(tier: str) -> str:
             "ast": [turn_ast_json(rows[i]) for i in aj_rows],
         }
     )
-    pq.write_table(aj_table, os.path.join(tmp, "ast_json.parquet"))
+    # directory of part files (single-file parquet = one Spark input
+    # partition = a serial walk; same reasoning as transcripts above)
+    ajdir = os.path.join(tmp, "ast_json.parquet")
+    os.makedirs(ajdir, exist_ok=True)
+    aj_chunk = (aj_table.num_rows + n_parts - 1) // n_parts
+    for i in range(n_parts):
+        sl = aj_table.slice(i * aj_chunk, aj_chunk)
+        if sl.num_rows:
+            pq.write_table(sl, os.path.join(ajdir, f"part-{i:03d}.parquet"))
     pq.write_table(tr_table, os.path.join(tmp, "expected_triples.parquet"))
     pq.write_table(mm_table, os.path.join(tmp, "expected_components.parquet"))
     import shutil

@@ -347,3 +347,23 @@ def test_json_tree_matches_generator(spark):
         len(_json.loads(r.ast)["clauses"]) for r in aj.collect()
     )
     assert n_clause_objs == expected
+
+
+def test_json_tree_arrow_parity(spark):
+    """The single-pass Arrow walker and the declarative per-level walker
+    must produce identical trees (same rows, same ids)."""
+    from codepropertygraph_spark import testdata as td
+    from codepropertygraph_spark.sources import json_ingest
+
+    d = td.ensure_generated("sf0.001")
+    aj = spark.read.parquet(f"{d}/ast_json.parquet").limit(120)
+    cols = ["ast_id", "path", "parent_path", "depth", "kind", "value",
+            "n_children", "node_id", "parent_id"]
+    a = {tuple(r) for r in json_ingest.json_tree(aj, "ast_id", "ast").select(*cols).collect()}
+    b = {tuple(r) for r in json_ingest.json_tree_arrow(aj, "ast_id", "ast").select(*cols).collect()}
+    assert a == b
+    doc = '{"a":{"b":[3,"x",true,null]},"c":"s","e":{},"f":[]}'
+    df = spark.createDataFrame([(1, doc)], "ast_id long, ast string")
+    a2 = {tuple(r) for r in json_ingest.json_tree(df, "ast_id", "ast").select(*cols).collect()}
+    b2 = {tuple(r) for r in json_ingest.json_tree_arrow(df, "ast_id", "ast").select(*cols).collect()}
+    assert a2 == b2

@@ -444,3 +444,26 @@ def test_access_path_match_and_diff(spark):
     by_pair = {(r.a, r.b): (r.m.kind, list(r.m.diff)) for r in got}
     for a, b, kind, diff in rows:
         assert by_pair[(a, b)] == (kind, diff), (a, b)
+
+
+def test_flow_witness_diamond(spark):
+    """One shortest witness per pair, min-string tie-break at each level."""
+    edges = spark.createDataFrame(
+        [("g", "a", "b"), ("g", "a", "c"), ("g", "b", "d"), ("g", "c", "d"),
+         ("g", "d", "e"), ("g", "e", "e")],
+        "conv_id string, s string, o string",
+    )
+    got = {
+        (r.src, r.dst): (r.hops, r.path)
+        for r in dataflow.flow_witness_grouped(edges, max_hops=4).collect()
+    }
+    assert got[("a", "d")] == (2, "a->b->d")  # min-string among the two 2-hop paths
+    assert got[("a", "e")] == (3, "a->b->d->e")
+    assert ("e", "e") not in got  # self-loops excluded
+    # pair set == the pair-returning closure (minus self-pairs)
+    pairs = {
+        (r.src, r.dst)
+        for r in dataflow.reachable_within_grouped(edges, max_hops=4).collect()
+        if r.src != r.dst
+    }
+    assert set(got) == pairs
