@@ -62,6 +62,10 @@ def main() -> None:
         "kg_linked_mentions",
         "kg_reaching_defs",
         "dedup_minhash_pairs",
+        "dedup_embedding_cosine",
+        "ann_cosine_topk_lsh",
+        "kg_flow_edges_semantics",
+        "kg_reachable_cross_conv",
         "ann_cosine_topk",
         "tpch_q1",
     ):
