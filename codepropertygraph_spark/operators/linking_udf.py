@@ -32,6 +32,13 @@ def _default_score(surface: str, candidates: list[tuple[str, float]]) -> str:
     return min(candidates, key=lambda c: (-c[1], c[0]))[0]
 
 
+MAX_BROADCAST_DICT_ROWS = 50_000_000  # ~a few GB of tuples: the driver-side
+# collect below is only valid while the dictionary is executor-RAM scale
+# (the same assumption the reference's Linker.initMaps makes). Beyond this,
+# switch to the JVM broadcast-join path (linking.link_surfaces) or a
+# bucketed join — fail loudly rather than OOM the driver.
+
+
 def scored_link_pandas(
     df: DataFrame,
     alias_dict: DataFrame,
@@ -43,6 +50,13 @@ def scored_link_pandas(
     Python scorer; unresolved surfaces become external stubs."""
     spark = df.sparkSession
     sc = spark.sparkContext
+    n_dict = alias_dict.count()
+    if n_dict > MAX_BROADCAST_DICT_ROWS:
+        raise ValueError(
+            f"alias dictionary has {n_dict} rows — too large to collect and "
+            f"broadcast (cap {MAX_BROADCAST_DICT_ROWS}); use "
+            "linking.link_surfaces (broadcast hash join) or a bucketed join"
+        )
     # dictionary → {surface: [(canonical, prior), ...]} shipped ONCE per
     # executor (torrent broadcast), not per task.
     rows = alias_dict.select("alias", "canonical_name", "prior").collect()

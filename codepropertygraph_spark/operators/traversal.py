@@ -200,6 +200,50 @@ class Traversal:
             F.col("id").alias("node_id"), F.lit(name).alias("tag")
         ).dropDuplicates(["node_id", "tag"])
 
+    # -- aggregation / ordering sugar ------------------------------------------
+
+    def group_count(self, *cols: str) -> DataFrame:
+        """``groupCount`` analog: rows per key (defaults to label)."""
+        keys = list(cols) or ["label"]
+        return self.df.groupBy(*keys).agg(F.count("*").alias("n")).orderBy(*keys)
+
+    def sort(self, *cols, ascending: bool = True) -> "Traversal":
+        """``sortBy`` analog — total order materialized lazily; at scale
+        prefer ``top_k`` (partial top-N per partition, no full sort)."""
+        exprs = [F.col(c) if isinstance(c, str) else c for c in (cols or ["id"])]
+        if not ascending:
+            exprs = [e.desc() for e in exprs]
+        return Traversal(self._g, self.df.orderBy(*exprs))
+
+    def limit_(self, n: int) -> "Traversal":
+        return Traversal(self._g, self.df.limit(n))
+
+    def top_k(self, k: int, by: str = "id", ascending: bool = False) -> "Traversal":
+        """Top-k by a column: orderBy+limit — Spark plans this as
+        TakeOrderedAndProject (per-partition partial top-k, then a single
+        merge), NOT a global sort."""
+        col = F.col(by).asc() if ascending else F.col(by).desc()
+        return Traversal(self._g, self.df.orderBy(col, F.col("id").asc()).limit(k))
+
+    # -- help / reflection (the reference's .help step, Doc/TraversalHelp) -----
+
+    @classmethod
+    def help(cls) -> list[tuple[str, str]]:
+        """Reflection over the available steps — (name, first doc line) per
+        public method, the ``cpg.help`` / ``TraversalHelp`` analog (the
+        reference generates this table from @Doc annotations; here the
+        docstrings ARE the annotations)."""
+        out = []
+        for name in sorted(dir(cls)):
+            if name.startswith("_"):
+                continue
+            fn = getattr(cls, name)
+            if callable(fn) and fn.__doc__:
+                out.append((name, fn.__doc__.strip().splitlines()[0]))
+            elif callable(fn):
+                out.append((name, ""))
+        return out
+
     # -- materializers (actions) ----------------------------------------------
 
     def count(self) -> int:
@@ -222,6 +266,17 @@ class GraphView:
 
     def all(self) -> Traversal:
         return Traversal(self, self.nodes)
+
+    @staticmethod
+    def help() -> list[tuple[str, str]]:
+        """Starter + step reflection (``cpg.help`` analog)."""
+        starters = [
+            (n, (getattr(GraphView, n).__doc__ or "").strip().splitlines()[0]
+             if (getattr(GraphView, n).__doc__ or "").strip() else "")
+            for n in sorted(dir(GraphView))
+            if not n.startswith("_") and callable(getattr(GraphView, n))
+        ]
+        return starters + Traversal.help()
 
     def label(self, label: str) -> Traversal:
         # at scale `label` is the partition column of the Iceberg nodes

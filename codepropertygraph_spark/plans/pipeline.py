@@ -142,6 +142,24 @@ class Catalog:
         os.replace(tmp, os.path.join(d, "_COMMIT.json"))
         return record
 
+    def compact(self, dest_warehouse: str, files_per_table: int = 8) -> "Catalog":
+        """TrimPass analog (A20, ``semanticcpg/.../trim/TrimPass``) as a
+        storage job: rewrite ALL committed overlays into one compacted base
+        overlay in a fresh warehouse — identical union content, bounded file
+        count per table, re-sorted within partitions (commit_overlay's
+        min/max-pruning sort). The Iceberg production form is
+        ``rewrite_data_files`` + ``expire_snapshots``; locally it is the same
+        read-union-rewrite with the directory+marker commit."""
+        names: set[str] = set()
+        for c in self.committed_overlays():
+            names.update(c["lineage"]["tables"])
+        tables = {
+            n: self.read_table(n).coalesce(files_per_table) for n in sorted(names)
+        }
+        dest = Catalog(self.spark, dest_warehouse)
+        dest.commit_overlay(0, "compacted", tables)
+        return dest
+
     def rollback_to(self, index: int) -> None:
         """Drop overlays with pass_index > index (snapshot rollback)."""
         for d in sorted(os.listdir(self.overlays_dir)):

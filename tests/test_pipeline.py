@@ -201,3 +201,35 @@ def test_diff_edge_property_primitives(spark):
     nrm = spark.createDataFrame([(1, "a")], "id long, key string")
     got3 = dict(D.remove_node_property(nodes, nrm).collect()[0].props)
     assert got3 == {"b": "2"}
+
+
+def test_compact_preserves_content(spark, warehouse, tmp_path):
+    """TrimPass analog: compaction rewrites all overlays into one, with
+    identical union content, fewer files, and a still-valid graph."""
+    import hashlib
+    import os
+
+    cat = P.Catalog(spark, warehouse)
+    dest = cat.compact(str(tmp_path / "wh_compact"), files_per_table=2)
+    assert dest.overlay_names() == ["compacted"]
+
+    def content_hash(c, table):
+        rows = sorted(
+            str(sorted(r.asDict().items())) for r in c.read_table(table).collect()
+        )
+        h = hashlib.sha256()
+        for r in rows:
+            h.update(r.encode())
+        return h.hexdigest()
+
+    def n_files(root, table):
+        total = 0
+        for dirpath, _, files in os.walk(root):
+            if f"/{table}" in dirpath or dirpath.endswith(table):
+                total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    for table in ("nodes", "edges", "triples", "merge_map"):
+        assert content_hash(cat, table) == content_hash(dest, table), table
+    assert n_files(str(tmp_path / "wh_compact"), "nodes") < n_files(warehouse, "nodes")
+    assert P.validate(dest).count() == 0

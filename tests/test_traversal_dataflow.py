@@ -467,3 +467,36 @@ def test_flow_witness_diamond(spark):
         if r.src != r.dst
     }
     assert set(got) == pairs
+
+
+def test_traversal_aggregation_and_help(tiny_g):
+    gc = {r.label: r.n for r in tiny_g.all().group_count().collect()}
+    assert gc == {"TURN": 3, "MENTION": 2, "TOOLCALL": 1, "ENTITY": 1}
+    top = tiny_g.turns().top_k(2, by="order")
+    assert [r.id for r in top.df.collect()] == [3, 2]
+    limited = tiny_g.all().sort("id").limit_(3)
+    assert [r.id for r in limited.df.collect()] == [1, 2, 3]
+    steps = dict(traversal.Traversal.help())
+    for s in ("out", "in_", "coalesce_steps", "choose", "repeat_out", "top_k"):
+        assert s in steps
+    starters = dict(traversal.GraphView.help())
+    assert "conversations" in starters and "trait_" in starters
+
+
+def test_jsonl_source_roundtrip(spark, transcripts, tmp_path):
+    from codepropertygraph_spark.sources import tables as T
+
+    path = str(tmp_path / "jsonl")
+    T.write_transcripts_jsonl(transcripts.limit(200), path)
+    back = T.read_transcripts_jsonl(spark, path)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    a = {tuple(r) for r in transcripts.limit(200).select(*cols).collect()}
+    b = {tuple(r) for r in back.select(*cols).collect()}
+    assert a == b
+    # JSON sources are always nullable and read ts as session-tz timestamp
+    # (the parquet corpus stores NTZ) — values are identical; compare names
+    # and non-timestamp types
+    for f_back, f_src in zip(back.schema.fields, transcripts.select(*cols).schema.fields):
+        assert f_back.name == f_src.name
+        if f_back.name != "ts":
+            assert f_back.dataType == f_src.dataType
