@@ -123,6 +123,14 @@ def stream_follows_stateful(
         out_subj, out_obj = [], []
         last = (prev[0], prev[1], prev[2] or None) if prev else None
         for turn_idx, ts_us, canonical in turns:
+            if last is not None and (turn_idx, ts_us) <= (last[0], last[1]):
+                # LATE-DATA POLICY (the watermark analog for this stateful
+                # op): a turn ordered at-or-before the committed state
+                # boundary arrives after its successor was already paired —
+                # emitting it now would fabricate a follows edge the batch
+                # semantics never produce. Drop it (documented; the batch
+                # backfill path recovers exact output on replay).
+                continue
             if last is not None and canonical is not None and last[2] is not None:
                 out_subj.append(canonical)
                 out_obj.append(last[2])

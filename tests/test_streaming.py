@@ -128,3 +128,36 @@ def test_stream_hourly_counts_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_stateful_follows_drops_late_turns(spark, tmp_path):
+    """Late-data policy: a turn arriving AFTER a later turn was already
+    committed to state is dropped rather than fabricating a follows edge
+    (the watermark analog; batch replay recovers the exact output)."""
+    from datetime import datetime
+
+    base = str(tmp_path)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    # file0 carries turns 1 and 3; file1 carries the LATE turn 2
+    rows0 = [
+        ("cL", 1, "user", "p1 mentions p2 a", None, datetime(2024, 1, 1, 0, 0, 0)),
+        ("cL", 3, "user", "p2 mentions p1 b", None, datetime(2024, 1, 1, 0, 0, 20)),
+    ]
+    rows1 = [("cL", 2, "user", "p1 mentions p1 c", None, datetime(2024, 1, 1, 0, 0, 10))]
+    ad = spark.createDataFrame(
+        [("p1", "person_one", "PERSON", 0.9), ("p2", "person_two", "PERSON", 0.9)],
+        "alias string, canonical_name string, entity_type string, prior double",
+    )
+    import os, shutil
+
+    os.makedirs(f"{base}/in", exist_ok=True)
+    for i, rows in enumerate([rows0, rows1]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(f"{base}/t{i}")
+        for f in os.listdir(f"{base}/t{i}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{base}/t{i}/{f}", f"{base}/in/file{i}.parquet")
+
+    ingest.stream_follows_stateful(spark, f"{base}/in", ad, f"{base}/out", f"{base}/ckpt")
+    got = {tuple(r) for r in spark.read.parquet(f"{base}/out").collect()}
+    # in-order pair (t3 follows t1) emitted; the late t2 produced nothing
+    assert got == {("cL", "person_two", "follows", "person_one")}
