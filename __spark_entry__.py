@@ -655,6 +655,44 @@ def _q_kg_ast_json_tree_arrow(spark, sf_dir):
     return json_ingest.json_tree_arrow(aj, "ast_id", "ast")
 
 
+def _q_kg_mention_ast_link(spark, sf_dir):
+    """MemberAccessLinker analog (A14): link the FLAT extraction's mention
+    occurrences to the DEEP AST's field nodes — the subj/obj leaves of the
+    walked JSON tree, paired through their sibling pos leaf, equi-joined to
+    mention_surfaces on (conv, turn, pos, surface). Output: one row per
+    linked clause argument with its grammatical role."""
+    from codepropertygraph_spark.sources import json_ingest
+
+    d = td.ensure_generated(td.tier_of_sf_dir(sf_dir))
+    aj = spark.read.parquet(f"{d}/ast_json.parquet")
+    tree = json_ingest.json_tree_arrow(aj, "ast_id", "ast")
+    surf = tree.where(F.col("path").rlike(r"\.(subj|obj)\.surface$")).select(
+        "ast_id",
+        F.col("parent_path").alias("arg_path"),
+        F.col("value").alias("surface"),
+        F.regexp_extract("path", r"\.(subj|obj)\.surface$", 1).alias("arg_role"),
+    )
+    pos = tree.where(F.col("path").rlike(r"\.(subj|obj)\.pos$")).select(
+        "ast_id",
+        F.col("parent_path").alias("arg_path"),
+        F.col("value").cast("int").alias("pos"),
+    )
+    args = surf.join(pos, ["ast_id", "arg_path"])
+    meta = aj.select("ast_id", "conv_id", "turn_idx")
+    args = args.join(meta, "ast_id")
+    m = extraction.mention_surfaces(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    ).select("conv_id", "turn_idx", F.col("pos").cast("int").alias("pos"), "surface")
+    linked = args.join(m, ["conv_id", "turn_idx", "pos", "surface"], "left_semi")
+    return linked.select(
+        "conv_id",
+        "turn_idx",
+        F.col("pos").cast("long").alias("pos"),
+        "surface",
+        "arg_role",
+    ).dropDuplicates()
+
+
 def _q_events_json_extract(spark, sf_dir):
     """Semi-structured ingest (A3 analog: pre-parsed JSON walk → typed
     columns): parse the events props JSON payload."""
@@ -698,6 +736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_ast_json_tree": _q_kg_ast_json_tree,
     "kg_ast_json_tree_arrow": _q_kg_ast_json_tree_arrow,
     "kg_access_path_match": _q_kg_access_path_match,
+    "kg_mention_ast_link": _q_kg_mention_ast_link,
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_bands": _q_dedup_minhash_bands,
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -1489,6 +1528,29 @@ ORACLES["kg_access_path_match"] = f"""
 """
 
 ORACLES["kg_ast_json_tree_arrow"] = ORACLES["kg_ast_json_tree"]
+
+ORACLES["kg_mention_ast_link"] = f"""
+    WITH {_TOK_CTE}, {_MENTION_CTE},
+    tri AS (
+      SELECT conv_id, turn_idx, pos,
+             lag(tok)  OVER w AS subj, tok AS pred, lead(tok) OVER w AS obj
+      FROM tok
+      WINDOW w AS (PARTITION BY conv_id, turn_idx, ts ORDER BY pos)
+    ),
+    args AS (
+      SELECT conv_id, turn_idx, pos - 1 AS pos, subj AS surface, 'subj' AS arg_role
+      FROM tri WHERE pred IN {_PREDS_SQL} AND subj IS NOT NULL AND obj IS NOT NULL
+      UNION ALL
+      SELECT conv_id, turn_idx, pos + 1, obj, 'obj'
+      FROM tri WHERE pred IN {_PREDS_SQL} AND subj IS NOT NULL AND obj IS NOT NULL
+    )
+    SELECT DISTINCT a.conv_id, a.turn_idx, CAST(a.pos AS BIGINT) AS pos,
+                    a.surface, a.arg_role
+    FROM args a
+    JOIN mention m
+      ON m.conv_id = a.conv_id AND m.turn_idx = a.turn_idx
+     AND m.pos = a.pos AND m.surface = a.surface
+"""
 
 ORACLES["events_json_extract"] = """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
