@@ -67,6 +67,77 @@ def link_surfaces(
     ).drop(f"__a_{out_col}", f"__c_{out_col}")
 
 
+def resolve_overrides(
+    calls: DataFrame,
+    bindings: DataFrame,
+    hierarchy: DataFrame,
+    max_depth: int = 8,
+) -> DataFrame:
+    """Method-override resolution — the BindingTable + inheritance-walk side
+    of ``CallLinker`` (``BindingTable``/``bindingTableCompat``;
+    ``CallLinker.scala:52-81`` falls back from the receiver type along
+    inheritsFrom edges to the nearest bound implementation).
+
+    calls:     (site_id, recv_type, name) — dynamic-dispatch call sites
+    bindings:  (type, name, target)      — the binding table
+    hierarchy: (child, parent)           — inheritance edges
+
+    Returns (site_id, target, depth): the binding found at the SMALLEST
+    inheritance distance from the receiver type (depth 0 = bound directly);
+    multiple parents at the same depth tie-break on min target (the
+    deterministic-sort discipline). Sites with no binding within
+    ``max_depth`` resolve to an ``external:<name>`` stub (MethodStubCreator
+    fallback). Driver loop bounded by hierarchy height; each level is one
+    broadcast join of the (small) bindings/hierarchy tables."""
+    b = F.broadcast(
+        bindings.select(
+            F.col("type").alias("__bt"),
+            F.col("name").alias("__bn"),
+            F.col("target").alias("__target"),
+        )
+    )
+    h = F.broadcast(
+        hierarchy.select(F.col("child").alias("__hc"), F.col("parent").alias("__hp"))
+    )
+    cur = calls.select("site_id", F.col("recv_type").alias("__t"), "name")
+    resolved: DataFrame | None = None
+    for depth in range(max_depth + 1):
+        hit = (
+            cur.join(b, (cur["__t"] == F.col("__bt")) & (cur["name"] == F.col("__bn")))
+            .groupBy("site_id")
+            .agg(F.min("__target").alias("target"))
+            .withColumn("depth", F.lit(depth).cast("long"))
+        )
+        resolved = hit if resolved is None else resolved.unionByName(hit)
+        miss = cur.join(hit.select("site_id"), "site_id", "left_anti")
+        if miss.isEmpty():
+            return resolved
+        cur = (
+            miss.join(h, miss["__t"] == F.col("__hc"))
+            .select("site_id", F.col("__hp").alias("__t"), "name")
+            .dropDuplicates(["site_id", "__t"])
+        )
+        if cur.isEmpty():
+            break
+        # a site no longer in cur (no more ancestors) and never hit falls
+        # through to the stub fallback below
+        miss_no_parent = miss.join(cur.select("site_id"), "site_id", "left_anti")
+        stub = miss_no_parent.select(
+            "site_id",
+            F.concat(F.lit(S.EXTERNAL_PREFIX), F.col("name")).alias("target"),
+            F.lit(-1).cast("long").alias("depth"),
+        ).dropDuplicates(["site_id"])
+        resolved = resolved.unionByName(stub)
+    # exhausted depth or hierarchy: remaining sites become stubs
+    remaining = cur.join(resolved.select("site_id"), "site_id", "left_anti")
+    stub = remaining.select(
+        "site_id",
+        F.concat(F.lit(S.EXTERNAL_PREFIX), F.col("name")).alias("target"),
+        F.lit(-1).cast("long").alias("depth"),
+    ).dropDuplicates(["site_id"])
+    return resolved.unionByName(stub)
+
+
 def linked_triples_premerge(raw_triples: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """Raw clause triples with subject/object resolved to (pre-merge)
     canonical names. Two broadcast probes of the same tiny dictionary."""

@@ -259,3 +259,36 @@ def test_lsh_beats_token_blocking_on_stop_tokens(spark):
         for r in canonicalize.merge_map(ad, use_lsh=True).collect()
     }
     assert lsh_map == token_map
+
+
+def test_resolve_overrides_walks_inheritance(spark):
+    """BindingTable + override resolution (A12): nearest-ancestor binding
+    along inheritance edges, deterministic tie-break, stub fallback."""
+    hierarchy = spark.createDataFrame(
+        [("C", "B"), ("B", "A")], "child string, parent string"
+    )
+    bindings = spark.createDataFrame(
+        [("A", "run", "a_run"), ("C", "run", "c_run"), ("A", "stop", "a_stop")],
+        "type string, name string, target string",
+    )
+    calls = spark.createDataFrame(
+        [
+            (1, "C", "run"),   # bound directly
+            (2, "B", "run"),   # inherited from A (depth 1)
+            (3, "C", "stop"),  # inherited from A (depth 2)
+            (4, "A", "missing"),  # no binding anywhere -> stub
+            (5, "X", "run"),   # type outside the hierarchy -> stub
+        ],
+        "site_id long, recv_type string, name string",
+    )
+    got = {
+        r.site_id: (r.target, r.depth)
+        for r in linking.resolve_overrides(calls, bindings, hierarchy).collect()
+    }
+    assert got == {
+        1: ("c_run", 0),
+        2: ("a_run", 1),
+        3: ("a_stop", 2),
+        4: ("external:missing", -1),
+        5: ("external:run", -1),
+    }
