@@ -363,6 +363,24 @@ def _q_multimodal_meta(spark, sf_dir):
     )
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize targets over the decoded metadata — the
+    relational half of a resize stage (pixel work lives behind the codec
+    seam); the stub decode is bytes-deterministic so DuckDB reproduces it."""
+    from codepropertygraph_spark.operators import multimodal
+
+    payloads = multimodal.to_binary_payloads(_docs(spark, sf_dir))
+    return multimodal.resize_plan(multimodal.decode_stub(payloads))
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster table: connected components over verified minhash
+    pairs (min-doc_id representative; singletons map to themselves)."""
+    from codepropertygraph_spark.operators import dedup
+
+    return dedup.near_dup_clusters(_docs(spark, sf_dir), threshold=0.8)
+
+
 def _q_multimodal_decode(spark, sf_dir):
     from codepropertygraph_spark.operators import multimodal
 
@@ -751,6 +769,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": _q_text_langid,
     "text_fingerprint": _q_text_fingerprint,
     "multimodal_meta": _q_multimodal_meta,
+    "multimodal_resize": _q_multimodal_resize,
+    "dedup_clusters": _q_dedup_clusters,
     "multimodal_decode": _q_multimodal_decode,
     "events_sessionize": _q_events_sessionize,
     "events_hourly": _q_events_hourly,
@@ -1528,6 +1548,48 @@ ORACLES["kg_access_path_match"] = f"""
 """
 
 ORACLES["kg_ast_json_tree_arrow"] = ORACLES["kg_ast_json_tree"]
+
+ORACLES["multimodal_resize"] = """
+    WITH dec AS (
+      SELECT doc_id,
+             16 + ascii(substr(text, 1, 1)) % 240 AS width,
+             16 + ascii(substr(text, length(text), 1)) % 240 AS height
+      FROM documents
+    ),
+    pl AS (
+      SELECT doc_id, width, height,
+             least(64.0 / width, 64.0 / height, 1.0) AS scale
+      FROM dec
+    )
+    SELECT doc_id, width, height,
+           greatest(CAST(floor(width * scale) AS INT), 1) AS out_w,
+           greatest(CAST(floor(height * scale) AS INT), 1) AS out_h,
+           CAST(round(scale * 1000) AS BIGINT) AS scale_milli,
+           (scale >= 1.0) AS noop
+    FROM pl
+"""
+
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE {_SH_CTE}, {_SIG_CTE},
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM band_rows x JOIN band_rows y
+        ON x.band_idx = y.band_idx AND x.band_sig = y.band_sig
+       AND x.doc_id < y.doc_id
+    ),
+    ver AS (
+      SELECT cand.a, cand.b
+      FROM cand JOIN s x ON cand.a = x.doc_id JOIN s y ON cand.b = y.doc_id
+      WHERE {_JACC} >= 0.8
+    ),
+    und AS (SELECT a, b FROM ver UNION SELECT b, a FROM ver),
+    reach AS (
+      SELECT doc_id AS x, doc_id AS y FROM documents
+      UNION
+      SELECT r.x, u.b FROM reach r JOIN und u ON u.a = r.y
+    )
+    SELECT x AS doc_id, min(y) AS cluster_rep FROM reach GROUP BY x
+"""
 
 ORACLES["kg_mention_ast_link"] = f"""
     WITH {_TOK_CTE}, {_MENTION_CTE},

@@ -126,6 +126,30 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFra
     )
 
 
+def near_dup_clusters(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """(doc_id, cluster_rep): connected components over the verified
+    near-dup pair graph — the cluster table a dedup policy consumes (keep
+    one representative per cluster). Reuses the canonicalization CC solver
+    (min-label propagation, deterministic representative = min doc_id);
+    singleton documents map to themselves."""
+    from .canonicalize import connected_components
+
+    pairs = minhash_pairs(documents, threshold).select(
+        F.col("a").cast("string").alias("a"), F.col("b").cast("string").alias("b")
+    )
+    nodes = documents.select(F.col("doc_id").cast("string").alias("name"))
+    # zero-pad for lexicographic == numeric ordering of the min label
+    pad = lambda c: F.lpad(c, 20, "0")  # noqa: E731
+    cc = connected_components(
+        nodes.select(pad(F.col("name")).alias("name")),
+        pairs.select(pad(F.col("a")).alias("a"), pad(F.col("b")).alias("b")),
+    )
+    return cc.select(
+        F.col("name").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_rep"),
+    )
+
+
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): per-token md5 bit votes → sign → packed signature.
     Explode + two-phase groupBy (partial agg map-side); everything JVM-side.

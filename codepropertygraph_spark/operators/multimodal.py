@@ -88,6 +88,51 @@ def decode_stub(payloads: DataFrame, batch_hint: int = 1024) -> DataFrame:
     )
 
 
+def resize_plan(decoded: DataFrame, max_w: int = 64, max_h: int = 64) -> DataFrame:
+    """Aspect-preserving resize TARGETS from decoded dimensions — the
+    metadata half of a resize stage, pure JVM arithmetic (the pixel work
+    happens inside the codec seam at decode time in production; computing
+    targets relationally first lets the planner skip no-op resizes).
+    Output: (doc_id, width, height, out_w, out_h, scale_milli, noop)."""
+    scale = F.least(
+        F.lit(max_w) / F.col("width"), F.lit(max_h) / F.col("height"), F.lit(1.0)
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int").alias("out_w"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int").alias("out_h"),
+        F.round(scale * 1000).cast("long").alias("scale_milli"),
+        (scale >= 1.0).alias("noop"),
+    )
+
+
+def feature_extract_stub(payloads: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction: (doc_id, feature array<float>). The
+    embedding model is behind the same codec seam (deterministic bytes →
+    pseudo-features here); the OUTPUT CONTRACT — an array<float> column — is
+    exactly what the similarity/dedup operators consume, so extracted
+    features flow straight into cosine_topk / embedding_near_dup_pairs."""
+    import hashlib
+
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                h = hashlib.md5(bytes(p)).digest()
+                feats.append([((h[i] / 255.0) * 2.0 - 1.0) for i in range(dim)])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "feature": feats}
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        extract, schema="doc_id long, feature array<float>"
+    )
+
+
 def frame_sample(decoded: DataFrame, every: int = 2) -> DataFrame:
     """(doc_id, frame_idx): deterministic frame sampling — every `every`-th
     frame index from the decoded n_frames. JVM-side explode, no Python."""

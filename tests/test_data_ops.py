@@ -367,3 +367,47 @@ def test_json_tree_arrow_parity(spark):
     a2 = {tuple(r) for r in json_ingest.json_tree(df, "ast_id", "ast").select(*cols).collect()}
     b2 = {tuple(r) for r in json_ingest.json_tree_arrow(df, "ast_id", "ast").select(*cols).collect()}
     assert a2 == b2
+
+
+def test_resize_plan_golden(spark):
+    from codepropertygraph_spark.operators import multimodal
+
+    decoded = spark.createDataFrame(
+        [(1, 256, 128), (2, 32, 16), (3, 64, 64), (4, 1000, 10)],
+        "doc_id long, width int, height int",
+    )
+    got = {r.doc_id: r for r in multimodal.resize_plan(decoded, 64, 64).collect()}
+    assert (got[1].out_w, got[1].out_h, got[1].noop) == (64, 32, False)
+    assert (got[2].out_w, got[2].out_h, got[2].noop) == (32, 16, True)  # already fits
+    assert (got[3].out_w, got[3].out_h) == (64, 64)
+    assert (got[4].out_w, got[4].out_h) == (64, 1)  # floor clamped to >= 1
+
+
+def test_feature_extract_feeds_similarity(spark, docs):
+    """The feature-extraction stub's output contract (array<float>) plugs
+    straight into the similarity operators."""
+    from codepropertygraph_spark.operators import multimodal
+
+    payloads = multimodal.to_binary_payloads(docs.limit(50))
+    feats = multimodal.feature_extract_stub(payloads).withColumnRenamed(
+        "doc_id", "vec_id"
+    ).withColumnRenamed("feature", "embedding")
+    topk = similarity.cosine_topk(feats, query_max_id=3, k=2).collect()
+    assert len(topk) == 6
+    assert all(-1.0 <= r.cos <= 1.0 for r in topk)
+    # determinism: same payload -> same feature
+    f2 = multimodal.feature_extract_stub(payloads)
+    a = {(r.doc_id, tuple(r.feature)) for r in feats.selectExpr("vec_id as doc_id", "embedding as feature").collect()}
+    b = {(r.doc_id, tuple(r.feature)) for r in f2.collect()}
+    assert a == b
+
+
+def test_near_dup_clusters(spark):
+    from codepropertygraph_spark.operators import dedup
+
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in dedup.near_dup_clusters(_mini_docs(spark), threshold=0.5).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1  # exact + near dups cluster to min id
+    assert got[4] == 4 and got[5] == 5  # singletons map to themselves
