@@ -1614,13 +1614,26 @@ ORACLES["kg_mention_ast_link"] = f"""
      AND m.pos = a.pos AND m.surface = a.surface
 """
 
+# the decode STUB is bytes-deterministic by design, so even the mapInPandas
+# decode path gets a value-hash check (the real-codec seam stays a stub; what
+# this verifies is the Arrow plumbing end to end). Corpus text is ASCII, so
+# ascii(first/last char) == first/last payload byte.
+ORACLES["multimodal_decode"] = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + ascii(substr(text, 1, 1)) % 240 AS INT) AS width,
+           CAST(16 + ascii(substr(text, length(text), 1)) % 240 AS INT) AS height,
+           CAST(1 + octet_length(encode(text)) % 7 AS INT) AS n_frames,
+           md5(text) AS content_hash
+    FROM documents
+"""
+
 ORACLES["events_json_extract"] = """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
     FROM events
 """
 
-# queries with NO oracle entry (driver records rows-only checks):
-#   multimodal_decode — mapInPandas stub codec (no SQL equivalent)
+# every queries() entry has an oracle_sql() entry — zero rows-only checks.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
