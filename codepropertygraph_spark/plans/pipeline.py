@@ -188,7 +188,19 @@ class Catalog:
         return df
 
     def nodes(self) -> DataFrame | None:
-        return self.read_table("nodes")
+        """Union of node rows across overlays, with any committed
+        ``node_props`` UPDATE overlays merged on read (SetNodeProperty at
+        pipeline scale — the additive overlay store stays append-only; the
+        merge happens at read time, Iceberg merge-on-read semantics)."""
+        base = self.read_table("nodes")
+        if base is None:
+            return None
+        updates = self.read_table("node_props")
+        if updates is None:
+            return base
+        from . import diff
+
+        return diff.set_node_props(base, updates)
 
     def edges(self) -> DataFrame | None:
         return self.read_table("edges")
@@ -260,6 +272,34 @@ def _extraction_pass(ctx: PassContext) -> dict[str, DataFrame]:
     return {"nodes": nodes}
 
 
+def _decorate_pass(ctx: PassContext) -> dict[str, DataFrame]:
+    """MethodDecoratorPass analog (A8): 1:1 DERIVED node properties —
+    per-turn token and clause counts — committed as a ``node_props`` update
+    overlay that :meth:`Catalog.nodes` merges on read. The store stays
+    append-only (one immutable overlay per pass); updates are relational
+    rows, exactly the reference's SetNodeProperty diff entries."""
+    from ..operators import graph as G
+
+    turns = G.turn_nodes(ctx.transcripts)
+    n_tokens = turns.select(
+        "id",
+        F.lit("n_tokens").alias("key"),
+        F.size(F.split("code", " ")).cast("string").alias("value"),
+    )
+    n_clauses = turns.select(
+        "id",
+        F.lit("n_preds").alias("key"),
+        F.size(
+            F.filter(
+                F.split("code", " "), lambda t: t.isin(list(S.TEXT_PREDICATES))
+            )
+        )
+        .cast("string")
+        .alias("value"),
+    )
+    return {"node_props": n_tokens.unionByName(n_clauses)}
+
+
 def _canonicalize_pass(ctx: PassContext) -> dict[str, DataFrame]:
     """Stage-4 analog (A16 + CC): the merge map, committed as its own
     overlay so downstream passes read a frozen artifact."""
@@ -307,6 +347,7 @@ STANDARD_PASSES: tuple[Pass, ...] = (
     Pass("meta_data", _meta_pass),
     Pass("base_layer", _base_layer_pass, depends_on=("meta_data",)),
     Pass("extraction", _extraction_pass, depends_on=("base_layer",)),
+    Pass("decorate", _decorate_pass, depends_on=("base_layer",)),
     Pass("canonicalize", _canonicalize_pass, depends_on=("extraction",)),
     Pass("linking", _linking_pass, depends_on=("canonicalize",)),
     Pass("rel_triples", _rel_pass, depends_on=("linking",)),

@@ -233,3 +233,21 @@ def test_compact_preserves_content(spark, warehouse, tmp_path):
         assert content_hash(cat, table) == content_hash(dest, table), table
     assert n_files(str(tmp_path / "wh_compact"), "nodes") < n_files(warehouse, "nodes")
     assert P.validate(dest).count() == 0
+
+
+def test_decorate_pass_merge_on_read(spark, warehouse):
+    """A8 MethodDecoratorPass analog: derived per-turn properties live in an
+    UPDATE overlay and appear merged when reading Catalog.nodes(); the raw
+    nodes table on disk is untouched (append-only store)."""
+    cat = P.Catalog(spark, warehouse)
+    turns = cat.nodes().where(F.col("label") == S.TURN)
+    sample = turns.limit(20).collect()
+    assert sample
+    for r in sample:
+        assert int(r.props["n_tokens"]) == len(r.code.split(" "))
+        n_preds = sum(t in S.TEXT_PREDICATES for t in r.code.split(" "))
+        assert int(r.props["n_preds"]) == n_preds
+        assert "role" in r.props  # original props survive the merge
+    # raw table unchanged: no n_tokens key in the committed nodes rows
+    raw = cat.read_table("nodes").where(F.col("label") == S.TURN).limit(5).collect()
+    assert all("n_tokens" not in (r.props or {}) for r in raw)
