@@ -48,3 +48,46 @@ def conversation_to_dot(
             lines.append(f'  "{e.src}" -> "{e.dst}" [label="{e.label}"];')
     lines.append("}")
     return "\n".join(lines)
+
+
+def conversation_to_graphml(
+    nodes: DataFrame,
+    edges: DataFrame,
+    conv_id: str,
+    edge_labels: tuple[str, ...] = ("AST", "NEXT"),
+) -> str:
+    """GraphML of one conversation's subgraph — the interchange-format
+    sibling of the dot export (deterministic ordering; node label/name as
+    data keys)."""
+    sub_nodes = nodes.where(F.col("conv_id") == conv_id).select("id", "label", "name")
+    ids = {r.id: r for r in sub_nodes.collect()}
+    sub_edges = (
+        edges.where(F.col("label").isin(list(edge_labels)))
+        .select("src", "dst", "label")
+        .collect()
+    )
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+        '  <key id="labelV" for="node" attr.name="label" attr.type="string"/>',
+        '  <key id="name" for="node" attr.name="name" attr.type="string"/>',
+        '  <key id="labelE" for="edge" attr.name="label" attr.type="string"/>',
+        f'  <graph id="{conv_id}" edgedefault="directed">',
+    ]
+    for nid in sorted(ids):
+        r = ids[nid]
+        out.append(f'    <node id="n{nid}">')
+        out.append(f'      <data key="labelV">{r.label}</data>')
+        if r.name:
+            out.append(f'      <data key="name">{r.name}</data>')
+        out.append("    </node>")
+    for e in sorted(
+        (e for e in sub_edges if e.src in ids and e.dst in ids),
+        key=lambda e: (e.src, e.dst, e.label),
+    ):
+        out.append(
+            f'    <edge source="n{e.src}" target="n{e.dst}">'
+            f'<data key="labelE">{e.label}</data></edge>'
+        )
+    out += ["  </graph>", "</graphml>"]
+    return "\n".join(out)

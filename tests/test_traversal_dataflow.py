@@ -500,3 +500,18 @@ def test_jsonl_source_roundtrip(spark, transcripts, tmp_path):
         assert f_back.name == f_src.name
         if f_back.name != "ts":
             assert f_back.dataType == f_src.dataType
+
+
+def test_graphml_export_deterministic(catalog):
+    from xml.etree import ElementTree
+
+    nodes, edges = catalog.nodes(), catalog.edges()
+    conv = nodes.where(F.col("conv_id").isNotNull()).limit(1).collect()[0].conv_id
+    g1 = exports.conversation_to_graphml(nodes, edges, conv)
+    g2 = exports.conversation_to_graphml(nodes, edges, conv)
+    assert g1 == g2  # byte-determinism
+    root = ElementTree.fromstring(g1)  # well-formed XML
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    graph = root.find(f"{ns}graph")
+    assert len(graph.findall(f"{ns}node")) > 0
+    assert len(graph.findall(f"{ns}edge")) > 0
