@@ -386,12 +386,21 @@ def run_pipeline(
 
 
 def validate(catalog: Catalog) -> DataFrame:
-    """Schema-conformance check: every edge endpoint must exist and every
+    """Schema-conformance check over a catalog's committed graph — see
+    :func:`validate_frames`."""
+    return validate_frames(catalog.spark, catalog.nodes(), catalog.edges())
+
+
+def validate_frames(
+    spark: SparkSession, all_nodes: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Schema-conformance check: every edge endpoint must exist, every
     (src_label, edge_label, dst_label) must be in schema.EDGE_FACTS
-    (``CpgValidator.scala:8-14``). Returns a DataFrame of violations
-    (empty = conformant)."""
-    nodes = catalog.nodes().select("id", F.col("label").alias("node_label"))
-    edges = catalog.edges()
+    (``CpgValidator.scala:8-14``), node labels/keys must conform, and the
+    declared edge cardinalities must hold. Returns a DataFrame of violations
+    (empty = conformant). Works on bare node/edge frames so any graph —
+    catalog-committed or built ad hoc — can be validated."""
+    nodes = all_nodes.select("id", F.col("label").alias("node_label"))
     src_n = nodes.select(
         F.col("id").alias("src"), F.col("node_label").alias("src_label")
     )
@@ -399,7 +408,7 @@ def validate(catalog: Catalog) -> DataFrame:
         F.col("id").alias("dst"), F.col("node_label").alias("dst_label")
     )
     joined = edges.join(src_n, "src", "left").join(dst_n, "dst", "left")
-    facts = catalog.spark.createDataFrame(
+    facts = spark.createDataFrame(
         sorted(S.EDGE_FACTS), "src_label string, edge_label string, dst_label string"
     ).withColumn("allowed", F.lit(True))
     checked = joined.join(
@@ -421,7 +430,7 @@ def validate(catalog: Catalog) -> DataFrame:
     # required-property checks (node-key conformance, the cpgvalidator
     # key-facts side): labels must come from the declared set and carry
     # their identity-critical properties.
-    n = catalog.nodes()
+    n = all_nodes
     bad_label = ~F.col("label").isin(list(S.NODE_LABELS))
     missing_key = (
         ((F.col("label") == S.ENTITY) & F.col("full_name").isNull())
@@ -441,7 +450,7 @@ def validate(catalog: Catalog) -> DataFrame:
     # schema). One aggregation per direction over the edges table, then a
     # broadcast probe of the declared facts; a node violates when its count
     # for (direction, edge_label) falls outside [min, max].
-    facts = catalog.spark.createDataFrame(
+    facts = spark.createDataFrame(
         [
             (nl, d, el, lo, hi if hi is not None else 1 << 30)
             for nl, d, el, lo, hi in S.CARDINALITY_FACTS

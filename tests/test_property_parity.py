@@ -109,3 +109,69 @@ def test_pipeline_equals_reference_on_arbitrary_grammar(spark_global, rows):
     )
     got = {tuple(r) for r in kg.final_triples(tr, ad).collect()}
     assert got == expected
+
+
+@st.composite
+def transcripts_with_tools(draw):
+    """Transcripts whose tool column is set INDEPENDENTLY of the text —
+    including tool values that never appear as a text token and tools
+    unknown to the dictionary (the blind spot where dangling CALL edges
+    lived)."""
+    rows = draw(transcripts_rows())
+    tools = ALIASES[::101] + ["ghost_tool_1", "ghost_tool_2"]
+    for r in rows:
+        if draw(st.booleans()):
+            r["tool"] = draw(st.sampled_from(tools))
+            r["role"] = "tool"
+    return rows
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(rows=transcripts_with_tools())
+def test_graph_validates_clean_on_arbitrary_input(spark_global, rows):
+    """Structural property: for ANY input — including tool values absent
+    from turn text or unknown to the dictionary — the built graph has no
+    dangling endpoints, no disallowed edge facts, and conforms to the
+    declared cardinalities."""
+    from codepropertygraph_spark.operators import canonicalize
+    from codepropertygraph_spark.operators import graph as G
+    from codepropertygraph_spark.plans import pipeline as P
+
+    _, alias_rows = td.generate_transcripts("sf0.001")
+    spark = spark_global
+    tr = spark.createDataFrame(
+        [
+            (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["ts"])
+            for r in rows
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    ad = spark.createDataFrame(
+        [
+            (a["alias"], a["canonical_name"], a["entity_type"], a["prior"])
+            for a in alias_rows
+        ],
+        "alias string, canonical_name string, entity_type string, prior double",
+    )
+    merge = canonicalize.merge_map(ad).localCheckpoint(eager=True)
+    nodes = (
+        G.conversation_nodes(tr)
+        .unionByName(G.turn_nodes(tr))
+        .unionByName(G.mention_nodes(tr, ad))
+        .unionByName(G.toolcall_nodes(tr))
+        .unionByName(G.entity_nodes(tr, ad, merge))
+    )
+    edges = (
+        G.ast_edges(tr, ad)
+        .unionByName(G.next_edges(tr))
+        .unionByName(G.contains_edges(tr, ad))
+        .unionByName(G.ref_edges(tr, ad, merge))
+        .unionByName(G.call_edges(tr, ad, merge))
+        .unionByName(G.rel_edges(tr, ad, merge))
+    )
+    violations = P.validate_frames(spark, nodes, edges).collect()
+    assert violations == [], violations
