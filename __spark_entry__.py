@@ -504,6 +504,21 @@ def _q_kg_flows_4hop(spark, sf_dir):
     return dataflow.flow_paths_grouped(follows, max_hops=4)
 
 
+def _q_kg_flows_from_stubs(spark, sf_dir):
+    """Source-restricted flows — the reference's actual query shape (flows
+    FROM a selected source set, never all-pairs): every simple path of
+    length 1..4 starting at an external stub entity (the 'tainted unknown
+    input' analog of cpg.call("malloc") sources)."""
+    triples = kg.final_triples(_transcripts(spark, sf_dir), _alias_dict(spark, sf_dir))
+    follows = triples.where(F.col("pred") == S.PRED_FOLLOWS).select(
+        "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
+    )
+    stubs = follows.where(F.col("s").startswith(S.EXTERNAL_PREFIX)).select(
+        F.col("s").alias("src")
+    )
+    return dataflow.flow_paths_grouped(follows, max_hops=4, sources=stubs)
+
+
 def _q_kg_flows_witness(spark, sf_dir):
     """Scale-path flows: ONE shortest witness path per reachable pair (the
     Engine ResultTable per-(head,last) dedup discipline) — bounded output
@@ -743,6 +758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_cdg": _q_kg_cdg,
     "kg_flows_4hop": _q_kg_flows_4hop,
     "kg_flows_witness": _q_kg_flows_witness,
+    "kg_flows_from_stubs": _q_kg_flows_from_stubs,
     "kg_flow_edges_semantics": _q_kg_flow_edges_semantics,
     "kg_reachable_semantics": _q_kg_reachable_semantics,
     "kg_reachable_cross_conv": _q_kg_reachable_cross_conv,
@@ -1173,6 +1189,26 @@ ORACLES["kg_flows_witness"] = f"""
     {_witness_levels_sql(4)}
     SELECT conv_id, start AS src, node AS dst, CAST(hops AS BIGINT) AS hops, path
     FROM wall
+"""
+
+ORACLES["kg_flows_from_stubs"] = f"""
+    WITH RECURSIVE
+    e AS (
+      SELECT DISTINCT conv_id, subj AS s, obj AS o
+      FROM read_parquet('{_ET01}') WHERE pred = 'follows'
+    ),
+    p AS (
+      SELECT conv_id, s AS src, o AS dst, 1 AS hops, [s, o] AS nodes
+      FROM e WHERE s != o AND s LIKE 'external:%'
+      UNION ALL
+      SELECT p.conv_id, p.src, e.o AS dst, p.hops + 1,
+             list_append(p.nodes, e.o) AS nodes
+      FROM p JOIN e ON e.conv_id = p.conv_id AND e.s = p.dst
+      WHERE p.hops < 4 AND NOT list_contains(p.nodes, e.o)
+    )
+    SELECT conv_id, src, dst, CAST(hops AS BIGINT) AS hops,
+           array_to_string(nodes, '->') AS path
+    FROM p
 """
 
 # the default semantics rules (operators/semantics.DEFAULT_SEMANTICS),

@@ -403,7 +403,10 @@ def reachable_cross_conversation(
 
 
 def flow_paths_grouped(
-    edges: DataFrame, max_hops: int = 4, keyed_by: str = "conv_id"
+    edges: DataFrame,
+    max_hops: int = 4,
+    keyed_by: str = "conv_id",
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Path-returning reachability — the ``reachableByFlows`` analog: where
     :func:`reachable_within_grouped` returns (src, dst) *pairs*, this returns
@@ -421,8 +424,20 @@ def flow_paths_grouped(
     conversation-local (graphs are small by construction — same skew argument
     as reachable_within_grouped). Path count is bounded by V·b^max_hops per
     group; max_hops=4 keeps the reference's default call-depth bound.
+
+    ``sources`` (optional single-column 'src' DataFrame) restricts the
+    enumeration to the given start nodes — the shape the reference actually
+    runs (flows are always asked FROM a query-selected sink/source set,
+    never all-pairs: ``MallocMemcpyTests.scala:30-43`` starts from
+    ``cpg.call("malloc")``). On hub-dense graphs use this or
+    :func:`flow_witness_grouped`; unrestricted enumeration is
+    output-exponential by nature.
     """
     import pandas as pd
+
+    src_set: set[str] | None = None
+    if sources is not None:
+        src_set = {r.src for r in sources.select("src").distinct().collect()}
 
     def paths(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[keyed_by].iloc[0]
@@ -430,8 +445,9 @@ def flow_paths_grouped(
         for s, o in zip(pdf["s"], pdf["o"]):
             if s != o:
                 adj.setdefault(s, set()).add(o)
+        starts = adj if src_set is None else [s for s in adj if s in src_set]
         out_src, out_dst, out_hops, out_path = [], [], [], []
-        for start in adj:
+        for start in starts:
             # iterative DFS carrying the path; a node may appear on many
             # paths but never twice on one (simple-path discipline)
             stack: list[tuple[str, ...]] = [(start,)]
