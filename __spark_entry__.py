@@ -89,6 +89,35 @@ best AS (
 )
 """
 
+# Independent canonicalization derivation (no frozen-fixture read): exact
+# all-pairs token-Jaccard >= 0.5 within entity_type (blocking-free, so recall
+# is trivially exact at oracle scale), then min-label connected components as
+# a recursive reachability CTE. Cross-validates the Spark side's
+# MinHash-LSH-blocked + iterative min-label CC with a SECOND algorithm; the
+# frozen expected_components.parquet remains a third check in pytest
+# (test_kg_end_to_end.test_frozen_fixtures_match_independent_sql).
+# Requires WITH RECURSIVE on the enclosing statement.
+_MERGE_CTES = f"""
+ents AS (SELECT DISTINCT canonical_name, entity_type FROM read_parquet('{_A01}')),
+et AS (SELECT canonical_name, entity_type,
+       list_distinct(string_split(canonical_name, '_')) AS toks FROM ents),
+mpairs AS (
+  SELECT DISTINCT x.canonical_name AS a, y.canonical_name AS b
+  FROM et x JOIN et y
+    ON x.entity_type = y.entity_type AND x.canonical_name < y.canonical_name
+  WHERE len(list_intersect(x.toks, y.toks))::double
+        / len(list_distinct(list_concat(x.toks, y.toks)))::double >= 0.5
+),
+und AS (SELECT a, b FROM mpairs UNION SELECT b, a FROM mpairs),
+mreach AS (
+  SELECT canonical_name AS x, canonical_name AS y
+  FROM (SELECT DISTINCT canonical_name FROM ents)
+  UNION
+  SELECT r.x, u.b FROM mreach r JOIN und u ON u.a = r.y
+),
+mm AS (SELECT x AS canonical_name, min(y) AS merged_name FROM mreach GROUP BY x)
+"""
+
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = td.ensure_generated(td.tier_of_sf_dir(sf_dir))
@@ -563,6 +592,39 @@ def _q_kg_reachable_cross_conv(spark, sf_dir):
     return dataflow.reachable_cross_conversation(follows, max_hops=4, max_crossings=1)
 
 
+def _q_kg_reachable_cross_conv2(spark, sf_dir):
+    """Call depth 2, source-restricted to external stubs (the reference's
+    query shape — propagation always starts at a query-selected set): same
+    witness-summary bridge loop, one more level — no conv-keyed join at any
+    depth (the round-2 hub-quadratic branch is gone); hash-checked against
+    the conv-carrying DuckDB formulation."""
+    triples = kg.final_triples(_transcripts(spark, sf_dir), _alias_dict(spark, sf_dir))
+    follows = triples.where(F.col("pred") == S.PRED_FOLLOWS).select(
+        "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
+    )
+    stubs = follows.where(F.col("s").startswith(S.EXTERNAL_PREFIX)).select(
+        F.col("s").alias("src")
+    )
+    return dataflow.reachable_cross_conversation(
+        follows, max_hops=4, max_crossings=2, sources=stubs
+    )
+
+
+def _q_kg_flows_witness_from_stubs(spark, sf_dir):
+    """Sink/source-restricted WITNESS flows — the reference's invocation
+    shape (query-selected source set) on the bounded-output scale path:
+    one shortest witness path per reachable pair, starting at external
+    stub entities."""
+    triples = kg.final_triples(_transcripts(spark, sf_dir), _alias_dict(spark, sf_dir))
+    follows = triples.where(F.col("pred") == S.PRED_FOLLOWS).select(
+        "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
+    )
+    stubs = follows.where(F.col("s").startswith(S.EXTERNAL_PREFIX)).select(
+        F.col("s").alias("src")
+    )
+    return dataflow.flow_witness_grouped(follows, max_hops=4, sources=stubs)
+
+
 def _q_kg_cdg(spark, sf_dir):
     """Control-dependence edges (A18, CdgPass analog): post-dominance
     frontier of each conversation's follows-graph, exit = max node name
@@ -762,6 +824,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_flow_edges_semantics": _q_kg_flow_edges_semantics,
     "kg_reachable_semantics": _q_kg_reachable_semantics,
     "kg_reachable_cross_conv": _q_kg_reachable_cross_conv,
+    "kg_reachable_cross_conv2": _q_kg_reachable_cross_conv2,
+    "kg_flows_witness_from_stubs": _q_kg_flows_witness_from_stubs,
     "kg_traversal_mentions": _q_kg_traversal_mentions,
     "kg_traversal_coalesce": _q_kg_traversal_coalesce,
     "kg_entities": _q_kg_entities,
@@ -1069,13 +1133,76 @@ ORACLES: dict[str, str] = {
         FROM mention WHERE NOT in_dict
     """,
     "kg_merge_map": f"""
-        SELECT canonical_name, merged_name FROM read_parquet('{_EC01}')
+        WITH RECURSIVE {_MERGE_CTES}
+        SELECT canonical_name, merged_name FROM mm
     """,
     "kg_merge_map_tokenblock": f"""
-        SELECT canonical_name, merged_name FROM read_parquet('{_EC01}')
+        WITH RECURSIVE {_MERGE_CTES}
+        SELECT canonical_name, merged_name FROM mm
     """,
     "kg_triples": f"""
-        SELECT conv_id, subj, pred, obj FROM read_parquet('{_ET01}')
+        WITH RECURSIVE {_TOK_CTE}, {_BEST_CTE}, {_MERGE_CTES},
+        fl2 AS (
+          SELECT conv_id, turn_idx, ts, pos, tok,
+                 lag(tok)   OVER w AS prev_tok,
+                 lead(tok)  OVER w AS next_tok,
+                 lag(tok, 2)  OVER w AS prev2_tok,
+                 lead(tok, 2) OVER w AS next2_tok
+          FROM tok
+          WINDOW w AS (PARTITION BY conv_id, turn_idx, ts ORDER BY pos)
+        ),
+        clauses AS (
+          SELECT f.conv_id,
+                 coalesce(ms.merged_name,
+                          coalesce(bs.canonical_name, 'external:' || f.prev_tok)) AS subj,
+                 f.tok AS pred,
+                 coalesce(mo.merged_name,
+                          coalesce(bo.canonical_name, 'external:' || f.next_tok)) AS obj
+          FROM fl2 f
+          LEFT JOIN best bs ON f.prev_tok = bs.alias
+          LEFT JOIN best bo ON f.next_tok = bo.alias
+          LEFT JOIN mm ms
+            ON coalesce(bs.canonical_name, 'external:' || f.prev_tok) = ms.canonical_name
+          LEFT JOIN mm mo
+            ON coalesce(bo.canonical_name, 'external:' || f.next_tok) = mo.canonical_name
+          WHERE f.tok IN {_PREDS_SQL}
+            AND f.prev_tok IS NOT NULL AND f.next_tok IS NOT NULL
+        ),
+        cand AS (
+          SELECT f.conv_id, f.turn_idx, f.ts, f.pos,
+                 (f.tok NOT IN {_PREDS_SQL}) AND (
+                    b.canonical_name IS NOT NULL
+                    OR coalesce(f.prev_tok IN {_PREDS_SQL}
+                                AND f.prev2_tok IS NOT NULL, false)
+                    OR coalesce(f.next_tok IN {_PREDS_SQL}
+                                AND f.next2_tok IS NOT NULL, false)
+                 ) AS is_mention,
+                 coalesce(b.canonical_name, 'external:' || f.tok) AS canonical
+          FROM fl2 f LEFT JOIN best b ON f.tok = b.alias
+        ),
+        fm AS (
+          SELECT conv_id, turn_idx, ts,
+                 min_by(canonical, pos) FILTER (is_mention) AS first_canonical
+          FROM cand GROUP BY conv_id, turn_idx, ts
+        ),
+        fmm AS (
+          SELECT f.conv_id, f.turn_idx, f.ts,
+                 coalesce(m.merged_name, f.first_canonical) AS first_c
+          FROM fm f LEFT JOIN mm m ON f.first_canonical = m.canonical_name
+        ),
+        fo AS (
+          SELECT conv_id, first_c,
+                 lag(first_c) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev_c
+          FROM fmm
+        ),
+        fol AS (
+          SELECT conv_id, first_c AS subj, 'follows' AS pred, prev_c AS obj
+          FROM fo WHERE first_c IS NOT NULL AND prev_c IS NOT NULL
+        )
+        SELECT DISTINCT conv_id, subj, pred, obj FROM (
+          SELECT * FROM clauses UNION ALL SELECT * FROM fol
+        )
     """,
     "kg_conv_stats": f"""
         SELECT conv_id,
@@ -1149,13 +1276,15 @@ ORACLES: dict[str, str] = {
 ORACLES["kg_raw_triples_udf"] = ORACLES["kg_raw_triples"]
 
 
-def _witness_levels_sql(max_hops: int = 4) -> str:
+def _witness_levels_sql(max_hops: int = 4, start_pred: str = "") -> str:
     """Unrolled per-level CTEs mirroring flow_witness_grouped's BFS
     recurrence: wL(start, node) = min over (u reached at L-1, edge u->node,
-    node unreached at < L and != start) of wL-1(u) || '->node'."""
+    node unreached at < L and != start) of wL-1(u) || '->node'.
+    ``start_pred`` (e.g. "WHERE s LIKE 'external:%'") restricts the BFS
+    start set — the sources= analog."""
     parts = [
         "w1 AS (SELECT conv_id, s AS start, o AS node, s || '->' || o AS path "
-        "FROM e)"
+        f"FROM e {start_pred})"
     ]
     for lv in range(2, max_hops + 1):
         prev = f"w{lv - 1}"
@@ -1187,6 +1316,16 @@ ORACLES["kg_flows_witness"] = f"""
       FROM read_parquet('{_ET01}') WHERE pred = 'follows' AND subj != obj
     ),
     {_witness_levels_sql(4)}
+    SELECT conv_id, start AS src, node AS dst, CAST(hops AS BIGINT) AS hops, path
+    FROM wall
+"""
+
+ORACLES["kg_flows_witness_from_stubs"] = f"""
+    WITH e AS (
+      SELECT DISTINCT conv_id, subj AS s, obj AS o
+      FROM read_parquet('{_ET01}') WHERE pred = 'follows' AND subj != obj
+    ),
+    {_witness_levels_sql(4, "WHERE s LIKE 'external:%'")}
     SELECT conv_id, start AS src, node AS dst, CAST(hops AS BIGINT) AS hops, path
     FROM wall
 """
@@ -1267,6 +1406,41 @@ ORACLES["kg_reachable_cross_conv"] = f"""
       SELECT a.src, b.dst, 1 AS c
       FROM within a JOIN within b
         ON a.dst = b.src AND a.conv_id != b.conv_id
+    )
+    SELECT src, dst, CAST(min(c) AS BIGINT) AS crossings
+    FROM lv GROUP BY src, dst
+"""
+
+ORACLES["kg_reachable_cross_conv2"] = f"""
+    WITH e AS (
+      SELECT DISTINCT conv_id, subj AS s, obj AS o
+      FROM read_parquet('{_ET01}') WHERE pred = 'follows'
+    ),
+    h2 AS (SELECT a.conv_id, a.s, b.o FROM e a JOIN e b
+            ON a.conv_id = b.conv_id AND a.o = b.s),
+    h3 AS (SELECT a.conv_id, a.s, b.o FROM h2 a JOIN e b
+            ON a.conv_id = b.conv_id AND a.o = b.s),
+    h4 AS (SELECT a.conv_id, a.s, b.o FROM h3 a JOIN e b
+            ON a.conv_id = b.conv_id AND a.o = b.s),
+    within AS (
+      SELECT DISTINCT conv_id, s AS src, o AS dst
+      FROM (SELECT * FROM e UNION ALL SELECT * FROM h2
+            UNION ALL SELECT * FROM h3 UNION ALL SELECT * FROM h4)
+    ),
+    w0 AS (SELECT * FROM within WHERE src LIKE 'external:%'),
+    l1 AS (
+      SELECT DISTINCT a.src, b.dst, b.conv_id AS conv
+      FROM w0 a JOIN within b
+        ON a.dst = b.src AND a.conv_id != b.conv_id
+    ),
+    l2 AS (
+      SELECT DISTINCT a.src, c.dst
+      FROM l1 a JOIN within c ON a.dst = c.src AND a.conv != c.conv_id
+    ),
+    lv AS (
+      SELECT src, dst, 0 AS c FROM w0
+      UNION ALL SELECT src, dst, 1 FROM l1
+      UNION ALL SELECT src, dst, 2 FROM l2
     )
     SELECT src, dst, CAST(min(c) AS BIGINT) AS crossings
     FROM lv GROUP BY src, dst

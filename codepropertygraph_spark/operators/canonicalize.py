@@ -171,6 +171,17 @@ def connected_components(
     return labels
 
 
+def lsh_missed_pairs(alias_dict: DataFrame) -> DataFrame:
+    """Recall check for the LSH default: verified merge pairs that exact
+    token blocking produces but MinHash-LSH blocking misses, as (a, b).
+    Empty output = LSH has full recall on this dictionary. Run once per new
+    dictionary version (entity-scale work, trivially cheap next to the token
+    stream)."""
+    exact = verified_pairs(candidate_pairs_token_block(alias_dict))
+    lsh = verified_pairs(candidate_pairs_lsh(alias_dict))
+    return exact.join(lsh, ["a", "b"], "left_anti")
+
+
 def merge_map(alias_dict: DataFrame, use_lsh: bool = True) -> DataFrame:
     """(canonical_name, merged_name) for every canonical in the dictionary
     (identity rows included) — the canonicalization output contract,
@@ -186,7 +197,14 @@ def merge_map(alias_dict: DataFrame, use_lsh: bool = True) -> DataFrame:
     identical; LSH recall at the 0.5 threshold is ≥ 99% in theory and
     exhaustively identical to token blocking on the shipped dictionary
     (test_merge_map_token_vs_lsh, kg_merge_map vs kg_merge_map_tokenblock
-    driver rows)."""
+    driver rows).
+
+    RECALL BOUND (public contract): LSH blocking is probabilistic — a true
+    pair at exactly the 0.5 Jaccard threshold is missed with probability
+    (1 - 0.5^2)^16 ≈ 1%, dropping fast as similarity rises. For a NEW
+    dictionary, run :func:`lsh_missed_pairs` once (verified pairs token
+    blocking finds that LSH does not; empty = full recall on that
+    dictionary) before flipping production to the LSH default."""
     pairs = (
         candidate_pairs_lsh(alias_dict)
         if use_lsh

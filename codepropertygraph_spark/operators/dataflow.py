@@ -49,8 +49,16 @@ def reachable_within(
         if new.count() == 0:
             new.unpersist()
             break
-        reached = reached.unionByName(new).persist()
-        reached.count()
+        new_reached = reached.unionByName(new).persist()
+        new_reached.count()
+        # block-store hygiene: once the union is materialized, the superseded
+        # accumulator and the consumed frontier are dead — at most two live
+        # persisted generations (new + new_reached) plus the edge table.
+        if reached is not e:
+            reached.unpersist()
+        if frontier is not e and frontier is not new:
+            frontier.unpersist()
+        reached = new_reached
         frontier = new
     return reached.select(
         F.col(keyed_by), F.col("s").alias("src"), F.col("o").alias("dst")
@@ -242,8 +250,31 @@ def control_dependence_grouped(edges: DataFrame, exits: DataFrame) -> DataFrame:
     )
 
 
+#: source/sink sets are query-selected (reference semantics: a handful of
+#: cpg.call("...") roots) — refuse silently collecting a huge frame to the
+#: driver; callers with genuinely large sets should semi-join the edge table
+#: instead.
+MAX_NODE_SET = 1_000_000
+
+
+def _collect_node_set(df: DataFrame | None, col: str) -> set[str] | None:
+    if df is None:
+        return None
+    rows = df.select(col).distinct().limit(MAX_NODE_SET + 1).collect()
+    if len(rows) > MAX_NODE_SET:
+        raise ValueError(
+            f"flow {col} set exceeds MAX_NODE_SET={MAX_NODE_SET}; "
+            "semi-join the edge frame instead of passing a driver-side set"
+        )
+    return {r[0] for r in rows}
+
+
 def flow_witness_grouped(
-    edges: DataFrame, max_hops: int = 4, keyed_by: str = "conv_id"
+    edges: DataFrame,
+    max_hops: int = 4,
+    keyed_by: str = "conv_id",
+    sources: DataFrame | None = None,
+    sinks: DataFrame | None = None,
 ) -> DataFrame:
     """The SCALE path for path-returning flows: ONE deterministic witness
     path per reachable (src, dst) pair — the shortest, tie-broken by the
@@ -261,8 +292,19 @@ def flow_witness_grouped(
     Appending a child preserves string order because the separator '-'
     sorts below every character used in canonical names, so per-level min
     composition is well-defined. Output bounded by the reachable pair count;
-    per-group work is O(starts · E · max_hops)."""
+    per-group work is O(starts · E · max_hops).
+
+    ``sources`` (single-column 'src') / ``sinks`` (single-column 'dst')
+    restrict the BFS start set and the emitted (src, dst) pairs — the
+    reference engine's actual invocation shape: flows are always asked for a
+    query-selected source/sink set, never all-pairs (``Engine.scala:42-46``
+    backwards from sinks, ``TrackingPoint.scala:74-84``). Both are collected
+    to broadcast-size sets with the same guard as :func:`flow_paths_grouped`.
+    """
     import pandas as pd
+
+    src_set = _collect_node_set(sources, "src")
+    sink_set = _collect_node_set(sinks, "dst")
 
     def witness(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[keyed_by].iloc[0]
@@ -270,8 +312,9 @@ def flow_witness_grouped(
         for s, o in zip(pdf["s"], pdf["o"]):
             if s != o:
                 adj.setdefault(s, set()).add(o)
+        starts = adj if src_set is None else [s for s in adj if s in src_set]
         out_src, out_dst, out_hops, out_path = [], [], [], []
-        for start in adj:
+        for start in starts:
             best: dict[str, str] = {start: start}
             frontier = [start]
             for hop in range(1, max_hops + 1):
@@ -288,6 +331,8 @@ def flow_witness_grouped(
                     break
                 for v, s in cand.items():
                     best[v] = s
+                    if sink_set is not None and v not in sink_set:
+                        continue  # BFS still expands through non-sinks
                     out_src.append(start)
                     out_dst.append(v)
                     out_hops.append(hop)
@@ -315,6 +360,7 @@ def reachable_cross_conversation(
     max_hops: int = 4,
     max_crossings: int = 1,
     keyed_by: str = "conv_id",
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-procedure propagation with a call-depth bound — the engine's
     continuation tasks at call sites (``Engine.scala:70-127`` params/returns,
@@ -326,80 +372,172 @@ def reachable_cross_conversation(
     Returns DISTINCT global (src, dst, crossings) pairs where dst is
     reachable from src with ≤ max_hops hops inside each conversation and at
     most ``max_crossings`` conversation crossings; ``crossings`` is the
-    MINIMUM number needed. Shape: the within-conversation closure runs once
-    (grouped BFS, one shuffle), then each crossing level is one equi-join on
-    the bridging entity + a min-aggregate — no per-level BFS re-run.
+    MINIMUM number needed.
+
+    Scale shape (every depth, not just depth 1): the within-conversation
+    closure runs once (grouped BFS, one shuffle); each crossing level is one
+    equi-join on the bridging ENTITY between two entity-pair-keyed frames —
+    never a conv-carrying join, so hub cost is independent of how many
+    conversations the hub entity appears in. Carrying conv_id would make the
+    hub quadratic in its conversation count (org_1 in 2/3 of conversations →
+    ~(0.66·n_conv)² rows through one key); conv_id only matters through the
+    adjacent-segments-differ constraint, and that is fully decidable from a
+    bounded WITNESS SUMMARY of each side's conversation set:
+
+      frontier (src → bridge):  (many, conv)         — ≥2 witness convs, or
+                                                        the single one
+      depart  (bridge → dst):   (n_d, c_d1, c_d2)    — conv count + the two
+                                                        smallest convs
+
+    A crossing is invalid only when the frontier has exactly one witness
+    conversation and the depart segment exists only in that same one. The
+    new frontier's summary is exactly recoverable: with ≥2 frontier
+    witnesses the new witness set is the whole depart set; with one witness
+    w it is the depart set minus {w} — distinguishable as empty / single /
+    many from (n_d, c_d1, c_d2) alone (n_d ≥ 3 ⇒ many survives; n_d ≤ 2 ⇒
+    the set is fully known). Induction keeps the summary exact at every
+    depth, so results match the conv-carrying formulation row-for-row
+    (DuckDB oracle kg_reachable_cross_conv / _conv2).
+
+    Bridge pruning: an entity appearing in only ONE conversation can never
+    bridge (its depart segment is forced into the frontier's own
+    conversation), so both aggregation inputs are semi-filtered to
+    multi-conversation entities first — on corpora where hubs are rare this
+    drops most of the closure before the wide aggregates.
     """
     within = reachable_within_grouped(edges, max_hops=max_hops, keyed_by=keyed_by)
     within = within.persist()
-    # depth 0: pairs reachable inside a single conversation
-    levels = within.select("src", "dst").dropDuplicates().withColumn(
-        "crossings", F.lit(0)
+    _iter_caches: list[DataFrame] = [within]
+    # ``sources`` (single-column 'src') restricts propagation to flows
+    # STARTING at the given node set — the reference's query shape, and what
+    # keeps deep-crossing output (and its conv-carrying DuckDB oracle)
+    # tractable on hub-dense graphs. The restriction applies to the origin
+    # only; bridge and depart segments stay unrestricted.
+    w_from = (
+        within
+        if sources is None
+        else within.join(
+            F.broadcast(sources.select("src").dropDuplicates()), "src", "left_semi"
+        )
     )
+    # depth 0: pairs reachable inside a single conversation
+    levels = [
+        w_from.select("src", "dst").dropDuplicates().withColumn(
+            "crossings", F.lit(0)
+        )
+    ]
     if max_crossings >= 1:
-        # Skew-safe single crossing: carrying conv_id into the bridge join
-        # makes the hub entity quadratic in its conversation count (org_1 in
-        # 2/3 of conversations → ~(0.66·n_conv)² rows through one key). The
-        # conv_id only matters through the constraint conv_a != conv_b, so
-        # pre-aggregate each side to (entity pair, distinct-conv count, the
-        # single conv when count == 1): a crossing is valid unless BOTH sides
-        # have exactly one witness conversation and it is the same one. The
-        # bridge join is then bounded by entity-pair counts, independent of
-        # how many conversations the hub appears in.
-        arrive = within.groupBy("src", F.col("dst").alias("bridge")).agg(
-            F.countDistinct(keyed_by).alias("n_a"),
-            F.min(keyed_by).alias("c_a"),
-        )
-        depart = within.groupBy(
-            F.col("src").alias("bridge"), F.col("dst").alias("dst2")
-        ).agg(
-            F.countDistinct(keyed_by).alias("n_d"),
-            F.min(keyed_by).alias("c_d"),
-        )
-        step1 = (
-            arrive.join(depart, "bridge")
-            .where(
-                ~(
-                    (F.col("n_a") == 1)
-                    & (F.col("n_d") == 1)
-                    & (F.col("c_a") == F.col("c_d"))
-                )
+        # entities seen in >= 2 distinct conversations — the only possible
+        # bridge points (endpoint role is irrelevant for the >=2 test).
+        multi = (
+            within.select(F.col(keyed_by).alias("__c"), F.col("dst").alias("e"))
+            .unionByName(
+                within.select(F.col(keyed_by).alias("__c"), F.col("src").alias("e"))
             )
-            .select("src", F.col("dst2").alias("dst"))
+            .dropDuplicates(["__c", "e"])
+            .groupBy("e")
+            .agg(F.countDistinct("__c").alias("nc"))
+            .where(F.col("nc") >= 2)
+            .select("e")
+            .persist()
+        )
+        _iter_caches.append(multi)
+        # depart summary: per (bridge, dst) the conv count and two smallest
+        # convs. Computed once; reused at every depth.
+        d0 = (
+            within.join(multi, within.src == multi.e, "left_semi")
+            .select(F.col("src").alias("bridge"), F.col("dst").alias("dst2"), keyed_by)
             .dropDuplicates()
-            .withColumn("crossings", F.lit(1))
         )
-        levels = levels.unionByName(step1)
-    if max_crossings >= 2:
-        # deeper call depths keep the exact conv-carrying frontier loop —
-        # correct but hub-quadratic; salt the bridge key before using this
-        # at scale (documented, not the shipped configuration).
-        frontier = within.select("src", F.col("dst").alias("bridge"), keyed_by)
-        for depth in range(1, max_crossings + 1):
-            step = (
-                frontier.alias("f")
-                .join(
-                    within.alias("w"),
-                    (F.col("f.bridge") == F.col("w.src"))
-                    & (F.col(f"f.{keyed_by}") != F.col(f"w.{keyed_by}")),
-                )
-                .select(
-                    F.col("f.src").alias("src"),
-                    F.col("w.dst").alias("dst"),
-                    F.col(f"w.{keyed_by}").alias(keyed_by),
-                )
-                .dropDuplicates(["src", "dst", keyed_by])
+        from pyspark.sql import Window
+
+        wd = Window.partitionBy("bridge", "dst2").orderBy(keyed_by)
+        depart = (
+            d0.withColumn("rn", F.row_number().over(wd))
+            .withColumn("n_d", F.count("*").over(Window.partitionBy("bridge", "dst2")))
+            .where(F.col("rn") <= 2)
+            .groupBy("bridge", "dst2")
+            .agg(
+                F.max("n_d").alias("n_d"),
+                F.max(F.when(F.col("rn") == 1, F.col(keyed_by))).alias("c_d1"),
+                F.max(F.when(F.col("rn") == 2, F.col(keyed_by))).alias("c_d2"),
             )
-            if depth >= 2:
-                levels = levels.unionByName(
-                    step.select("src", "dst").dropDuplicates().withColumn(
-                        "crossings", F.lit(depth)
-                    )
+            .persist()
+        )
+        _iter_caches.append(depart)
+        # initial frontier summary: per (src, bridge=dst) of the closure,
+        # many-or-single witness of the (single-segment) path so far.
+        frontier = (
+            w_from.join(multi, w_from.dst == multi.e, "left_semi")
+            .groupBy("src", F.col("dst").alias("bridge"))
+            .agg(
+                (F.countDistinct(keyed_by) >= 2).alias("f_many"),
+                F.min(keyed_by).alias("f_conv"),
+            )
+        )
+        for depth in range(1, max_crossings + 1):
+            joined = frontier.join(depart, "bridge").where(
+                # invalid only when both sides are pinned to the same conv
+                ~(
+                    (~F.col("f_many"))
+                    & (F.col("n_d") == 1)
+                    & (F.col("c_d1") == F.col("f_conv"))
                 )
-            frontier = step.select("src", F.col("dst").alias("bridge"), keyed_by)
-    return levels.groupBy("src", "dst").agg(
+            )
+            step = joined.select(
+                "src",
+                "dst2",
+                # new witness set: depart set (frontier many) or depart \ {w}
+                F.when(F.col("f_many"), F.col("n_d") >= 2)
+                .when(F.col("n_d") >= 3, F.lit(True))
+                .when(
+                    (F.col("n_d") == 2)
+                    & (F.col("c_d1") != F.col("f_conv"))
+                    & (F.col("c_d2") != F.col("f_conv")),
+                    F.lit(True),
+                )
+                .otherwise(F.lit(False))
+                .alias("w_many"),
+                F.when(F.col("f_many") | (F.col("n_d") >= 3), F.col("c_d1"))
+                .when(
+                    (F.col("n_d") == 2) & (F.col("c_d1") == F.col("f_conv")),
+                    F.col("c_d2"),
+                )
+                .otherwise(F.col("c_d1"))
+                .alias("w_conv"),
+            )
+            nxt = step.groupBy("src", F.col("dst2").alias("bridge")).agg(
+                (
+                    F.max(F.col("w_many").cast("int")).cast("boolean")
+                    | (F.countDistinct(F.when(~F.col("w_many"), F.col("w_conv"))) >= 2)
+                ).alias("f_many"),
+                F.min(F.when(~F.col("w_many"), F.col("w_conv"))).alias("f_conv"),
+            )
+            # when f_many is true the single-conv field is meaningless; pin it
+            # so downstream equality tests never consult a stale value.
+            nxt = nxt.withColumn(
+                "f_conv", F.when(F.col("f_many"), F.lit(None)).otherwise(F.col("f_conv"))
+            ).persist()
+            _iter_caches.append(nxt)
+            levels.append(
+                nxt.select("src", F.col("bridge").alias("dst"))
+                .dropDuplicates()
+                .withColumn("crossings", F.lit(depth))
+            )
+            # next frontier only needs bridge-capable endpoints
+            frontier = nxt.join(multi, nxt.bridge == multi.e, "left_semi")
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    result = out.groupBy("src", "dst").agg(
         F.min("crossings").cast("long").alias("crossings")
     )
+    # materialize, then release the iteration caches (callers get a
+    # checkpointed frame, not a lazy plan over unpersisted intermediates).
+    result = result.localCheckpoint(eager=True)
+    for df in _iter_caches:
+        df.unpersist()
+    return result
 
 
 def flow_paths_grouped(
@@ -407,6 +545,7 @@ def flow_paths_grouped(
     max_hops: int = 4,
     keyed_by: str = "conv_id",
     sources: DataFrame | None = None,
+    max_paths_per_group: int = 10_000_000,
 ) -> DataFrame:
     """Path-returning reachability — the ``reachableByFlows`` analog: where
     :func:`reachable_within_grouped` returns (src, dst) *pairs*, this returns
@@ -431,13 +570,14 @@ def flow_paths_grouped(
     never all-pairs: ``MallocMemcpyTests.scala:30-43`` starts from
     ``cpg.call("malloc")``). On hub-dense graphs use this or
     :func:`flow_witness_grouped`; unrestricted enumeration is
-    output-exponential by nature.
+    output-exponential by nature — any group whose simple-path count exceeds
+    ``max_paths_per_group`` raises instead of silently producing an
+    executor-OOM-sized output (restrict sources or switch to the witness
+    operator).
     """
     import pandas as pd
 
-    src_set: set[str] | None = None
-    if sources is not None:
-        src_set = {r.src for r in sources.select("src").distinct().collect()}
+    src_set = _collect_node_set(sources, "src")
 
     def paths(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[keyed_by].iloc[0]
@@ -464,6 +604,12 @@ def flow_paths_grouped(
                     out_path.append("->".join(new))
                     if len(new) <= max_hops:
                         stack.append(new)
+            if len(out_src) > max_paths_per_group:
+                raise ValueError(
+                    f"flow_paths_grouped: group {key!r} exceeds "
+                    f"max_paths_per_group={max_paths_per_group} simple paths; "
+                    "restrict sources= or use flow_witness_grouped"
+                )
         return pd.DataFrame(
             {
                 keyed_by: key,

@@ -58,7 +58,10 @@ def conversation_to_graphml(
 ) -> str:
     """GraphML of one conversation's subgraph — the interchange-format
     sibling of the dot export (deterministic ordering; node label/name as
-    data keys)."""
+    data keys). Attribute and text values are XML-escaped, so names
+    containing &, <, > or quotes stay well-formed."""
+    from xml.sax.saxutils import escape, quoteattr
+
     sub_nodes = nodes.where(F.col("conv_id") == conv_id).select("id", "label", "name")
     ids = {r.id: r for r in sub_nodes.collect()}
     sub_edges = (
@@ -72,14 +75,14 @@ def conversation_to_graphml(
         '  <key id="labelV" for="node" attr.name="label" attr.type="string"/>',
         '  <key id="name" for="node" attr.name="name" attr.type="string"/>',
         '  <key id="labelE" for="edge" attr.name="label" attr.type="string"/>',
-        f'  <graph id="{conv_id}" edgedefault="directed">',
+        f"  <graph id={quoteattr(str(conv_id))} edgedefault=\"directed\">",
     ]
     for nid in sorted(ids):
         r = ids[nid]
         out.append(f'    <node id="n{nid}">')
-        out.append(f'      <data key="labelV">{r.label}</data>')
+        out.append(f'      <data key="labelV">{escape(str(r.label))}</data>')
         if r.name:
-            out.append(f'      <data key="name">{r.name}</data>')
+            out.append(f'      <data key="name">{escape(str(r.name))}</data>')
         out.append("    </node>")
     for e in sorted(
         (e for e in sub_edges if e.src in ids and e.dst in ids),
@@ -87,7 +90,7 @@ def conversation_to_graphml(
     ):
         out.append(
             f'    <edge source="n{e.src}" target="n{e.dst}">'
-            f'<data key="labelE">{e.label}</data></edge>'
+            f'<data key="labelE">{escape(str(e.label))}</data></edge>'
         )
     out += ["  </graph>", "</graphml>"]
     return "\n".join(out)

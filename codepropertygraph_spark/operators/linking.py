@@ -111,7 +111,7 @@ def resolve_overrides(
         resolved = hit if resolved is None else resolved.unionByName(hit)
         miss = cur.join(hit.select("site_id"), "site_id", "left_anti")
         if miss.isEmpty():
-            return resolved
+            break
         cur = (
             miss.join(h, miss["__t"] == F.col("__hc"))
             .select("site_id", F.col("__hp").alias("__t"), "name")
@@ -119,22 +119,20 @@ def resolve_overrides(
         )
         if cur.isEmpty():
             break
-        # a site no longer in cur (no more ancestors) and never hit falls
-        # through to the stub fallback below
-        miss_no_parent = miss.join(cur.select("site_id"), "site_id", "left_anti")
-        stub = miss_no_parent.select(
-            "site_id",
-            F.concat(F.lit(S.EXTERNAL_PREFIX), F.col("name")).alias("target"),
-            F.lit(-1).cast("long").alias("depth"),
-        ).dropDuplicates(["site_id"])
-        resolved = resolved.unionByName(stub)
-    # exhausted depth or hierarchy: remaining sites become stubs
-    remaining = cur.join(resolved.select("site_id"), "site_id", "left_anti")
-    stub = remaining.select(
+    # Stub fallback derived from the ORIGINAL call set, not the loop frontier:
+    # every site the walk never resolved (parentless receiver, exhausted
+    # hierarchy, or depth bound) becomes an external:<name> stub — so a batch
+    # whose only receivers are unbound and parentless still gets stubs.
+    unresolved = (
+        calls.groupBy("site_id")
+        .agg(F.min("name").alias("name"))
+        .join(resolved.select("site_id"), "site_id", "left_anti")
+    )
+    stub = unresolved.select(
         "site_id",
         F.concat(F.lit(S.EXTERNAL_PREFIX), F.col("name")).alias("target"),
         F.lit(-1).cast("long").alias("depth"),
-    ).dropDuplicates(["site_id"])
+    )
     return resolved.unionByName(stub)
 
 

@@ -68,6 +68,10 @@ def json_tree(
     Output: (``id_col``, path, parent_path, depth, kind, value, n_children,
     node_id, parent_id). ``value`` is the scalar text (strings unquoted,
     numbers/booleans as literals), NULL for containers and JSON nulls.
+
+    Raises ``ValueError`` if any document is deeper than ``max_depth`` —
+    silent truncation would diverge from :func:`json_tree_arrow`, which walks
+    to arbitrary depth under the same output contract.
     """
     frontier = df.select(
         F.col(id_col),
@@ -116,6 +120,13 @@ def json_tree(
         )
         if frontier.isEmpty():
             break
+    else:
+        # loop exhausted without an empty frontier: nodes deeper than
+        # max_depth exist and would be silently dropped — refuse instead.
+        raise ValueError(
+            f"json_tree: documents exceed max_depth={max_depth}; raise "
+            "max_depth or use json_tree_arrow (unbounded single-pass walker)"
+        )
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)

@@ -411,3 +411,24 @@ def test_near_dup_clusters(spark):
     }
     assert got[1] == got[2] == got[3] == 1  # exact + near dups cluster to min id
     assert got[4] == 4 and got[5] == 5  # singletons map to themselves
+
+
+def test_json_tree_rejects_overdeep_documents(spark):
+    """ADVICE regression: the declarative walker must refuse (not silently
+    truncate) documents deeper than max_depth."""
+    import pytest as _pytest
+
+    from codepropertygraph_spark.sources import json_ingest
+
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": {"c": {"d": 1}}}}')], "ast_id long, ast string"
+    )
+    with _pytest.raises(ValueError, match="max_depth"):
+        json_ingest.json_tree(df, "ast_id", "ast", max_depth=2).count()
+    # exactly-deep-enough passes and matches the arrow walker
+    deep = json_ingest.json_tree(df, "ast_id", "ast", max_depth=4)
+    arrow = json_ingest.json_tree_arrow(df, "ast_id", "ast")
+    cols = ["ast_id", "path", "parent_path", "depth", "kind", "value", "n_children"]
+    assert {tuple(r) for r in deep.select(*cols).collect()} == {
+        tuple(r) for r in arrow.select(*cols).collect()
+    }

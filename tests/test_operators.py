@@ -292,3 +292,26 @@ def test_resolve_overrides_walks_inheritance(spark):
         4: ("external:missing", -1),
         5: ("external:run", -1),
     }
+
+
+def test_resolve_overrides_all_parentless_unresolved(spark):
+    """ADVICE regression: a batch whose ONLY unresolved receiver types are
+    unbound and parentless must still emit external stubs (the old post-loop
+    fallback derived the stub set from the already-empty frontier)."""
+    hierarchy = spark.createDataFrame([], "child string, parent string")
+    bindings = spark.createDataFrame([], "type string, name string, target string")
+    calls = spark.createDataFrame(
+        [(1, "Q", "ping"), (2, "R", "pong")],
+        "site_id long, recv_type string, name string",
+    )
+    got = {
+        r.site_id: (r.target, r.depth)
+        for r in linking.resolve_overrides(calls, bindings, hierarchy).collect()
+    }
+    assert got == {1: ("external:ping", -1), 2: ("external:pong", -1)}
+
+
+def test_lsh_missed_pairs_empty_on_shipped_dictionary(spark, alias_dict):
+    """The documented recall check for flipping a new dictionary to the LSH
+    default: zero verified pairs missed on the shipped dictionary."""
+    assert canonicalize.lsh_missed_pairs(alias_dict).count() == 0

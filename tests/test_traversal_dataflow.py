@@ -515,3 +515,172 @@ def test_graphml_export_deterministic(catalog):
     graph = root.find(f"{ns}graph")
     assert len(graph.findall(f"{ns}node")) > 0
     assert len(graph.findall(f"{ns}edge")) > 0
+
+
+def _brute_cross_conv(rows, max_hops, max_crossings, sources=None):
+    """Conv-carrying reference implementation of reachable_cross_conversation
+    (the exponential-state formulation the witness summaries compress)."""
+    from collections import defaultdict
+
+    adj: dict = defaultdict(lambda: defaultdict(set))
+    for c, s, o in rows:
+        adj[c][s].add(o)
+    within = set()
+    for c, a in adj.items():
+        for start in a:
+            reached: set = set()
+            frontier = {start}
+            for _ in range(max_hops):
+                nxt = set()
+                for n in frontier:
+                    nxt |= a.get(n, set()) - reached
+                reached |= nxt
+                frontier = nxt
+            for d in reached:
+                within.add((c, start, d))
+    best: dict = {}
+    cur = {
+        (s, d, c)
+        for (c, s, d) in within
+        if sources is None or s in sources
+    }
+    for s, d, _ in cur:
+        best.setdefault((s, d), 0)
+    for k in range(1, max_crossings + 1):
+        nxt = set()
+        for s, b, c in cur:
+            for c2, s2, d2 in within:
+                if s2 == b and c2 != c:
+                    nxt.add((s, d2, c2))
+                    best.setdefault((s, d2), k)
+        cur = nxt
+    return best
+
+
+def test_cross_conversation_witness_summary_matches_brute_force(spark):
+    """The entity-pair witness-summary loop must equal the conv-carrying
+    formulation at every depth — including the adversarial regimes the
+    summary compresses: hub entities in many conversations, A->B->A
+    non-adjacent repeats, and single-conversation pins where the depart set
+    has 1 or 2 members containing the frontier's only witness."""
+    import random
+
+    rng = random.Random(7)
+    nodes = ["n%d" % i for i in range(6)]
+    convs = ["cA", "cB", "cC", "cD"]
+    for trial in range(4):
+        rows = set()
+        for _ in range(14):
+            rows.add(
+                (rng.choice(convs), rng.choice(nodes), rng.choice(nodes))
+            )
+        rows = sorted(rows)
+        edges = spark.createDataFrame(rows, "conv_id string, s string, o string")
+        for mc in (1, 2, 3):
+            exp = _brute_cross_conv(rows, 3, mc)
+            got = {
+                (r.src, r.dst): r.crossings
+                for r in dataflow.reachable_cross_conversation(
+                    edges, max_hops=3, max_crossings=mc
+                ).collect()
+            }
+            assert got == exp, (trial, mc)
+
+
+def test_cross_conversation_single_conv_pin_branches(spark):
+    """Hand-built hits for the depart-summary branches: n_d == 1 with the
+    pinned conv (invalid), n_d == 2 containing the frontier witness (falls
+    to the other conv), and the A->B->A depth-2 return."""
+    rows = [
+        # src u reaches bridge x only in cA; x departs to z only in cA too
+        ("cA", "u", "x"), ("cA", "x", "z"),
+        # x also departs to w in cA and cB (n_d == 2, one of them == cA)
+        ("cB", "x", "w"),
+        # w returns to a cA-only segment (depth-2 A->B->A)
+        ("cA", "w", "v"),
+    ]
+    edges = spark.createDataFrame(rows, "conv_id string, s string, o string")
+    for mc in (1, 2, 3):
+        exp = _brute_cross_conv(rows, 4, mc)
+        got = {
+            (r.src, r.dst): r.crossings
+            for r in dataflow.reachable_cross_conversation(
+                edges, max_hops=4, max_crossings=mc
+            ).collect()
+        }
+        assert got == exp, mc
+    # the invalid pin: u->z via bridge x must stay crossings=0 (same conv),
+    # u->w needs the cB departure (1 crossing), u->v needs the return (2)
+    got2 = {
+        (r.src, r.dst): r.crossings
+        for r in dataflow.reachable_cross_conversation(
+            edges, max_hops=4, max_crossings=2
+        ).collect()
+    }
+    assert got2[("u", "w")] == 1
+    assert got2[("u", "v")] == 2
+
+
+def test_cross_conversation_sources_restriction(spark):
+    rows = [("cA", "ext", "x"), ("cA", "a", "x"), ("cB", "x", "z")]
+    edges = spark.createDataFrame(rows, "conv_id string, s string, o string")
+    srcs = spark.createDataFrame([("ext",)], "src string")
+    exp = _brute_cross_conv(rows, 4, 1, sources={"ext"})
+    got = {
+        (r.src, r.dst): r.crossings
+        for r in dataflow.reachable_cross_conversation(
+            edges, max_hops=4, max_crossings=1, sources=srcs
+        ).collect()
+    }
+    assert got == exp
+    assert all(s == "ext" for s, _ in got)
+
+
+def test_flow_witness_sources_and_sinks(spark):
+    edges = spark.createDataFrame(
+        [("g", "a", "b"), ("g", "b", "c"), ("g", "x", "b"), ("g", "c", "d")],
+        "conv_id string, s string, o string",
+    )
+    srcs = spark.createDataFrame([("a",)], "src string")
+    sinks = spark.createDataFrame([("d",)], "dst string")
+    got = {
+        (r.src, r.dst): r.path
+        for r in dataflow.flow_witness_grouped(
+            edges, max_hops=4, sources=srcs, sinks=sinks
+        ).collect()
+    }
+    # only a->d survives; BFS still expanded THROUGH non-sink b, c
+    assert got == {("a", "d"): "a->b->c->d"}
+
+
+def test_flow_paths_per_group_cap(spark):
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [("g", "a", "b"), ("g", "b", "c"), ("g", "c", "d")],
+        "conv_id string, s string, o string",
+    )
+    with _pytest.raises(Exception, match="max_paths_per_group"):
+        dataflow.flow_paths_grouped(edges, max_hops=4, max_paths_per_group=2).collect()
+    # generous cap passes
+    assert dataflow.flow_paths_grouped(edges, max_hops=4).count() == 6
+
+
+def test_graphml_escapes_special_chars(spark):
+    """Names containing &, <, > and quotes must produce well-formed GraphML
+    (ADVICE: values were interpolated unescaped)."""
+    from xml.etree import ElementTree
+
+    nodes = spark.createDataFrame(
+        [(1, 'L<&>"x', 'na&me<">', "c&<v")],
+        "id long, label string, name string, conv_id string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 1, "E<&>")], "src long, dst long, label string"
+    )
+    xml = exports.conversation_to_graphml(nodes, edges, "c&<v", edge_labels=("E<&>",))
+    root = ElementTree.fromstring(xml)  # raises on malformed markup
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    node = root.find(f"{ns}graph").find(f"{ns}node")
+    vals = {d.get("key"): d.text for d in node.findall(f"{ns}data")}
+    assert vals["labelV"] == 'L<&>"x' and vals["name"] == 'na&me<">'
