@@ -674,6 +674,43 @@ def _q_kg_traversal_coalesce(spark, sf_dir):
     return picked.df.groupBy("label").agg(F.count("*").alias("n")).orderBy("label")
 
 
+def _q_kg_traversal_dominates(spark, sf_dir):
+    """Dominance DSL steps (§2.C gap closed — CfgNodeMethods.scala:26-82):
+    ALL strict (dominator, dominated) pairs of each conversation's
+    follows-graph, produced by the Traversal DSL's idom-chain closure walk
+    (.as_root().dominated_by()) over the committed dominator relation —
+    hash-checked against the REMOVAL-CHARACTERIZATION dominator SQL (a third
+    algorithm: CHK fixpoint vs chain walk vs unreachability-on-deletion)."""
+    from codepropertygraph_spark.ids import hash60
+    from codepropertygraph_spark.operators import traversal
+
+    triples = kg.final_triples(_transcripts(spark, sf_dir), _alias_dict(spark, sf_dir))
+    follows = triples.where(F.col("pred") == S.PRED_FOLLOWS).select(
+        "conv_id", F.col("obj").alias("s"), F.col("subj").alias("o")
+    )
+    entries = follows.groupBy("conv_id").agg(F.min("s").alias("entry"))
+    idom = dataflow.dominators_grouped(follows, entries)
+    nid = lambda c, n: hash60(F.concat_ws("|", F.lit("DOMN"), F.col(c), F.col(n)))
+    nodes = idom.select(
+        nid("conv_id", "node").alias("id"),
+        F.lit(S.ENTITY).alias("label"),
+        F.col("node").alias("name"),
+        "conv_id",
+    )
+    rel = idom.where(F.col("node") != F.col("idom")).select(
+        nid("conv_id", "node").alias("src"), nid("conv_id", "idom").alias("dst")
+    )
+    g = traversal.GraphView(nodes, nodes.limit(0).select(
+        F.col("id").alias("src"), F.col("id").alias("dst"), F.col("label")
+    ), relations={"IDOM": rel})
+    doms = g.all().as_root().dominated_by()
+    rooted = doms.df.select(
+        "conv_id", F.col("name").alias("dominator"), F.col("__root").alias("__r")
+    )
+    names = nodes.select(F.col("id").alias("__r"), F.col("name").alias("dominated"))
+    return rooted.join(names, "__r").select("conv_id", "dominator", "dominated")
+
+
 def _q_kg_entities(spark, sf_dir):
     """Final entity table: every post-merge canonical in use, with type and
     external flag (TypeNodePass + MethodStubCreator output projection)."""
@@ -788,6 +825,61 @@ def _q_kg_mention_ast_link(spark, sf_dir):
     ).dropDuplicates()
 
 
+def _q_kg_reaching_defs_fields(spark, sf_dir):
+    """Field-level reaching defs (UsageAnalyzer analog, UsageAnalyzer.scala:
+    10-69): defs = clause OBJECT arguments (the written side), access path
+    '$.clauses[*].obj' (index wildcarded = VariableAccess); uses = every
+    argument LEAF ('.surface'/'.pos') at its concrete tree path; a def
+    reaches a use iff the entity matches and the def path covers the use
+    path (EXACT/PREFIX), latest-def-wins per conversation. Exercises the
+    access-path algebra INSIDE dataflow (subj-side leaves fall out as
+    NO_MATCH), closing SURVEY §2.D's UsageAnalyzer 'partial'."""
+    from pyspark.sql import Window
+
+    from codepropertygraph_spark.sources import json_ingest
+
+    d = td.ensure_generated(td.tier_of_sf_dir(sf_dir))
+    aj = spark.read.parquet(f"{d}/ast_json.parquet")
+    tree = json_ingest.json_tree_arrow(aj, "ast_id", "ast")
+    ad = _alias_dict(spark, sf_dir)
+    merge = canonicalize.merge_map(ad).localCheckpoint(eager=True)
+    surf = tree.where(
+        F.col("path").rlike(r"\.clauses\[\d+\]\.(subj|obj)\.surface$")
+    ).select(
+        "ast_id",
+        F.col("parent_path").alias("arg_path"),
+        F.col("value").alias("surface"),
+        F.regexp_extract("path", r"\.(subj|obj)\.surface$", 1).alias("arg_role"),
+    )
+    surf = linking.link_surfaces(surf, ad, "surface", "canonical")
+    surf = linking.apply_merge(surf, merge, "canonical", "variable")
+    # ast_id is generated in (conv_id, turn_idx, ts) order, so its per-conv
+    # rank IS the stable turn order — no ambiguous (conv, turn_idx) join.
+    orders = aj.select("ast_id", "conv_id").withColumn(
+        "turn_order",
+        F.row_number().over(Window.partitionBy("conv_id").orderBy("ast_id")),
+    )
+    leaves = tree.where(
+        F.col("path").rlike(r"\.clauses\[\d+\]\.(subj|obj)\.(surface|pos)$")
+    ).select("ast_id", F.col("parent_path").alias("arg_path"), "path")
+    uses = (
+        leaves.join(surf.select("ast_id", "arg_path", "variable"), ["ast_id", "arg_path"])
+        .join(orders, "ast_id")
+        .select("conv_id", "turn_order", "variable", "path")
+    )
+    defs = (
+        surf.where(F.col("arg_role") == "obj")
+        .select(
+            "ast_id",
+            F.regexp_replace("arg_path", r"\[\d+\]", "[*]").alias("path"),
+            "variable",
+        )
+        .join(orders, "ast_id")
+        .select("conv_id", "turn_order", "variable", "path")
+    )
+    return dataflow.reaching_defs_fields(defs, uses)
+
+
 def _q_events_json_extract(spark, sf_dir):
     """Semi-structured ingest (A3 analog: pre-parsed JSON walk → typed
     columns): parse the events props JSON payload."""
@@ -816,6 +908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_reachable_4hop": _q_kg_reachable_4hop,
     "kg_raw_triples_udf": _q_kg_raw_triples_udf,
     "kg_reaching_defs": _q_kg_reaching_defs,
+    "kg_reaching_defs_fields": _q_kg_reaching_defs_fields,
     "kg_dominators": _q_kg_dominators,
     "kg_cdg": _q_kg_cdg,
     "kg_flows_4hop": _q_kg_flows_4hop,
@@ -828,6 +921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_flows_witness_from_stubs": _q_kg_flows_witness_from_stubs,
     "kg_traversal_mentions": _q_kg_traversal_mentions,
     "kg_traversal_coalesce": _q_kg_traversal_coalesce,
+    "kg_traversal_dominates": _q_kg_traversal_dominates,
     "kg_entities": _q_kg_entities,
     "dedup_keep_list": _q_dedup_keep_list,
     "events_json_extract": _q_events_json_extract,
@@ -1478,7 +1572,8 @@ def _dom_cte(edges_body: str, entry_body: str) -> str:
     return f"""
 e AS ({edges_body}),
 en AS ({entry_body}),
-nd AS (SELECT conv_id, s AS n FROM e UNION SELECT conv_id, o AS n FROM e),
+nd AS (SELECT DISTINCT conv_id, n FROM (
+  SELECT conv_id, s AS n FROM e UNION ALL SELECT conv_id, o AS n FROM e)),
 full_reach AS (
   SELECT conv_id, entry AS node FROM en
   UNION
@@ -1560,6 +1655,18 @@ walk AS (
 SELECT DISTINCT conv_id, runner AS controller, b AS dependent FROM walk"""
 )
 
+# strict (dominator, dominated) pairs straight from the removal
+# characterization's full `dom` relation — the DSL's idom-chain closure must
+# reproduce it exactly (dominator sets == idom chains, the classic identity).
+ORACLES["kg_traversal_dominates"] = (
+    "WITH RECURSIVE "
+    + _dom_cte(
+        _FOLLOWS_EDGES,
+        "SELECT conv_id, min(s) AS entry FROM e GROUP BY conv_id",
+    )
+    + " SELECT conv_id, m AS dominator, n AS dominated FROM dom WHERE m != n"
+)
+
 ORACLES["kg_reaching_defs"] = f"""
     WITH {_TOK_CTE}, {_MENTION_CTE}, {_BEST_CTE},
     linked AS (
@@ -1589,6 +1696,69 @@ ORACLES["kg_reaching_defs"] = f"""
     )
     SELECT conv_id, canonical AS variable, src_order, turn_order AS dst_order
     FROM lagged WHERE src_order IS NOT NULL
+"""
+
+# Independent derivation for kg_reaching_defs_fields: clause args come from
+# the TOKEN stream (not the tree walk), clause index = rank of the predicate
+# position, paths reconstructed textually; def->use matching collapses to
+# role='obj' uses (the def path '$.clauses[*].obj' PREFIX-covers exactly the
+# obj-side leaves), latest-def-wins via a greatest-earlier-turn aggregate.
+ORACLES["kg_reaching_defs_fields"] = f"""
+    WITH RECURSIVE {_TOK_CTE}, {_BEST_CTE}, {_MERGE_CTES},
+    tri AS (
+      SELECT conv_id, turn_idx, ts, pos,
+             lag(tok)  OVER w AS subj, tok AS pred, lead(tok) OVER w AS obj
+      FROM tok
+      WINDOW w AS (PARTITION BY conv_id, turn_idx, ts ORDER BY pos)
+    ),
+    cl AS (
+      SELECT conv_id, turn_idx, ts,
+             row_number() OVER (
+                 PARTITION BY conv_id, turn_idx, ts ORDER BY pos) - 1 AS k,
+             subj, obj
+      FROM tri
+      WHERE pred IN {_PREDS_SQL} AND subj IS NOT NULL AND obj IS NOT NULL
+    ),
+    args AS (
+      SELECT conv_id, turn_idx, ts, k, subj AS surface, 'subj' AS role FROM cl
+      UNION ALL
+      SELECT conv_id, turn_idx, ts, k, obj, 'obj' FROM cl
+    ),
+    linked AS (
+      SELECT a.conv_id, a.turn_idx, a.ts, a.k, a.role,
+             coalesce(m.merged_name,
+                      coalesce(b.canonical_name, 'external:' || a.surface)) AS variable
+      FROM args a
+      LEFT JOIN best b ON a.surface = b.alias
+      LEFT JOIN mm m
+        ON coalesce(b.canonical_name, 'external:' || a.surface) = m.canonical_name
+    ),
+    orders AS (
+      SELECT conv_id, turn_idx, ts,
+             CAST(row_number() OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx, ts) AS BIGINT) AS turn_order
+      FROM tr
+    ),
+    lo AS (
+      SELECT l.conv_id, l.k, l.role, l.variable, o.turn_order
+      FROM linked l JOIN orders o USING (conv_id, turn_idx, ts)
+    ),
+    defs AS (
+      SELECT DISTINCT conv_id, variable, turn_order FROM lo WHERE role = 'obj'
+    ),
+    uses AS (
+      SELECT conv_id, variable, turn_order,
+             '$.clauses[' || k || '].obj.' || leaf AS use_path
+      FROM lo, (SELECT unnest(['surface', 'pos']) AS leaf)
+      WHERE role = 'obj'
+    )
+    SELECT u.conv_id, u.variable, u.use_path,
+           max(d.turn_order) AS src_order, u.turn_order AS dst_order
+    FROM uses u
+    JOIN defs d
+      ON d.conv_id = u.conv_id AND d.variable = u.variable
+     AND d.turn_order < u.turn_order
+    GROUP BY u.conv_id, u.variable, u.use_path, u.turn_order
 """
 
 ORACLES["kg_traversal_mentions"] = f"""

@@ -670,3 +670,50 @@ def reachable_within_grouped(
     return e.groupBy(keyed_by).applyInPandas(
         closure, schema=f"{keyed_by} string, src string, dst string"
     )
+
+
+def reaching_defs_fields(defs: DataFrame, uses: DataFrame) -> DataFrame:
+    """Field-level reaching definitions — the UsageAnalyzer analog
+    (``dataflowengineoss/.../reachingdef/UsageAnalyzer.scala:10-69``: a def
+    reaches a use only when the variables match AND the def's access path
+    covers the use's — EXACT or PREFIX under ``AccessPath.matchAndDiff``).
+
+    defs: (conv_id, turn_order, variable, path) — writes, JSONPath strings
+          (may contain ``[*]`` wildcards: VariableAccess).
+    uses: (conv_id, turn_order, variable, path) — reads.
+
+    Returns (conv_id, variable, use_path, src_order, dst_order): for every
+    use, the LATEST earlier matching def — the linear-CFG collapse of
+    gen/kill with strong updates (any later matching write supersedes
+    earlier ones, the same per-(conv, key) lag discipline as
+    :func:`reaching_def_edges`, now keyed by access-path containment
+    instead of bare variable identity).
+
+    Scale shape: one equi-join keyed (conv_id, variable) — conversation-
+    local like every dataflow join here, hub variables bounded by
+    conversation size — with the path-match predicate evaluated columnar
+    JVM-side (functions.access_path; no Python)."""
+    from ..functions import access_path as AP
+
+    d = defs.select(
+        "conv_id",
+        "variable",
+        F.col("turn_order").cast("long").alias("src_order"),
+        AP.elements("path").alias("__d_el"),
+    )
+    u = uses.select(
+        "conv_id",
+        "variable",
+        F.col("turn_order").cast("long").alias("dst_order"),
+        F.col("path").alias("use_path"),
+        AP.elements("path").alias("__u_el"),
+    )
+    kind = AP.match_and_diff(F.col("__d_el"), F.col("__u_el")).getField("kind")
+    return (
+        d.join(u, ["conv_id", "variable"])
+        .where(F.col("src_order") < F.col("dst_order"))
+        .where(kind.isin("EXACT", "A_PREFIX_OF_B"))
+        .groupBy("conv_id", "variable", "use_path", "dst_order")
+        .agg(F.max("src_order").alias("src_order"))
+        .select("conv_id", "variable", "use_path", "src_order", "dst_order")
+    )

@@ -159,6 +159,105 @@ class Traversal:
         f = on_false(Traversal(self._g, self.df.where(~cond)))
         return t.union(f)
 
+    # -- dominance / CFG steps (CfgNodeMethods.scala:26-82,
+    #    generalizations/CfgNode.scala:36-46) --------------------------------
+
+    def as_root(self) -> "Traversal":
+        """Install provenance: subsequent hops carry ``__root`` (the element
+        that started the walk), so closure steps can return PAIRS — the
+        reference's path-tracking for ``dominates``-style expansions."""
+        return Traversal(self._g, self.df.withColumn("__root", F.col("id")))
+
+    def _rel_hop(self, rel_name: str, forward: bool) -> "Traversal":
+        """One hop through a named auxiliary relation table (src, dst) —
+        same join shape as :meth:`_hop` but over a committed relation
+        (IDOM / IPDOM / CDG) instead of labeled graph edges."""
+        rel = self._g.relation(rel_name)
+        from_col, to_col = ("src", "dst") if forward else ("dst", "src")
+        keep = ["__root"] if "__root" in self.df.columns else []
+        ids = self.df.select(F.col("id").alias("__from"), *keep)
+        hop = rel.join(ids, rel[from_col] == F.col("__from")).select(
+            F.col(to_col).alias("__id"), *keep
+        )
+        return Traversal(
+            self._g,
+            self._g.nodes.join(hop, self._g.nodes.id == F.col("__id")).drop("__id"),
+        )
+
+    def _rel_closure(
+        self, rel_name: str, forward: bool, max_hops: int = 64
+    ) -> "Traversal":
+        """Transitive closure over a named relation — the ``dominates`` /
+        ``dominatedBy`` recursive walk (CfgNodeMethods.scala:26-44 walks the
+        idom chain to a fixpoint). Iterative frontier join with per-(root,
+        node) dedup; driver-controlled like :meth:`repeat_out`. Dominator
+        chains are trees, so iterations = tree height."""
+        rel = self._g.relation(rel_name)
+        from_col, to_col = ("src", "dst") if forward else ("dst", "src")
+        keep = ["__root"] if "__root" in self.df.columns else []
+        frontier = self.df.select(F.col("id"), *keep)
+        seen = frontier
+        acc: DataFrame | None = None
+        for _ in range(max_hops):
+            step = (
+                rel.join(
+                    frontier.select(F.col("id").alias("__from"), *keep),
+                    rel[from_col] == F.col("__from"),
+                )
+                .select(F.col(to_col).alias("id"), *keep)
+                .dropDuplicates(["id", *keep])
+            )
+            new = step.join(seen, ["id", *keep], "left_anti").localCheckpoint(
+                eager=True
+            )
+            if new.isEmpty():
+                break
+            acc = new if acc is None else acc.unionByName(new)
+            seen = seen.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+        if acc is None:
+            empty = self.df.limit(0)
+            return Traversal(self._g, empty)
+        out = self._g.nodes.join(
+            acc.withColumnRenamed("id", "__id"), self._g.nodes.id == F.col("__id")
+        ).drop("__id")
+        return Traversal(self._g, out)
+
+    def dominated_by(self) -> "Traversal":
+        """All strict dominators of the current elements (``dominatedBy``):
+        the idom chain walked to the entry."""
+        return self._rel_closure("IDOM", forward=True)
+
+    def dominates(self) -> "Traversal":
+        """All elements strictly dominated by the current ones
+        (``dominates``): the inverse idom-chain closure."""
+        return self._rel_closure("IDOM", forward=False)
+
+    def post_dominated_by(self) -> "Traversal":
+        """Strict post-dominators (``postDominatedBy``), over IPDOM."""
+        return self._rel_closure("IPDOM", forward=True)
+
+    def post_dominates(self) -> "Traversal":
+        """Elements strictly post-dominated by these (``postDominates``)."""
+        return self._rel_closure("IPDOM", forward=False)
+
+    def controls(self) -> "Traversal":
+        """CDG successors (``controls``): elements whose execution the
+        current ones decide (CdgPass output, one hop)."""
+        return self._rel_hop("CDG", forward=True)
+
+    def controlled_by(self) -> "Traversal":
+        """CDG predecessors (``controlledBy``)."""
+        return self._rel_hop("CDG", forward=False)
+
+    def cfg_next(self) -> "Traversal":
+        """One step along the CFG (``cfgNext``) — NEXT-edge hop."""
+        return self.out(S.NEXT)
+
+    def cfg_prev(self) -> "Traversal":
+        """One step back along the CFG (``cfgPrev``)."""
+        return self.in_(S.NEXT)
+
     # -- call-graph sugar (callIn / calledMethod analog) -----------------------
 
     def callee(self) -> "Traversal":
@@ -260,9 +359,29 @@ class GraphView:
     """Query root over materialized node/edge tables (the ``cpg`` object;
     NodeTypeStarters analog)."""
 
-    def __init__(self, nodes: DataFrame, edges: DataFrame):
+    def __init__(
+        self,
+        nodes: DataFrame,
+        edges: DataFrame,
+        relations: dict[str, DataFrame] | None = None,
+    ):
         self.nodes = nodes
         self.edges = edges
+        # auxiliary binary relations as (src, dst) node-id pairs — the
+        # committed pass outputs the dominance/CDG steps walk (IDOM, IPDOM,
+        # CDG); kept separate from labeled edges because they are DERIVED
+        # overlays, not base-graph structure (CfgDominatorPass/CdgPass write
+        # separate edge kinds in the reference too).
+        self.relations = relations or {}
+
+    def relation(self, name: str) -> DataFrame:
+        if name not in self.relations:
+            raise KeyError(
+                f"GraphView has no '{name}' relation — pass relations="
+                f"{{'{name}': <(src, dst) id pairs>}} (e.g. from "
+                "dataflow.dominators_grouped / control_dependence_grouped)"
+            )
+        return self.relations[name]
 
     def all(self) -> Traversal:
         return Traversal(self, self.nodes)

@@ -251,3 +251,28 @@ def test_decorate_pass_merge_on_read(spark, warehouse):
     # raw table unchanged: no n_tokens key in the committed nodes rows
     raw = cat.read_table("nodes").where(F.col("label") == S.TURN).limit(5).collect()
     assert all("n_tokens" not in (r.props or {}) for r in raw)
+
+
+def test_kgql_console_over_warehouse(spark, warehouse):
+    """The interactive query entry point (Console.scala analog) driven end to
+    end over a committed warehouse: open, evaluate traversal expressions,
+    meta-commands, and error discipline."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import kgql
+
+    g = kgql.build_view_from_warehouse(spark, warehouse)
+    n_turns = int(kgql.evaluate(g, 'g.turns().count()'))
+    assert n_turns == g.nodes.where("label = 'TURN'").count() > 0
+    labels = kgql.evaluate(g, ":labels")
+    assert "TURN" in labels and "ENTITY" in labels
+    out = kgql.evaluate(
+        g, 'g.conversations().out("CONTAINS").filter(F.col("label") == S.MENTION).count()'
+    )
+    assert int(out) > 0
+    # DataFrame rendering caps rows
+    shown = kgql.evaluate(g, "g.turns().df.select('id')")
+    assert shown.splitlines()[0] == "id" and len(shown.splitlines()) <= kgql.MAX_ROWS + 2
+    # help reflects the step docs
+    assert "dominated_by" in kgql.evaluate(g, ":help")

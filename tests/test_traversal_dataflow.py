@@ -684,3 +684,115 @@ def test_graphml_escapes_special_chars(spark):
     node = root.find(f"{ns}graph").find(f"{ns}node")
     vals = {d.get("key"): d.text for d in node.findall(f"{ns}data")}
     assert vals["labelV"] == 'L<&>"x' and vals["name"] == 'na&me<">'
+
+
+def test_reaching_defs_fields_path_containment(spark):
+    """UsageAnalyzer-analog goldens: wildcard defs cover concrete leaves
+    (PREFIX), sibling fields fall out (NO_MATCH), later matching writes
+    supersede earlier ones (strong update), exact matches count."""
+    defs = spark.createDataFrame(
+        [
+            ("c", 1, "v", "$.a[*].obj"),
+            ("c", 3, "v", "$.a[*].obj"),      # supersedes turn-1 def for later uses
+            ("c", 1, "w", "$.cfg.flag"),      # exact-path def
+        ],
+        "conv_id string, turn_order long, variable string, path string",
+    )
+    uses = spark.createDataFrame(
+        [
+            ("c", 2, "v", "$.a[0].obj.surface"),  # reached by turn-1 def
+            ("c", 4, "v", "$.a[7].obj.pos"),      # reached by turn-3 def (kill)
+            ("c", 4, "v", "$.a[7].subj.pos"),     # NO_MATCH: sibling field
+            ("c", 4, "x", "$.a[7].obj.pos"),      # variable mismatch
+            ("c", 2, "w", "$.cfg.flag"),          # EXACT match
+            ("c", 1, "v", "$.a[0].obj.surface"),  # same turn as def: not reached
+        ],
+        "conv_id string, turn_order long, variable string, path string",
+    )
+    got = {
+        (r.variable, r.use_path, r.dst_order): r.src_order
+        for r in dataflow.reaching_defs_fields(defs, uses).collect()
+    }
+    assert got == {
+        ("v", "$.a[0].obj.surface", 2): 1,
+        ("v", "$.a[7].obj.pos", 4): 3,
+        ("w", "$.cfg.flag", 2): 1,
+    }
+
+
+def _dom_view(spark):
+    """Diamond CFG a->{b,c}->d->e with IDOM/IPDOM/CDG relations committed as
+    id-pair tables — the fixture for the CfgNodeMethods-analog steps."""
+    from codepropertygraph_spark.operators import traversal
+
+    ids = {n: i + 1 for i, n in enumerate("abcde")}
+    raw = [("g", "a", "b"), ("g", "a", "c"), ("g", "b", "d"), ("g", "c", "d"),
+           ("g", "d", "e")]
+    edges_df = spark.createDataFrame(raw, "conv_id string, s string, o string")
+    nodes = spark.createDataFrame(
+        [(ids[n], "ENTITY", n, "g") for n in ids],
+        "id long, label string, name string, conv_id string",
+    )
+    nedges = spark.createDataFrame(
+        [(ids[s], ids[o], "NEXT") for _, s, o in raw],
+        "src long, dst long, label string",
+    )
+    entries = spark.createDataFrame([("g", "a")], "conv_id string, entry string")
+    exits = spark.createDataFrame([("g", "e")], "conv_id string, exit string")
+    idom = dataflow.dominators_grouped(edges_df, entries)
+    rev = edges_df.select("conv_id", F.col("o").alias("s"), F.col("s").alias("o"))
+    ipdom = dataflow.dominators_grouped(
+        rev, exits.select("conv_id", F.col("exit").alias("entry"))
+    )
+    cdg = dataflow.control_dependence_grouped(edges_df, exits)
+
+    def rel(df, a, b, strict=True):
+        if strict:  # drop the entry's idom self-loop; CDG keeps self-pairs
+            df = df.where(F.col(a) != F.col(b))
+        return df.select(
+            F.udf(lambda n: ids[n], "long")(a).alias("src"),
+            F.udf(lambda n: ids[n], "long")(b).alias("dst"),
+        )
+
+    relations = {
+        "IDOM": rel(idom, "node", "idom"),
+        "IPDOM": rel(ipdom, "node", "idom"),
+        "CDG": rel(cdg, "controller", "dependent", strict=False),
+    }
+    return traversal.GraphView(nodes, nedges, relations), cdg
+
+
+def test_dominance_traversal_steps_golden(spark):
+    g, cdg = _dom_view(spark)
+    names = lambda t: {r.name for r in t.df.collect()}
+    # strict dominators of e: its idom chain d -> a
+    assert names(g.all().has(name="e").dominated_by()) == {"d", "a"}
+    # a strictly dominates everything else
+    assert names(g.all().has(name="a").dominates()) == {"b", "c", "d", "e"}
+    # post-dominators of a: d and e (both branches re-join at d)
+    assert names(g.all().has(name="a").post_dominated_by()) == {"d", "e"}
+    assert names(g.all().has(name="e").post_dominates()) == {"a", "b", "c", "d"}
+    # cfgNext / cfgPrev one-steppers
+    assert names(g.all().has(name="a").cfg_next()) == {"b", "c"}
+    assert names(g.all().has(name="d").cfg_prev()) == {"b", "c"}
+    # controls/controlled_by agree with the CdgPass table
+    exp = {(r.controller, r.dependent) for r in cdg.collect()}
+    id2n = {i + 1: n for i, n in enumerate("abcde")}
+    got = {
+        (id2n[r["__root"]], r["name"])
+        for r in g.all().as_root().controls().df.collect()
+    }
+    assert got == exp
+    # controlled_by is the inverse hop
+    inv = {
+        (r["name"], id2n[r["__root"]])
+        for r in g.all().as_root().controlled_by().df.collect()
+    }
+    assert inv == exp
+    # unknown relation -> helpful error
+    import pytest as _pytest
+
+    g2, _ = _dom_view(spark)
+    g2.relations.pop("IPDOM")
+    with _pytest.raises(KeyError, match="IPDOM"):
+        g2.all().post_dominates().df.collect()

@@ -1,0 +1,153 @@
+"""kgql — the interactive query entry point (the Console/CPGQL-server analog:
+``console/src/main/scala/io/shiftleft/console/Console.scala:125-131`` exposes
+the ``cpg`` root to an Ammonite REPL; ``cpgqlserver/CPGQLServer.scala``
+evaluates query strings over a loaded CPG). Here the root is a
+:class:`~codepropertygraph_spark.operators.traversal.GraphView` named ``g``
+over either a committed pipeline warehouse (``--warehouse``) or a graph built
+on the fly from the generated corpus (``--sf-dir``).
+
+Usage:
+    python tools/kgql.py --sf-dir /root/testdata/sf0.001 -c 'g.turns().count()'
+    python tools/kgql.py --warehouse /tmp/wh            # REPL on stdin
+    echo 'g.help()' | python tools/kgql.py --sf-dir ...
+
+Expressions are Python over the bound names ``g`` (GraphView), ``F``
+(pyspark.sql.functions) and ``S`` (schema constants) — the moral equivalent
+of the reference's Scala REPL line evaluation. Results render as:
+Traversal → first rows of its frame; DataFrame → .show(); anything else →
+repr. Meta-commands: ``:help`` ``:labels`` ``:quit``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from codepropertygraph_spark import schema as S  # noqa: E402
+from codepropertygraph_spark.operators.traversal import (  # noqa: E402
+    GraphView,
+    Traversal,
+)
+
+MAX_ROWS = 20
+
+
+def build_view_from_corpus(spark, sf_dir: str) -> GraphView:
+    """GraphView straight from transcripts + alias dict (no warehouse):
+    the same node/edge builders the pipeline passes commit."""
+    from codepropertygraph_spark import testdata as td
+    from codepropertygraph_spark.operators import canonicalize
+    from codepropertygraph_spark.operators import graph as G
+
+    d = td.ensure_generated(td.tier_of_sf_dir(sf_dir))
+    tr = spark.read.parquet(f"{d}/transcripts.parquet")
+    ad = spark.read.parquet(f"{d}/alias_dict.parquet")
+    merge = canonicalize.merge_map(ad).localCheckpoint(eager=True)
+    nodes = (
+        G.conversation_nodes(tr)
+        .unionByName(G.turn_nodes(tr))
+        .unionByName(G.mention_nodes(tr, ad))
+        .unionByName(G.toolcall_nodes(tr))
+        .unionByName(G.entity_nodes(tr, ad, merge))
+    )
+    edges = (
+        G.ast_edges(tr, ad)
+        .unionByName(G.next_edges(tr))
+        .unionByName(G.contains_edges(tr, ad))
+        .unionByName(G.ref_edges(tr, ad, merge))
+        .unionByName(G.call_edges(tr, ad, merge))
+        .unionByName(G.rel_edges(tr, ad, merge))
+    )
+    return GraphView(nodes, edges)
+
+
+def build_view_from_warehouse(spark, warehouse: str) -> GraphView:
+    from codepropertygraph_spark.plans.pipeline import Catalog
+
+    cat = Catalog(spark, warehouse)
+    nodes, edges = cat.nodes(), cat.edges()
+    if nodes is None or edges is None:
+        raise SystemExit(f"warehouse {warehouse} has no committed nodes/edges")
+    return GraphView(nodes, edges)
+
+
+def render(value) -> str:
+    """Stringify an evaluation result the way the console would print it."""
+    if isinstance(value, Traversal):
+        value = value.df
+    if isinstance(value, DataFrame):
+        buf = io.StringIO()
+        rows = value.limit(MAX_ROWS + 1).collect()
+        cols = value.columns
+        buf.write(" | ".join(cols) + "\n")
+        for r in rows[:MAX_ROWS]:
+            buf.write(" | ".join(str(v) for v in r) + "\n")
+        if len(rows) > MAX_ROWS:
+            buf.write(f"... (>{MAX_ROWS} rows)\n")
+        return buf.getvalue().rstrip("\n")
+    if isinstance(value, list):
+        return "\n".join(str(v) for v in value)
+    return repr(value)
+
+
+def evaluate(g: GraphView, line: str) -> str:
+    """One console line → rendered output (the CPGQLServer /query analog).
+    Meta-commands start with ':'; everything else is a Python expression
+    over the bound roots."""
+    line = line.strip()
+    if not line:
+        return ""
+    if line in (":quit", ":exit", ":q"):
+        raise EOFError
+    if line == ":help":
+        return "\n".join(f"{n:22s} {doc}" for n, doc in g.help())
+    if line == ":labels":
+        return render(g.all().group_count("label"))
+    env = {"g": g, "F": F, "S": S, "__builtins__": __builtins__}
+    value = eval(line, env)  # the REPL contract: evaluate the query line
+    return render(value)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--sf-dir", default=None, help="build the graph from the generated corpus for this tier")
+    ap.add_argument("--warehouse", default=None, help="open a committed pipeline warehouse")
+    ap.add_argument("-c", "--command", default=None, help="evaluate one expression and exit")
+    ap.add_argument("--master", default="local[8]")
+    args = ap.parse_args(argv)
+    if not args.sf_dir and not args.warehouse:
+        ap.error("need --sf-dir or --warehouse")
+
+    from codepropertygraph_spark.session import get_spark
+
+    spark = get_spark(app_name="kgql", master=args.master)
+    g = (
+        build_view_from_warehouse(spark, args.warehouse)
+        if args.warehouse
+        else build_view_from_corpus(spark, args.sf_dir)
+    )
+    if args.command:
+        print(evaluate(g, args.command))
+        return 0
+    print("kgql> roots: g (GraphView), F, S — :help :labels :quit", file=sys.stderr)
+    for line in sys.stdin:
+        try:
+            out = evaluate(g, line)
+        except EOFError:
+            break
+        except Exception as exc:  # console discipline: errors don't kill the session
+            out = f"error: {exc}"
+        if out:
+            print(out)
+        sys.stdout.flush()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
