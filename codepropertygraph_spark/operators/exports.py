@@ -94,3 +94,105 @@ def conversation_to_graphml(
         )
     out += ["  </graph>", "</graphml>"]
     return "\n".join(out)
+
+
+# ---------------------------------------------------------------------------
+# full-graph interchange bundle (the cpg.bin.zip analog)
+# ---------------------------------------------------------------------------
+
+BUNDLE_VERSION = 1
+
+#: canonical on-disk column order; map props are serialized as a key-sorted
+#: entry array so two writes of the same graph are content-identical
+#: (parquet part FILENAMES embed task uuids, so identity is defined over the
+#: manifest's content hashes + row sets, not raw file bytes — the same
+#: contract as comparing two cpg.bin.zip by their proto payloads).
+_NODE_COLS = ["id", "label", "name", "full_name", "code", "order", "conv_id", "turn_idx"]
+_EDGE_COLS = ["src", "dst", "label"]
+
+
+def _canonical(df: DataFrame, cols: list[str]) -> DataFrame:
+    entries = F.array_sort(F.map_entries(F.coalesce(
+        F.col("props"), F.create_map().cast("map<string,string>"))))
+    return df.select(*cols, entries.alias("props_entries"))
+
+
+def _content_hash(df: DataFrame) -> dict:
+    """Order-free content fingerprint computed distributively: per-row
+    xxhash64 over the canonical JSON, combined with sum + xor + count (no
+    driver-side sort, no collect). The sum runs in decimal(38,0) — exact and
+    ANSI-overflow-free up to ~1e19 rows, where summing raw int64 hashes
+    overflows after a handful."""
+    h = F.xxhash64(F.to_json(F.struct(*df.columns)))
+    row = df.select(h.alias("h")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("hsum"),
+        F.expr("bit_xor(h)").alias("hxor"),
+    ).collect()[0]
+    return {"rows": row.n, "sum": str(row.hsum), "xor": str(row.hxor)}
+
+
+def export_bundle(
+    nodes: DataFrame, edges: DataFrame, out_dir: str, n_files: int = 8
+) -> dict:
+    """Write the WHOLE graph as a deterministic interchange bundle — the
+    ``cpg.bin.zip`` full-graph serialization analog
+    (``codepropertygraph/.../cpgloading/ProtoCpgLoader.scala:23`` reads the
+    zip of proto node/edge lists; here the payload is schema'd parquet).
+
+    Layout: ``<out_dir>/nodes`` + ``<out_dir>/edges`` parquet (props as
+    key-sorted entry arrays, hash-bucketed into ``n_files`` deterministic
+    buckets, sorted within each) + ``<out_dir>/manifest.json`` carrying
+    version, schema, row counts and order-free content hashes. Distributed
+    end to end — no driver-side materialization, any n_files works at any
+    scale."""
+    import json
+    import os
+
+    n = _canonical(nodes, _NODE_COLS).repartition(
+        n_files, F.pmod(F.xxhash64("id"), F.lit(n_files))
+    ).sortWithinPartitions("id", "label")
+    e = _canonical(edges, _EDGE_COLS).repartition(
+        n_files, F.pmod(F.xxhash64("src", "dst", "label"), F.lit(n_files))
+    ).sortWithinPartitions("src", "dst", "label", "props_entries")
+    n.write.mode("overwrite").parquet(f"{out_dir}/nodes")
+    e.write.mode("overwrite").parquet(f"{out_dir}/edges")
+    manifest = {
+        "bundle_version": BUNDLE_VERSION,
+        "node_cols": _NODE_COLS,
+        "edge_cols": _EDGE_COLS,
+        "nodes": _content_hash(_canonical(nodes, _NODE_COLS)),
+        "edges": _content_hash(_canonical(edges, _EDGE_COLS)),
+    }
+    tmp = os.path.join(out_dir, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    return manifest
+
+
+def load_bundle(spark, out_dir: str) -> tuple[DataFrame, DataFrame, dict]:
+    """Read a bundle back into (nodes, edges, manifest) with the ORIGINAL
+    schemas (props entry arrays restored to maps). Verifies the manifest's
+    content hashes against what was read — a corrupted or partially-written
+    bundle fails loudly (the proto loader's zip CRC analog)."""
+    import json
+
+    with open(f"{out_dir}/manifest.json") as fh:
+        manifest = json.load(fh)
+    if manifest["bundle_version"] != BUNDLE_VERSION:
+        raise ValueError(f"unsupported bundle version {manifest['bundle_version']}")
+    rn = spark.read.parquet(f"{out_dir}/nodes")
+    re_ = spark.read.parquet(f"{out_dir}/edges")
+    got_n, got_e = _content_hash(rn.select(*manifest["node_cols"], "props_entries")), _content_hash(
+        re_.select(*manifest["edge_cols"], "props_entries")
+    )
+    if got_n != manifest["nodes"] or got_e != manifest["edges"]:
+        raise ValueError(
+            f"bundle content mismatch: nodes {got_n} vs {manifest['nodes']}, "
+            f"edges {got_e} vs {manifest['edges']}"
+        )
+    back = lambda df, cols: df.select(
+        *cols, F.map_from_entries("props_entries").alias("props")
+    )
+    return back(rn, manifest["node_cols"]), back(re_, manifest["edge_cols"]), manifest

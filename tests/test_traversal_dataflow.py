@@ -796,3 +796,38 @@ def test_dominance_traversal_steps_golden(spark):
     g2.relations.pop("IPDOM")
     with _pytest.raises(KeyError, match="IPDOM"):
         g2.all().post_dominates().df.collect()
+
+
+def test_bundle_roundtrip_identical(catalog, spark, tmp_path):
+    """Full-graph interchange (cpg.bin.zip analog): export -> load -> export
+    must be content-identical (manifest hashes equal), the loaded graph must
+    equal the original row-for-row INCLUDING props, and tampering must fail
+    the load-time hash verification."""
+    nodes, edges = catalog.nodes(), catalog.edges()
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    m1 = exports.export_bundle(nodes, edges, b1, n_files=3)
+    rn, re_, m_loaded = exports.load_bundle(spark, b1)
+    assert m_loaded == m1
+    m2 = exports.export_bundle(rn, re_, b2, n_files=3)
+    assert (m1["nodes"], m1["edges"]) == (m2["nodes"], m2["edges"])
+    # row-level identity incl. props (maps compared as sorted entry lists)
+    key = lambda df: {
+        tuple(r) for r in df.select(
+            *[c for c in df.columns if c != "props"],
+            F.array_sort(F.map_entries("props")).cast("string"),
+        ).collect()
+    }
+    assert key(rn) == key(nodes.select(*rn.columns))
+    assert key(re_) == key(edges.select(*re_.columns))
+    # corruption detection: drop one parquet file
+    import glob
+    import os
+    import pytest as _pytest
+
+    # pick the largest part file — a hash bucket can legitimately be empty
+    # on a tiny fixture, and removing an empty file changes no content
+    victim = max(glob.glob(f"{b1}/edges/part-*"), key=os.path.getsize)
+    os.remove(victim)
+    with _pytest.raises(ValueError, match="content mismatch"):
+        exports.load_bundle(spark, b1)
