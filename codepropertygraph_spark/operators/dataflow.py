@@ -355,6 +355,113 @@ def flow_witness_grouped(
     )
 
 
+def _crossing_pairs(
+    frontier: DataFrame, depart: DataFrame, caches: list[DataFrame]
+) -> DataFrame:
+    """Distinct (src, dst) pairs completing ONE more conversation crossing —
+    the final level of :func:`reachable_cross_conversation`, where no later
+    level consumes witness summaries, so only pair existence matters.
+
+    Adaptive strategy, chosen from one job of exact count statistics (the
+    same move a cost-based optimizer makes, with exact inputs):
+
+    EXPANSION (sparse corpora): bridge equi-join frontier x depart, distinct
+    pairs. Cost ~ sum_b f_b * d_b expanded rows.
+
+    PIGEONHOLE (dense corpora): if source s has many-witness frontier rows
+    to n_f(s) bridges and destination d is departable from n_dd(d) bridges,
+    then n_f(s) + n_dd(d) > B (distinct bridges overall) forces a shared
+    bridge carrying a many-conversation witness — (s, d) is PROVEN valid
+    with no enumeration (a many-witness frontier bridge is valid against
+    any depart row). Only the undecided remainder of the |S| x |D| grid is
+    checked by explicit join. On everything-reaches-everything corpora this
+    replaces an |entities|^3 expansion with an |entities|^2 scan; the
+    remainder's cost is re-estimated from the grid and falls back to the
+    plain expansion if it would not pay.
+
+    Driver-job discipline: each Spark action costs ~a second of fixed
+    orchestration on top of the work, so the statistics are fused into ONE
+    collect (crossJoined single-row aggregates) and the grid guard into one
+    more; the result itself stays lazy for the caller's single
+    materialization.
+    """
+    frontier = frontier.persist()
+    caches.append(frontier)
+    depart_b = F.broadcast(depart)
+    invalid = (
+        (~F.col("f_many")) & (F.col("n_d") == 1) & (F.col("c_d1") == F.col("f_conv"))
+    )
+    expansion = (
+        frontier.join(depart_b, "bridge")
+        .where(~invalid)
+        .select("src", F.col("dst2").alias("dst"))
+        .dropDuplicates()
+    )
+    # ONE stats job: expansion-cost estimate, grid dimensions, bridge count
+    fb = frontier.groupBy("bridge").agg(F.count("*").alias("f_cnt"))
+    db = depart.groupBy("bridge").agg(F.count("*").alias("d_cnt"))
+    stats = (
+        fb.join(db, "bridge")
+        .agg(F.sum(F.col("f_cnt") * F.col("d_cnt")).alias("cost_e"))
+        .crossJoin(
+            frontier.agg(
+                F.count("*").alias("n_front"),
+                F.countDistinct("src").alias("n_src"),
+            )
+        )
+        .crossJoin(depart.agg(F.countDistinct("dst2").alias("n_dst")))
+        .crossJoin(
+            frontier.select("bridge")
+            .unionByName(depart.select("bridge"))
+            .agg(F.countDistinct("bridge").alias("b_total"))
+        )
+        .collect()[0]
+    )
+    cost_e = stats.cost_e or 0
+    cost_p = stats.n_src * stats.n_dst
+    if cost_e <= cost_p * 4:
+        return expansion
+    fm = frontier.where(F.col("f_many")).groupBy("src").agg(
+        F.count("*").alias("n_f")
+    )
+    dd = depart.groupBy(F.col("dst2").alias("dst")).agg(F.count("*").alias("n_dd"))
+    grid = (
+        frontier.select("src")
+        .dropDuplicates()
+        .crossJoin(depart.select(F.col("dst2").alias("dst")).dropDuplicates())
+        .join(F.broadcast(fm), "src", "left")
+        .join(F.broadcast(dd), "dst", "left")
+        .withColumn(
+            "proven",
+            F.coalesce(F.col("n_f"), F.lit(0)) + F.coalesce(F.col("n_dd"), F.lit(0))
+            > F.lit(stats.b_total),
+        )
+        .persist()
+    )
+    caches.append(grid)
+    # one guard job (also materializes the grid cache): if checking the
+    # undecided remainder costs more than the expansion it replaces, the
+    # corpus was not dense enough after all.
+    n_und = grid.agg(
+        F.sum((~F.col("proven")).cast("long")).alias("n")
+    ).collect()[0].n or 0
+    if n_und * (stats.n_front / max(stats.n_src, 1)) > cost_e:
+        return expansion
+    proven = grid.where(F.col("proven")).select("src", "dst")
+    chk = (
+        grid.where(~F.col("proven"))
+        .select("src", "dst")
+        .join(frontier, "src")
+        .join(depart_b.withColumnRenamed("dst2", "dst"), ["bridge", "dst"])
+        .where(~invalid)
+        .select("src", "dst")
+        .dropDuplicates()
+    )
+    # proven and chk are disjoint by construction (complement halves of the
+    # grid), and each is internally distinct — plain union, no global dedup.
+    return proven.unionByName(chk)
+
+
 def reachable_cross_conversation(
     edges: DataFrame,
     max_hops: int = 4,
@@ -402,37 +509,75 @@ def reachable_cross_conversation(
     Bridge pruning: an entity appearing in only ONE conversation can never
     bridge (its depart segment is forced into the frontier's own
     conversation), so both aggregation inputs are semi-filtered to
-    multi-conversation entities first — on corpora where hubs are rare this
-    drops most of the closure before the wide aggregates.
+    multi-conversation entities first. The multi-conversation entity list is
+    derived from the EDGE table (identical incidence, ~20x smaller than the
+    closure) and broadcast, so the pruning runs map-side BEFORE the closure's
+    shuffles — on corpora where hubs are rare this drops most of the closure
+    before the wide aggregates.
+
+    Post-closure plan (one wide pass, not three): a single window over the
+    closure produces the per-(src, dst) PAIR SUMMARY (distinct-conv count +
+    two smallest convs); depth-0 results, the depart summary and the initial
+    frontier are all broadcast-filtered projections of it. The FINAL
+    crossing level needs no witness bookkeeping and dispatches to
+    :func:`_crossing_pairs`, which picks pigeonhole-proof or expansion-join
+    from exact count statistics.
     """
-    within = reachable_within_grouped(edges, max_hops=max_hops, keyed_by=keyed_by)
+    e_in = edges.persist()  # shared by the BFS and the bridge-entity scan
+    within = reachable_within_grouped(e_in, max_hops=max_hops, keyed_by=keyed_by)
     within = within.persist()
-    _iter_caches: list[DataFrame] = [within]
+    _iter_caches: list[DataFrame] = [e_in, within]
     # ``sources`` (single-column 'src') restricts propagation to flows
     # STARTING at the given node set — the reference's query shape, and what
     # keeps deep-crossing output (and its conv-carrying DuckDB oracle)
     # tractable on hub-dense graphs. The restriction applies to the origin
     # only; bridge and depart segments stay unrestricted.
-    w_from = (
-        within
+    src_b = (
+        None
         if sources is None
-        else within.join(
-            F.broadcast(sources.select("src").dropDuplicates()), "src", "left_semi"
+        else F.broadcast(sources.select("src").dropDuplicates())
+    )
+    from pyspark.sql import Window
+
+    # ONE pass over the closure: per (src, dst) pair, the distinct-conv
+    # count and the two smallest witness conversations. Depth-0 results,
+    # the depart summary AND the initial frontier are all broadcast-filtered
+    # projections of this summary — one shuffle+sort of the closure instead
+    # of three independent wide aggregations over it.
+    wd = Window.partitionBy("src", "dst").orderBy(keyed_by)
+    wall = Window.partitionBy("src", "dst")
+    pair_sum = (
+        within.withColumn("rn", F.dense_rank().over(wd))
+        .withColumn("n_d", F.max("rn").over(wall))
+        .where(F.col("rn") <= 2)
+        .groupBy("src", "dst")
+        .agg(
+            F.max("n_d").alias("n_d"),
+            F.min(F.when(F.col("rn") == 1, F.col(keyed_by))).alias("c_d1"),
+            F.min(F.when(F.col("rn") == 2, F.col(keyed_by))).alias("c_d2"),
         )
+        .persist()
+    )
+    _iter_caches.append(pair_sum)
+    ps_from = (
+        pair_sum if src_b is None else pair_sum.join(src_b, "src", "left_semi")
     )
     # depth 0: pairs reachable inside a single conversation
-    levels = [
-        w_from.select("src", "dst").dropDuplicates().withColumn(
-            "crossings", F.lit(0)
-        )
-    ]
+    levels = [ps_from.select("src", "dst").withColumn("crossings", F.lit(0))]
     if max_crossings >= 1:
         # entities seen in >= 2 distinct conversations — the only possible
         # bridge points (endpoint role is irrelevant for the >=2 test).
+        # Computed from the EDGE table, not the closure: every edge puts both
+        # endpoints into the closure at hop 1, so the entity<->conversation
+        # incidence sets coincide (edge incidence is a superset if self-loop
+        # pruning drops a node, and a superset only weakens pruning, never
+        # correctness). The edge table is ~20x smaller than the 4-hop
+        # closure, and the resulting entity list is small enough to
+        # broadcast into every semi-join below — pruning BEFORE the shuffles.
         multi = (
-            within.select(F.col(keyed_by).alias("__c"), F.col("dst").alias("e"))
+            e_in.select(F.col(keyed_by).alias("__c"), F.col("o").alias("e"))
             .unionByName(
-                within.select(F.col(keyed_by).alias("__c"), F.col("src").alias("e"))
+                e_in.select(F.col(keyed_by).alias("__c"), F.col("s").alias("e"))
             )
             .dropDuplicates(["__c", "e"])
             .groupBy("e")
@@ -441,42 +586,49 @@ def reachable_cross_conversation(
             .select("e")
             .persist()
         )
+        multi_b = F.broadcast(multi)
         _iter_caches.append(multi)
-        # depart summary: per (bridge, dst) the conv count and two smallest
-        # convs. Computed once; reused at every depth.
-        d0 = (
-            within.join(multi, within.src == multi.e, "left_semi")
-            .select(F.col("src").alias("bridge"), F.col("dst").alias("dst2"), keyed_by)
-            .dropDuplicates()
-        )
-        from pyspark.sql import Window
-
-        wd = Window.partitionBy("bridge", "dst2").orderBy(keyed_by)
+        # depart summary: per (bridge, dst2) the conv count and two smallest
+        # convs — pair_sum rows whose src can bridge. Reused at every depth.
         depart = (
-            d0.withColumn("rn", F.row_number().over(wd))
-            .withColumn("n_d", F.count("*").over(Window.partitionBy("bridge", "dst2")))
-            .where(F.col("rn") <= 2)
-            .groupBy("bridge", "dst2")
-            .agg(
-                F.max("n_d").alias("n_d"),
-                F.max(F.when(F.col("rn") == 1, F.col(keyed_by))).alias("c_d1"),
-                F.max(F.when(F.col("rn") == 2, F.col(keyed_by))).alias("c_d2"),
+            pair_sum.join(multi_b, pair_sum.src == multi.e, "left_semi")
+            .select(
+                F.col("src").alias("bridge"),
+                F.col("dst").alias("dst2"),
+                "n_d",
+                "c_d1",
+                "c_d2",
             )
             .persist()
         )
         _iter_caches.append(depart)
         # initial frontier summary: per (src, bridge=dst) of the closure,
         # many-or-single witness of the (single-segment) path so far.
-        frontier = (
-            w_from.join(multi, w_from.dst == multi.e, "left_semi")
-            .groupBy("src", F.col("dst").alias("bridge"))
-            .agg(
-                (F.countDistinct(keyed_by) >= 2).alias("f_many"),
-                F.min(keyed_by).alias("f_conv"),
-            )
+        frontier = ps_from.join(
+            multi_b, ps_from.dst == multi.e, "left_semi"
+        ).select(
+            "src",
+            F.col("dst").alias("bridge"),
+            (F.col("n_d") >= 2).alias("f_many"),
+            F.col("c_d1").alias("f_conv"),
         )
         for depth in range(1, max_crossings + 1):
-            joined = frontier.join(depart, "bridge").where(
+            if depth == max_crossings:
+                # FINAL level: no further crossing consumes witness
+                # summaries, so only the distinct (src, dst) pairs are
+                # needed — dispatch to the adaptive pair step (pigeonhole
+                # fast path on dense corpora, plain expansion on sparse).
+                lv = _crossing_pairs(frontier, depart, _iter_caches)
+                levels.append(lv.withColumn("crossings", F.lit(depth)))
+                break
+            # INTERMEDIATE level: the next crossing needs full witness
+            # summaries, so run the expansion join with the witness algebra.
+            # Explicit broadcast: the join key (bridge entity) is inherently
+            # low-cardinality/skewed — a sort-merge join stalls on hub
+            # stragglers. depart is an entity-PAIR summary (conv multiplicity
+            # already collapsed); if a corpus outgrows the broadcast limit,
+            # drop the hint and salt the bridge key instead.
+            joined = frontier.join(F.broadcast(depart), "bridge").where(
                 # invalid only when both sides are pinned to the same conv
                 ~(
                     (~F.col("f_many"))
@@ -525,15 +677,19 @@ def reachable_cross_conversation(
                 .withColumn("crossings", F.lit(depth))
             )
             # next frontier only needs bridge-capable endpoints
-            frontier = nxt.join(multi, nxt.bridge == multi.e, "left_semi")
+            frontier = nxt.join(multi_b, nxt.bridge == multi.e, "left_semi")
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
     result = out.groupBy("src", "dst").agg(
         F.min("crossings").cast("long").alias("crossings")
     )
-    # materialize, then release the iteration caches (callers get a
-    # checkpointed frame, not a lazy plan over unpersisted intermediates).
+    # single eager materialization, then release the iteration caches
+    # (callers get a checkpointed frame whose lineage no longer references
+    # the unpersisted intermediates). The plan reaching this point has no
+    # skew-prone join left un-hinted (the expansion is broadcast, the dense
+    # path is grid projections), so the static physical strategy the
+    # toRdd checkpoint uses is the same one AQE would pick.
     result = result.localCheckpoint(eager=True)
     for df in _iter_caches:
         df.unpersist()
@@ -641,10 +797,38 @@ def reachable_within_grouped(
     cannot split it — acceptable because BFS is O(V·E_local) and even the
     20× mega conversation is small; beyond that, salt + two-level closure.
     """
+    import numpy as np
     import pandas as pd
+
+    # Above this node count the dense n*n matrix stops paying for itself;
+    # fall back to the per-start set BFS (sparse-friendly, no n^2 memory).
+    _DENSE_MAX = 4096
 
     def closure(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[keyed_by].iloc[0]
+        codes, uniques = pd.factorize(pd.concat([pdf["s"], pdf["o"]]))
+        n = len(uniques)
+        if n <= _DENSE_MAX:
+            # vectorized closure: boolean adjacency matrix, max_hops-1
+            # uint8 matmuls — the whole conversation's BFS in a handful of
+            # BLAS calls instead of V Python-set traversals.
+            m = len(pdf)
+            # float32 matmul: BLAS-fast and exact for path counts < 2^24
+            # (uint8 would wrap at 256 predecessors and drop paths)
+            A = np.zeros((n, n), dtype=np.float32)
+            A[codes[:m], codes[m:]] = 1.0
+            reach = A > 0
+            P = reach
+            for _ in range(max_hops - 1):
+                P = (P.astype(np.float32) @ A) > 0
+                new = P & ~reach
+                if not new.any():
+                    break
+                reach |= P
+            ii, jj = np.nonzero(reach)
+            return pd.DataFrame(
+                {keyed_by: key, "src": uniques[ii], "dst": uniques[jj]}
+            )
         adj: dict[str, set[str]] = {}
         for s, o in zip(pdf["s"], pdf["o"]):
             adj.setdefault(s, set()).add(o)
@@ -654,10 +838,10 @@ def reachable_within_grouped(
             frontier = {start}
             for _ in range(max_hops):
                 nxt = set()
-                for n in frontier:
-                    for m in adj.get(n, ()):
-                        if m not in reached:
-                            nxt.add(m)
+                for node in frontier:
+                    for m2 in adj.get(node, ()):
+                        if m2 not in reached:
+                            nxt.add(m2)
                 reached |= nxt
                 frontier = nxt
                 if not frontier:
