@@ -277,6 +277,25 @@ def _q_kg_graph_edges(spark, sf_dir):
     return edges.groupBy("label").agg(F.count("*").alias("n")).orderBy("label")
 
 
+def _q_kg_source_file_edges(spark, sf_dir):
+    """FileLinker analog (A11): SOURCE_FILE edges from every
+    within-conversation node (TURN/MENTION/TOOLCALL) to its CONVERSATION
+    file node — exact-key broadcast resolution with create-if-missing stubs
+    (none fire on a fresh build; the oracle checks the resolved ids)."""
+    from codepropertygraph_spark.operators import linking
+
+    tr, ad = _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    files = G.conversation_nodes(tr)
+    srcs = (
+        G.turn_nodes(tr)
+        .unionByName(G.mention_nodes(tr, ad))
+        .unionByName(G.toolcall_nodes(tr))
+        .select("id", "conv_id")
+    )
+    edges, _created = linking.link_source_files(srcs, files)
+    return edges.select("src", "dst", "label")
+
+
 def _q_kg_reachable_4hop(spark, sf_dir):
     triples = kg.final_triples(_transcripts(spark, sf_dir), _alias_dict(spark, sf_dir))
     follows = triples.where(F.col("pred") == S.PRED_FOLLOWS).select(
@@ -905,6 +924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_toolcalls": _q_kg_toolcalls,
     "kg_graph_nodes": _q_kg_graph_nodes,
     "kg_graph_edges": _q_kg_graph_edges,
+    "kg_source_file_edges": _q_kg_source_file_edges,
     "kg_reachable_4hop": _q_kg_reachable_4hop,
     "kg_raw_triples_udf": _q_kg_raw_triples_udf,
     "kg_reaching_defs": _q_kg_reaching_defs,
@@ -1332,6 +1352,43 @@ ORACLES: dict[str, str] = {
         UNION ALL SELECT 'TOOLCALL', count(*) FROM tr WHERE tool IS NOT NULL
         UNION ALL SELECT 'ENTITY', count(*) FROM merged
         ORDER BY label
+    """,
+    "kg_source_file_edges": f"""
+        WITH {_TOK_CTE}, {_MENTION_CTE},
+        ord AS (
+          SELECT conv_id, turn_idx, ts, tool,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY turn_idx, ts) AS turn_order
+          FROM tr
+        ),
+        cid AS (
+          SELECT conv_id,
+                 1152921504606846976 + cast(concat('0x', substr(md5(
+                   concat_ws('|', 'CONVERSATION', conv_id)
+                 ), 1, 15)) AS BIGINT) AS dst
+          FROM (SELECT DISTINCT conv_id FROM tr)
+        )
+        SELECT 2305843009213693952 + cast(concat('0x', substr(md5(
+                 concat_ws('|', 'TURN', conv_id, CAST(turn_order AS VARCHAR))
+               ), 1, 15)) AS BIGINT) AS src,
+               cid.dst, 'SOURCE_FILE' AS label
+        FROM ord JOIN cid USING (conv_id)
+        UNION ALL
+        SELECT 3458764513820540928 + cast(concat('0x', substr(md5(
+                 concat_ws('|', 'MENTION', m.conv_id,
+                           CAST(o.turn_order AS VARCHAR), CAST(m.pos AS VARCHAR))
+               ), 1, 15)) AS BIGINT) AS src,
+               cid.dst, 'SOURCE_FILE' AS label
+        FROM mention m
+        JOIN ord o USING (conv_id, turn_idx, ts)
+        JOIN cid ON cid.conv_id = m.conv_id
+        UNION ALL
+        SELECT 5764607523034234880 + cast(concat('0x', substr(md5(
+                 concat_ws('|', 'TOOLCALL', conv_id, CAST(turn_order AS VARCHAR))
+               ), 1, 15)) AS BIGINT) AS src,
+               cid.dst, 'SOURCE_FILE' AS label
+        FROM ord JOIN cid USING (conv_id)
+        WHERE tool IS NOT NULL
     """,
     "kg_graph_edges": f"""
         WITH {_TOK_CTE}, {_MENTION_CTE}

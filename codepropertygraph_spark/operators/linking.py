@@ -136,6 +136,70 @@ def resolve_overrides(
     return resolved.unionByName(stub)
 
 
+def link_source_files(
+    srcs: DataFrame,
+    files: DataFrame,
+    file_key_col: str = "conv_id",
+) -> tuple[DataFrame, DataFrame]:
+    """FileLinker analog (A11, ``semanticcpg/.../linking/filecompat/
+    FileLinker.scala:22-63``): SOURCE_FILE edges from nodes to their
+    file-analog (CONVERSATION) node by name, creating missing file nodes on
+    demand with ``order`` continuing past the existing maximum (the
+    ``maxFileOrder`` discipline, FileLinker.scala:28-41; the exact-key
+    resolution is ``Linker.linkToSingle``, Linker.scala:202-242, with the
+    ``createFileIfDoesNotExist`` fallback).
+
+    srcs:  node rows carrying ``id`` and ``file_key_col``.
+    files: existing CONVERSATION nodes (``id``, ``name``, ``order``).
+
+    Returns ``(edges, created_files)``: one SOURCE_FILE edge per src node
+    (dst = the existing file's id when the key resolves, else the
+    content-addressed id the created stub also carries — so edges and stubs
+    agree without coordination), plus the created stub file nodes in the
+    full node-frame shape.
+
+    Scale shape: the file map is broadcast (same hub argument as
+    :func:`link_surfaces` — every executor probes a local hash map, no
+    shuffle); the only window runs over the MISSING-key set, which is small
+    by construction (files exist for anything extracted in-corpus).
+    """
+    from ..ids import hash_id_col, natural_key
+
+    key = F.col(file_key_col)
+    stub_id = hash_id_col(S.CONVERSATION, natural_key(S.CONVERSATION, key))
+    fmap = F.broadcast(
+        files.select(F.col("name").alias("__fname"), F.col("id").alias("__fid"))
+    )
+    joined = srcs.join(fmap, key == F.col("__fname"), "left")
+    edges = joined.select(
+        F.col("id").alias("src"),
+        F.coalesce(F.col("__fid"), stub_id).alias("dst"),
+        F.lit(S.SOURCE_FILE).alias("label"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    missing = (
+        joined.where(F.col("__fid").isNull())
+        .select(key.alias("__key"))
+        .dropDuplicates()
+    )
+    base_order = files.agg(
+        F.coalesce(F.max("order"), F.lit(-1)).alias("m")
+    ).collect()[0].m
+    w = Window.orderBy("__key")  # missing-key set only; deterministic order
+    created = missing.select(
+        hash_id_col(S.CONVERSATION, natural_key(S.CONVERSATION, F.col("__key"))).alias("id"),
+        F.lit(S.CONVERSATION).alias("label"),
+        F.col("__key").cast("string").alias("name"),
+        F.lit(None).cast("string").alias("full_name"),
+        F.lit(None).cast("string").alias("code"),
+        (F.lit(base_order) + F.row_number().over(w)).cast("int").alias("order"),
+        F.col("__key").cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    return edges, created
+
+
 def linked_triples_premerge(raw_triples: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """Raw clause triples with subject/object resolved to (pre-merge)
     canonical names. Two broadcast probes of the same tiny dictionary."""

@@ -160,6 +160,54 @@ class Catalog:
         dest.commit_overlay(0, "compacted", tables)
         return dest
 
+    def build_index(self, col: str = "full_name", n_buckets: int = 64) -> str:
+        """FULL_NAME index — the ``CpgLoader.createIndexes`` analog
+        (``codepropertygraph/.../cpgloading/CpgLoader.scala:49-62`` builds an
+        OverflowDb index on FULL_NAME for Linker lookups). Spark-idiomatic
+        form: a materialized index TABLE, hash-partitioned into
+        ``n_buckets`` directories on ``pmod(xxhash64(col), n_buckets)`` and
+        sorted by (col, id) within each — a point lookup prunes to exactly
+        one directory (Catalyst PartitionFilters, the other n-1 are never
+        listed) and row-group min/max stats skip within it. On Iceberg this
+        is a sort-order + bloom filter; plain parquet gets the same two
+        pruning levels from layout alone. Rows with NULL ``col`` land in the
+        default partition and are not indexed (lookups are by value).
+        Rebuild after new overlays commit — the index is a derived artifact,
+        not a source of truth."""
+        nodes = self.nodes()
+        path = os.path.join(self.warehouse, f"index_{col}")
+        (
+            nodes.withColumn(
+                "__bucket", F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets))
+            )
+            .repartition(n_buckets, "__bucket")
+            .sortWithinPartitions(col, "id")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(path)
+        )
+        with open(os.path.join(path, "_INDEX.json"), "w") as fh:
+            json.dump({"col": col, "n_buckets": n_buckets}, fh)
+        return path
+
+    def lookup(self, value: str, col: str = "full_name") -> DataFrame:
+        """Point lookup through the :meth:`build_index` table. The bucket
+        predicate compares the partition column to a CONSTANT-FOLDABLE
+        expression (xxhash64 of a literal), so Catalyst turns it into a
+        partition filter — one directory listed, one read."""
+        path = os.path.join(self.warehouse, f"index_{col}")
+        with open(os.path.join(path, "_INDEX.json")) as fh:
+            meta = json.load(fh)
+        df = self.spark.read.parquet(path)
+        return (
+            df.where(
+                F.col("__bucket")
+                == F.pmod(F.xxhash64(F.lit(value)), F.lit(meta["n_buckets"]))
+            )
+            .where(F.col(col) == value)
+            .drop("__bucket")
+        )
+
     def rollback_to(self, index: int) -> None:
         """Drop overlays with pass_index > index (snapshot rollback)."""
         for d in sorted(os.listdir(self.overlays_dir)):
@@ -300,6 +348,28 @@ def _decorate_pass(ctx: PassContext) -> dict[str, DataFrame]:
     return {"node_props": n_tokens.unionByName(n_clauses)}
 
 
+def _link_files_pass(ctx: PassContext) -> dict[str, DataFrame]:
+    """FileLinker analog (A11): SOURCE_FILE edges from every
+    within-conversation node (TURN/MENTION/TOOLCALL) to its CONVERSATION
+    node, creating stub file nodes for keys with no existing node (none in a
+    fresh build — the fallback matters for overlay/diff scenarios where the
+    file table is stale)."""
+    from ..operators import graph as G, linking
+
+    files = G.conversation_nodes(ctx.transcripts)
+    srcs = (
+        G.turn_nodes(ctx.transcripts)
+        .unionByName(G.mention_nodes(ctx.transcripts, ctx.alias_dict))
+        .unionByName(G.toolcall_nodes(ctx.transcripts))
+        .select("id", "conv_id")
+    )
+    edges, created = linking.link_source_files(srcs, files)
+    out = {"edges": edges}
+    if not created.isEmpty():
+        out["nodes"] = created
+    return out
+
+
 def _canonicalize_pass(ctx: PassContext) -> dict[str, DataFrame]:
     """Stage-4 analog (A16 + CC): the merge map, committed as its own
     overlay so downstream passes read a frozen artifact."""
@@ -347,6 +417,7 @@ STANDARD_PASSES: tuple[Pass, ...] = (
     Pass("meta_data", _meta_pass),
     Pass("base_layer", _base_layer_pass, depends_on=("meta_data",)),
     Pass("extraction", _extraction_pass, depends_on=("base_layer",)),
+    Pass("link_files", _link_files_pass, depends_on=("extraction",)),
     Pass("decorate", _decorate_pass, depends_on=("base_layer",)),
     Pass("canonicalize", _canonicalize_pass, depends_on=("extraction",)),
     Pass("linking", _linking_pass, depends_on=("canonicalize",)),

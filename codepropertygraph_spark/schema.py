@@ -60,8 +60,9 @@ CONTAINS = "CONTAINS"  # transitive containment shortcut (ContainsEdgePass A15)
 REF = "REF"  # MENTION -> ENTITY (Linker.linkToSingle semantics, A10)
 REL = "REL"  # triple edge ENTITY -> ENTITY; props['pred'] = predicate
 CALL = "CALL"  # TOOLCALL -> ENTITY(TOOL) resolved call edge (CallLinker A13)
+SOURCE_FILE = "SOURCE_FILE"  # node -> CONVERSATION file-analog (FileLinker A11)
 
-EDGE_LABELS = (AST, NEXT, CONTAINS, REF, REL, CALL)
+EDGE_LABELS = (AST, NEXT, CONTAINS, REF, REL, CALL, SOURCE_FILE)
 
 # Allowed (src_label, edge_label, dst_label) facts — the cpgvalidator
 # expectation table (CpgValidator.scala:8-14 analog).
@@ -77,6 +78,9 @@ EDGE_FACTS: frozenset[tuple[str, str, str]] = frozenset(
         (MENTION, REF, ENTITY),
         (ENTITY, REL, ENTITY),
         (TOOLCALL, CALL, ENTITY),
+        (TURN, SOURCE_FILE, CONVERSATION),
+        (MENTION, SOURCE_FILE, CONVERSATION),
+        (TOOLCALL, SOURCE_FILE, CONVERSATION),
     }
 )
 
@@ -98,6 +102,12 @@ CARDINALITY_FACTS: tuple[tuple[str, str, str, int, int | None], ...] = (
     (MENTION, "in", CONTAINS, 1, 1),
     (TOOLCALL, "in", CONTAINS, 1, 1),
     (CONVERSATION, "in", AST, 0, 0),    # conversations are roots
+    # FileLinker edges are ZERO_OR_ONE (base.json SOURCE_FILE cardinality):
+    # graphs built without the link_files pass stay conformant; with it,
+    # every within-conversation node links to at most one file.
+    (TURN, "out", SOURCE_FILE, 0, 1),
+    (MENTION, "out", SOURCE_FILE, 0, 1),
+    (TOOLCALL, "out", SOURCE_FILE, 0, 1),
 )
 
 # ---------------------------------------------------------------------------

@@ -315,3 +315,39 @@ def test_lsh_missed_pairs_empty_on_shipped_dictionary(spark, alias_dict):
     """The documented recall check for flipping a new dictionary to the LSH
     default: zero verified pairs missed on the shipped dictionary."""
     assert canonicalize.lsh_missed_pairs(alias_dict).count() == 0
+
+
+def test_link_source_files_resolves_and_creates(spark):
+    """FileLinker semantics (FileLinker.scala:22-63): existing files resolve
+    by exact name; missing keys get ONE stub file each, with content-
+    addressed ids shared between the stub row and its edges, and order
+    numbers continuing past the existing maximum in deterministic key
+    order."""
+    from codepropertygraph_spark.ids import LABEL_BASE
+
+    files = spark.createDataFrame(
+        [(101, "CONVERSATION", "c1", 7)], "id long, label string, name string, order int"
+    )
+    srcs = spark.createDataFrame(
+        [(1, "c1"), (2, "c9"), (3, "c9"), (4, "c8")], "id long, conv_id string"
+    )
+    edges, created = linking.link_source_files(srcs, files)
+    e = {r.src: r for r in edges.collect()}
+    assert len(e) == 4 and all(r.label == S.SOURCE_FILE for r in e.values())
+    assert e[1].dst == 101  # existing file resolved by name
+    c = {r.name: r for r in created.collect()}
+    assert set(c) == {"c8", "c9"}  # one stub per missing key
+    # orders continue past the max (7), assigned in key order
+    assert (c["c8"].order, c["c9"].order) == (8, 9)
+    # edges to missing files carry the SAME id as the created stub
+    assert e[2].dst == c["c9"].id == e[3].dst
+    assert e[4].dst == c["c8"].id
+    for r in c.values():
+        assert r.label == S.CONVERSATION and r.conv_id == r.name
+        assert LABEL_BASE[S.CONVERSATION] <= r.id < LABEL_BASE[S.CONVERSATION] + (1 << 60)
+    # determinism: a second invocation is row-identical
+    e2, c2 = linking.link_source_files(srcs, files)
+    assert sorted(map(tuple, e2.collect())) == sorted(map(tuple, edges.collect()))
+    assert sorted(map(tuple, c2.drop("props").collect())) == sorted(
+        map(tuple, created.drop("props").collect())
+    )

@@ -276,3 +276,30 @@ def test_kgql_console_over_warehouse(spark, warehouse):
     assert shown.splitlines()[0] == "id" and len(shown.splitlines()) <= kgql.MAX_ROWS + 2
     # help reflects the step docs
     assert "dominated_by" in kgql.evaluate(g, ":help")
+
+
+def test_full_name_index_prunes_and_matches(spark, warehouse):
+    """build_index/lookup (CpgLoader.createIndexes analog): the lookup must
+    (a) return exactly the rows a full scan filter returns, and (b) prune at
+    the partition level — the physical plan carries a __bucket partition
+    filter, and only one of the n_buckets directories is read."""
+    cat = P.Catalog(spark, warehouse)
+    cat.build_index("full_name", n_buckets=16)
+    target = (
+        cat.nodes().where(F.col("full_name").isNotNull()).select("full_name").first()
+    ).full_name
+    got = cat.lookup(target)
+    want = cat.nodes().where(F.col("full_name") == target)
+    key = lambda df: sorted(
+        (r.id, r.label, r.full_name) for r in df.select("id", "label", "full_name").collect()
+    )
+    assert key(got) == key(want) and len(key(got)) > 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__bucket" in plan
+    # directory-level pruning: the scan's selected partition count is 1
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__bucket" in m.group(1)
+    # a second lookup for a value absent from the corpus returns nothing
+    assert cat.lookup("no_such_full_name_ever").count() == 0
