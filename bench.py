@@ -81,8 +81,13 @@ def run_bench(master: str, replicate: int = 1, only: str | None = None) -> dict:
     def reset_cache():
         # drop every cached plan (so measurements never reuse a prior run's
         # persisted intermediates), then re-materialize the input tables —
-        # input residency is not pipeline work.
+        # input residency is not pipeline work. The explicit GC matters on a
+        # shared session: dropped cache blocks, dead broadcasts and
+        # checkpoint RDDs from earlier measurements otherwise linger in the
+        # old generation and tax later queries with collection pauses
+        # (observed 2x inflation on the tail heavyweights without it).
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         if replicate > 1:
             tr.persist()
             tr.count()
