@@ -379,6 +379,19 @@ def _q_ann_cosine_topk_lsh(spark, sf_dir):
     )
 
 
+def _q_ann_cosine_topk_ivf(spark, sf_dir):
+    """IVF-style ANN (the task-spec scale path alongside LSH): deterministic
+    md5-seeded coarse quantizer, inverted-list assignment, n_probe-list
+    search — every stage SQL-reproducible, so the whole approximate result
+    hash-checks (recall vs exact is measured separately in pytest)."""
+    from codepropertygraph_spark.operators import similarity
+
+    return similarity.cosine_topk_ivf(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        query_max_id=10, k=5, n_centroids=16, n_probe=4,
+    )
+
+
 def _q_text_token_count(spark, sf_dir):
     from codepropertygraph_spark.operators import textstats
 
@@ -958,6 +971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine_exact": _q_dedup_embedding_cosine_exact,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
+    "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
     "text_token_count": _q_text_token_count,
     "text_quality": _q_text_quality,
     "text_langid": _q_text_langid,
@@ -1086,6 +1100,44 @@ ORACLES: dict[str, str] = {
           FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
         )
         SELECT a, b, cos FROM p WHERE cos >= 0.45
+    """,
+    "ann_cosine_topk_ivf": """
+        WITH cents AS (
+          SELECT vec_id AS centroid_id, embedding AS cent
+          FROM embeddings
+          ORDER BY md5(cast(vec_id AS varchar)), vec_id
+          LIMIT 16
+        ),
+        assign AS (
+          SELECT vec_id, embedding, centroid_id FROM (
+            SELECT x.vec_id, x.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY x.vec_id
+                     ORDER BY round(list_sum(list_transform(range(1, 65), i -> x.embedding[i]::double * c.cent[i]::double)) / (sqrt(list_sum(list_transform(range(1, 65), i -> x.embedding[i]::double * x.embedding[i]::double))) * sqrt(list_sum(list_transform(range(1, 65), i -> c.cent[i]::double * c.cent[i]::double)))), 6) DESC,
+                              c.centroid_id ASC) AS rk
+            FROM embeddings x CROSS JOIN cents c
+          ) WHERE rk = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, embedding AS q_emb, centroid_id FROM (
+            SELECT x.vec_id, x.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY x.vec_id
+                     ORDER BY round(list_sum(list_transform(range(1, 65), i -> x.embedding[i]::double * c.cent[i]::double)) / (sqrt(list_sum(list_transform(range(1, 65), i -> x.embedding[i]::double * x.embedding[i]::double))) * sqrt(list_sum(list_transform(range(1, 65), i -> c.cent[i]::double * c.cent[i]::double)))), 6) DESC,
+                              c.centroid_id ASC) AS rk
+            FROM embeddings x CROSS JOIN cents c
+            WHERE x.vec_id < 10
+          ) WHERE rk <= 4
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 round(list_sum(list_transform(range(1, 65), i -> p.q_emb[i]::double * a.embedding[i]::double)) / (sqrt(list_sum(list_transform(range(1, 65), i -> p.q_emb[i]::double * p.q_emb[i]::double))) * sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::double * a.embedding[i]::double)))), 6) AS cos
+          FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+          WHERE a.vec_id != p.query_id
+        ),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored)
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+        FROM r WHERE rank <= 5
     """,
     "ann_cosine_topk": f"""
         WITH scored AS (

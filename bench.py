@@ -215,10 +215,19 @@ def run_scaling(replicate: int = 10) -> None:
     1.37x from 16->32 (host oversubscription / shared memory bandwidth), so
     2->8 is the region where adding cores means adding real hardware — the
     quantity the N->4N executor criterion is a proxy for. Override with
-    SPARK_GRAFT_SCALING_LEVELS="local[8],local[32]"."""
+    SPARK_GRAFT_SCALING_LEVELS="local[8],local[32]".
+
+    Order-robust protocol: whichever subprocess runs SECOND on this box
+    measures ~20-25% worse (residual host-state pollution from the first —
+    observed local[8] at 27-28s standalone or first, 34-35s when it follows
+    the local[2] run). So each level is measured once in each position
+    (rounds A,B then B,A) and the per-level MIN is reported — every level
+    gets one unpolluted first-position reading, and min-of-N remains the
+    least-biased estimator under additive noise. Efficiency is computed
+    from the PARSED THREAD COUNTS, never from list position."""
     levels = os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "local[2],local[8]").split(",")
-    results = {}
-    for master in levels:
+
+    def one(master: str) -> dict:
         out = subprocess.run(
             [
                 sys.executable,
@@ -236,29 +245,47 @@ def run_scaling(replicate: int = 10) -> None:
             check=True,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[master] = json.loads(line)
+        return json.loads(line)
 
-    lo, hi = levels[0], levels[-1]
-    t8 = results[lo]["turns_per_sec"]
-    t32 = results[hi]["turns_per_sec"]
-    eff = t32 / (4 * t8)
+    results: dict[str, dict] = {}
+    for ordering in (levels, list(reversed(levels))):
+        for master in ordering:
+            r = one(master)
+            if (
+                master not in results
+                or r["turns_per_sec"] > results[master]["turns_per_sec"]
+            ):
+                results[master] = r
+
+    def threads(master: str) -> int:
+        return int(master[master.find("[") + 1 : master.find("]")])
+
+    lo = min(levels, key=threads)
+    hi = max(levels, key=threads)
+    ratio = threads(hi) / threads(lo)
+    t_lo = results[lo]["turns_per_sec"]
+    t_hi = results[hi]["turns_per_sec"]
+    eff = t_hi / (ratio * t_lo)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(
             "# BENCH — scaling evidence (N vs 4N, sandbox proxy)\n\n"
             "Same generated corpus, same job (full KG pipeline: extract → link →\n"
             "canonicalize → distinct triples), two local parallelism levels as the\n"
-            "sandbox proxy for N vs 4N executors (driver rule; BASELINE.md).\n\n"
+            "sandbox proxy for N vs 4N executors (driver rule; BASELINE.md).\n"
+            "Protocol: each level measured once in each run order (A,B then B,A),\n"
+            "min per level — the second-position run reads ~20-25% slow on this\n"
+            "box; each level's first-position reading is the honest one.\n\n"
             "| level | master | turns | wall sec | turns/sec |\n|---|---|---|---|---|\n"
         )
-        for m in levels:
+        for m in (lo, hi):
             r = results[m]
             fh.write(
                 f"| {'N' if m == lo else '4N'} | {m} | {r['turns']} | "
                 f"{r['value']} | {r['turns_per_sec']} |\n"
             )
         fh.write(
-            f"\n**Scaling efficiency N→4N = {t32:.1f} / (4 × {t8:.1f}) = "
+            f"\n**Scaling efficiency N→{ratio:.0f}N = {t_hi:.1f} / ({ratio:.0f} × {t_lo:.1f}) = "
             f"{eff:.3f}** (target ≥ 0.8)\n\n"
             f"Per-query seconds at each level:\n\n```json\n"
             f"{json.dumps({m: results[m]['queries'] for m in results}, indent=1)}\n```\n"

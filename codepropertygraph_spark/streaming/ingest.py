@@ -204,3 +204,84 @@ def stream_hourly_event_counts(
     )
     q.awaitTermination()
     return spark.sql("SELECT * FROM hourly_counts")
+
+
+def stream_dedup_keep_list(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Incremental EXACT-dedup keep-list over a document stream — the
+    streaming form of ``dedup.exact_duplicates``'s first-wins policy: state
+    keyed by content hash (md5 of text) remembers the keeper doc_id and the
+    running duplicate count; each micro-batch emits one update row per
+    content hash it touched.
+
+    Keeper discipline: FIRST-SEEN wins across batches (the keeper committed
+    by an earlier micro-batch never changes — arrival order is the
+    streaming notion of "first"); within the batch that first sees a hash,
+    the smallest doc_id wins (deterministic under intra-batch shuffle, and
+    identical to the batch operator when everything arrives at once).
+
+    Emits (content_hash, keeper, n_seen, batch_new) in append mode —
+    downstream consumers take the LATEST row per hash (max n_seen) for the
+    current keep-list, or difference n_seen across rows for per-window
+    duplicate rates. Exactly-once: re-running an already-drained checkpoint
+    emits nothing (state + sink commit together).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (content_hash,) = key
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        if not ids:
+            return
+        if state.exists:
+            keeper, n_seen = state.get
+            batch_new = 0
+        else:
+            keeper, n_seen = min(ids), 0
+            batch_new = 1
+        n_seen += len(ids)
+        state.update((int(keeper), int(n_seen)))
+        yield pd.DataFrame(
+            {
+                "content_hash": [content_hash],
+                "keeper": [int(keeper)],
+                "n_seen": [int(n_seen)],
+                "batch_new": [bool(batch_new)],
+            }
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # state must bridge arriving files
+        .parquet(input_dir)
+    )
+    updates = (
+        stream.withColumn("content_hash", F.md5("text"))
+        .groupBy("content_hash")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "content_hash string, keeper long, n_seen long, batch_new boolean"
+            ),
+            stateStructType="keeper long, n_seen long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        updates.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

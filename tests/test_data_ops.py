@@ -432,3 +432,29 @@ def test_json_tree_rejects_overdeep_documents(spark):
     assert {tuple(r) for r in deep.select(*cols).collect()} == {
         tuple(r) for r in arrow.select(*cols).collect()
     }
+
+
+def test_ann_ivf_recall_floor(spark, emb):
+    """IVF recall@5 vs the exact scorer: probing 4 of 16 lists must beat
+    probing 1 (more lists never hurt), and probing ALL 16 lists must equal
+    the exact result (the quantizer partitions the corpus, so full probing
+    is exhaustive search). A planted high-cos corpus checks the designed
+    regime: a query's twin concentrates into the probed lists."""
+    def recall(df_exact, df_ivf):
+        ex = {(r.query_id, r.neighbor_id) for r in df_exact.collect()}
+        got = {(r.query_id, r.neighbor_id) for r in df_ivf.collect()}
+        return len(ex & got) / len(ex)
+
+    exact = similarity.cosine_topk(emb, query_max_id=10, k=5)
+    r4 = recall(exact, similarity.cosine_topk_ivf(emb, 10, 5, 16, n_probe=4))
+    r1 = recall(exact, similarity.cosine_topk_ivf(emb, 10, 5, 16, n_probe=1))
+    r16 = recall(exact, similarity.cosine_topk_ivf(emb, 10, 5, 16, n_probe=16))
+    assert r4 >= r1
+    assert r16 == 1.0, f"full probing must be exhaustive, got {r16:.3f}"
+
+    planted = _planted_embeddings(spark)
+    rp = recall(
+        similarity.cosine_topk(planted, query_max_id=10, k=1),
+        similarity.cosine_topk_ivf(planted, 10, 1, 16, n_probe=4),
+    )
+    assert rp >= 0.8, f"planted-twin recall@1 with 4/16 probes: {rp:.3f}"

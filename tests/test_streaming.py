@@ -161,3 +161,49 @@ def test_stateful_follows_drops_late_turns(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(f"{base}/out").collect()}
     # in-order pair (t3 follows t1) emitted; the late t2 produced nothing
     assert got == {("cL", "person_two", "follows", "person_one")}
+
+
+def test_stream_dedup_keep_list_first_seen_wins(spark, tmp_path):
+    """Incremental exact dedup: the keeper committed by the first batch must
+    survive a later batch carrying a SMALLER doc_id for the same content
+    (first-seen-wins is arrival-ordered, not id-ordered); duplicate counts
+    accumulate across batches; draining the same checkpoint twice emits
+    nothing new; and a single-drain run matches the batch operator's
+    keep-list policy for the first-arrived hash."""
+    base = str(tmp_path)
+    os.makedirs(f"{base}/in", exist_ok=True)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{base}/tmp_{name}")
+        for f in os.listdir(f"{base}/tmp_{name}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{base}/tmp_{name}/{f}", f"{base}/in/{name}.parquet")
+
+    # batch 1: hash A seen by docs 10, 12 → keeper 10; hash B by doc 20
+    write_file("b1", [(12, "aaa"), (10, "aaa"), (20, "bbb")])
+    # batch 2: doc 5 duplicates hash A — arrives later, must NOT take over
+    write_file("b2", [(5, "aaa"), (21, "ccc")])
+
+    ingest.stream_dedup_keep_list(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
+    rows = spark.read.parquet(f"{base}/out").collect()
+    # latest state per hash = max n_seen row
+    latest = {}
+    for r in rows:
+        if r.content_hash not in latest or r.n_seen > latest[r.content_hash].n_seen:
+            latest[r.content_hash] = r
+    by_keeper = {r.keeper: r for r in latest.values()}
+    assert set(by_keeper) == {10, 20, 21}
+    assert by_keeper[10].n_seen == 3      # 10, 12, then late 5
+    assert by_keeper[20].n_seen == 1
+    # batch_new marks only the first row per hash
+    a_rows = sorted(
+        (r for r in rows if r.keeper == 10), key=lambda r: r.n_seen
+    )
+    assert [r.batch_new for r in a_rows] == [True, False]
+
+    # exactly-once: re-draining the same checkpoint emits nothing
+    n_before = len(rows)
+    ingest.stream_dedup_keep_list(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
+    assert len(spark.read.parquet(f"{base}/out").collect()) == n_before
