@@ -56,18 +56,43 @@ class Traversal:
     def _hop(self, edge_label: str, forward: bool) -> "Traversal":
         """Shared hop: one output element per traversed edge (multiplicity
         preserved, like the reference's Traversal; use .dedup() for set
-        semantics). A ``__root`` provenance column, if present (coalesce /
-        choose install one), is carried through the hop."""
+        semantics). A ``__root`` provenance column (installed by coalesce /
+        choose) and a ``__path`` tracking column (installed by
+        :meth:`track_path`) are carried through the hop; ``__path`` also
+        gains the hopped-to node id."""
         e = self._g.edges.where(F.col("label") == edge_label)
         from_col, to_col = ("src", "dst") if forward else ("dst", "src")
-        keep = ["__root"] if "__root" in self.df.columns else []
+        keep = [c for c in ("__root", "__path") if c in self.df.columns]
         ids = self.df.select(F.col("id").alias("__from"), *keep)
         hop = e.join(ids, e[from_col] == F.col("__from")).select(
             F.col(to_col).alias("__id"), *keep
         )
+        out = self._g.nodes.join(hop, self._g.nodes.id == F.col("__id")).drop("__id")
+        if "__path" in keep:
+            out = out.withColumn("__path", F.array_append("__path", F.col("id")))
+        return Traversal(self._g, out)
+
+    def track_path(self) -> "Traversal":
+        """Install path tracking — the reference's TrackingPoint path
+        carrying (``dataflowengineoss/.../TrackingPoint.scala:48-66``):
+        every subsequent hop appends the visited node id to a path array.
+        ``.dedup()`` after tracking keeps ONE witness path per element —
+        the Engine's per-(head, last) path dedup discipline
+        (``Engine.scala:217-239``). For bounded ALL-paths enumeration use
+        :func:`dataflow.flow_paths_grouped` instead; a traversal chain
+        tracks one array per row."""
+        if "__path" in self.df.columns:
+            return self
         return Traversal(
-            self._g,
-            self._g.nodes.join(hop, self._g.nodes.id == F.col("__id")).drop("__id"),
+            self._g, self.df.withColumn("__path", F.array(F.col("id")))
+        )
+
+    def paths(self) -> DataFrame:
+        """Materialize tracked paths: (path array<node id>, last) rows."""
+        if "__path" not in self.df.columns:
+            raise ValueError("call .track_path() before .paths()")
+        return self.df.select(
+            F.col("__path").alias("path"), F.col("id").alias("last")
         )
 
     def out(self, edge_label: str) -> "Traversal":
@@ -286,6 +311,19 @@ class Traversal:
         return Traversal(self._g, self.df.unionByName(other.df))
 
     def dedup(self) -> "Traversal":
+        if "__path" in self.df.columns:
+            # deterministic witness: keep the lexicographically smallest
+            # path per element (dropDuplicates keeps an arbitrary row, which
+            # would make the surviving witness partitioning-dependent)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("id").orderBy("__path")
+            df = (
+                self.df.withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") == 1)
+                .drop("__rk")
+            )
+            return Traversal(self._g, df)
         return Traversal(self._g, self.df.dropDuplicates(["id"]))
 
     # -- side effects / tagging -------------------------------------------------

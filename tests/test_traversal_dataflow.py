@@ -831,3 +831,40 @@ def test_bundle_roundtrip_identical(catalog, spark, tmp_path):
     os.remove(victim)
     with _pytest.raises(ValueError, match="content mismatch"):
         exports.load_bundle(spark, b1)
+
+
+def test_track_path_golden(tiny_g):
+    """Path tracking (TrackingPoint.scala:48-66): each hop appends the
+    visited node id; dedup keeps the lexicographically smallest witness
+    path; untracked traversals refuse .paths()."""
+    # t1 -NEXT-> t2 -NEXT-> t3 : two hops from t1
+    got = {
+        (tuple(r.path), r.last)
+        for r in tiny_g.turns()
+        .filter(F.col("id") == 1)
+        .track_path()
+        .out("NEXT")
+        .out("NEXT")
+        .paths()
+        .collect()
+    }
+    assert got == {((1, 2, 3), 3)}
+    # fan-out: turns' AST children each carry their own 2-element path
+    got2 = {
+        tuple(r.path)
+        for r in tiny_g.turns().track_path().out("AST").paths().collect()
+    }
+    assert got2 == {(1, 10), (2, 11), (3, 20)}
+    # dedup keeps ONE deterministic witness per element: reach node 3 via
+    # NEXT from both t1 (path 1->2->3 after two hops... ) — construct two
+    # routes by unioning one-hop and two-hop frontiers
+    one = tiny_g.turns().track_path().out("NEXT")          # paths (1,2),(2,3)
+    two = one.out("NEXT")                                   # path (1,2,3)
+    both = traversal.Traversal(tiny_g, one.df.unionByName(two.df))
+    kept = {
+        (r.last, tuple(r.path)) for r in both.dedup().paths().collect()
+    }
+    # node 3 reachable via (2,3) and (1,2,3): min array wins -> (1,2,3)
+    assert kept == {(2, (1, 2)), (3, (1, 2, 3))}
+    with pytest.raises(ValueError, match="track_path"):
+        tiny_g.turns().paths()
