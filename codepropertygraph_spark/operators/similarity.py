@@ -178,18 +178,20 @@ def _cos_expr(a: str, b: str) -> str:
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, embedding, centroid_id): each corpus vector filed under its
     nearest coarse centroid by cosine (tie: smallest centroid_id) — the
-    inverted-list build. Centroids broadcast; map-side scoring + one
-    per-vector top-1 window."""
+    inverted-list build. Centroids broadcast; map-side scoring, then a
+    max_by HASH aggregate for the argmax (partial aggregation collapses
+    each vector's n_centroids candidate rows map-side — a top-1 window
+    would shuffle-and-sort the whole scored corpus instead). The struct
+    key (cos, -centroid_id) makes max_by reproduce the window's
+    (cos desc, centroid_id asc) tie-break exactly."""
     scored = embeddings.join(F.broadcast(centroids)).withColumn(
         "__cos", F.expr(_cos_expr("embedding", "cent_emb"))
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("__cos").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+    return scored.groupBy("vec_id").agg(
+        F.any_value("embedding").alias("embedding"),
+        F.max_by(
+            "centroid_id", F.struct(F.col("__cos"), -F.col("centroid_id"))
+        ).alias("centroid_id"),
     )
 
 

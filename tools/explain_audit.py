@@ -67,6 +67,8 @@ def main() -> None:
         "kg_flow_edges_semantics",
         "kg_reachable_cross_conv",
         "ann_cosine_topk",
+        "ann_cosine_topk_ivf",
+        "kg_source_file_edges",
         "tpch_q1",
     ):
         audit(name, qs[name](spark, SF_DIR))
