@@ -175,3 +175,107 @@ def test_graph_validates_clean_on_arbitrary_input(spark_global, rows):
     )
     violations = P.validate_frames(spark, nodes, edges).collect()
     assert violations == [], violations
+
+
+# -- cross-conversation closure: adaptive strategies vs brute force -----------
+#
+# reachable_cross_conversation picks between a pigeonhole proof (dense
+# corpora) and an expansion join (sparse) at the final crossing level, and
+# runs a witness-summary algebra at intermediate levels. All three code
+# paths must agree with the obvious conv-carrying formulation on ANY input.
+# Entity-pool size 4 drives examples into the dense/pigeonhole regime,
+# 12 into the sparse/expansion regime.
+
+
+@st.composite
+def conv_edge_sets(draw):
+    n_ent = draw(st.sampled_from([4, 12]))
+    ents = [f"e{i}" for i in range(n_ent)]
+    n_conv = draw(st.integers(2, 5))
+    edges = set()
+    for c in range(n_conv):
+        for _ in range(draw(st.integers(1, 8))):
+            edges.add((f"c{c}", draw(st.sampled_from(ents)), draw(st.sampled_from(ents))))
+    return sorted(edges)
+
+
+def _brute_cross(edges, max_hops, max_crossings, sources=None):
+    from collections import defaultdict
+
+    adj = defaultdict(lambda: defaultdict(set))
+    for c, s, o in edges:
+        adj[c][s].add(o)
+    within = defaultdict(set)  # conv -> {(s, d)}
+    for c, a in adj.items():
+        for start in list(a):
+            frontier, reached = {start}, set()
+            for _ in range(max_hops):
+                nxt = {m for n in frontier for m in a.get(n, ()) if m not in reached}
+                if not nxt:
+                    break
+                reached |= nxt
+                frontier = nxt
+            for d in reached:
+                within[c].add((start, d))
+    best = {}
+    origins = sources if sources is not None else {s for c in within for s, _ in within[c]}
+    for s in origins:
+        # BFS over (node, conv-of-last-segment) states, counting crossings
+        states = {(d, c) for c in within for (x, d) in within[c] if x == s}
+        for d, _ in states:
+            best.setdefault((s, d), 0)
+        for k in range(1, max_crossings + 1):
+            nxt = set()
+            for node, c in states:
+                for c2 in within:
+                    if c2 == c:
+                        continue
+                    for x, d in within[c2]:
+                        if x == node:
+                            nxt.add((d, c2))
+                            if (s, d) not in best:
+                                best[(s, d)] = k
+            states = nxt
+    return {(s, d, k) for (s, d), k in best.items()}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(edges=conv_edge_sets(), depth=st.sampled_from([1, 2]))
+def test_cross_conversation_equals_brute_force(spark_global, edges, depth):
+    from codepropertygraph_spark.operators import dataflow
+
+    e = spark_global.createDataFrame(edges, "conv_id string, s string, o string")
+    got = {
+        (r.src, r.dst, r.crossings)
+        for r in dataflow.reachable_cross_conversation(
+            e, max_hops=3, max_crossings=depth
+        ).collect()
+    }
+    assert got == _brute_cross(edges, 3, depth)
+
+
+def test_cross_conversation_sources_restriction(spark_global):
+    """sources= must restrict ORIGINS only (bridge/depart stay global):
+    a golden multi-conv chain where the restricted answer is the brute-force
+    answer filtered to the given origins."""
+    from codepropertygraph_spark.operators import dataflow
+
+    edges = [
+        ("c0", "a", "b"), ("c0", "b", "h"),
+        ("c1", "h", "x"), ("c1", "x", "y"),
+        ("c2", "y", "z"), ("c2", "h", "q"),
+    ]
+    e = spark_global.createDataFrame(edges, "conv_id string, s string, o string")
+    srcs = spark_global.createDataFrame([("a",)], "src string")
+    got = {
+        (r.src, r.dst, r.crossings)
+        for r in dataflow.reachable_cross_conversation(
+            e, max_hops=3, max_crossings=2, sources=srcs
+        ).collect()
+    }
+    want = {t for t in _brute_cross(edges, 3, 2) if t[0] == "a"}
+    assert got == want and ("a", "z", 2) in got
