@@ -303,3 +303,26 @@ def test_full_name_index_prunes_and_matches(spark, warehouse):
     assert m and "__bucket" in m.group(1)
     # a second lookup for a value absent from the corpus returns nothing
     assert cat.lookup("no_such_full_name_ever").count() == 0
+
+
+def test_kgql_bundle_roundtrip(spark, warehouse, tmp_path):
+    """Console interchange loop: :export writes a bundle from the open
+    warehouse; build_view_from_bundle reopens it with identical label
+    counts and a working query surface."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import kgql
+
+    g = kgql.build_view_from_warehouse(spark, warehouse)
+    bdir = str(tmp_path / "bundle")
+    msg = kgql.evaluate(g, f":export {bdir}")
+    assert msg.startswith("bundle written to")
+    g2 = kgql.build_view_from_bundle(spark, bdir)
+    counts = lambda gv: {
+        (r.label, r.n) for r in gv.all().group_count("label").collect()
+    }
+    assert counts(g2) == counts(g)
+    assert int(kgql.evaluate(g2, "g.turns().count()")) == int(
+        kgql.evaluate(g, "g.turns().count()")
+    )

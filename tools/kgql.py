@@ -15,7 +15,12 @@ Expressions are Python over the bound names ``g`` (GraphView), ``F``
 (pyspark.sql.functions) and ``S`` (schema constants) — the moral equivalent
 of the reference's Scala REPL line evaluation. Results render as:
 Traversal → first rows of its frame; DataFrame → .show(); anything else →
-repr. Meta-commands: ``:help`` ``:labels`` ``:quit``.
+repr. Meta-commands: ``:help`` ``:labels`` ``:export <dir>`` ``:quit``.
+
+Interchange: ``--bundle <dir>`` opens a full-graph bundle written by
+``:export <dir>`` (or exports.export_bundle) — the console side of the
+``cpg.bin.zip`` load path (``ProtoCpgLoader.scala:23``): export on the
+cluster that built the graph, explore it anywhere.
 """
 
 from __future__ import annotations
@@ -77,6 +82,32 @@ def build_view_from_warehouse(spark, warehouse: str) -> GraphView:
     return GraphView(nodes, edges)
 
 
+def export_bundle(g: GraphView, out_dir: str) -> str:
+    """:export — write the current graph as a verified interchange bundle."""
+    from codepropertygraph_spark.operators import exports
+
+    # bundle columns are the node-frame contract; a corpus-built view has
+    # them all, a custom GraphView may not — fail with the missing list.
+    from codepropertygraph_spark.operators.exports import _EDGE_COLS, _NODE_COLS
+
+    missing = [c for c in _NODE_COLS + ["props"] if c not in g.nodes.columns]
+    missing += [c for c in _EDGE_COLS + ["props"] if c not in g.edges.columns]
+    if missing:
+        return f"error: graph is missing bundle columns {sorted(set(missing))}"
+    m = exports.export_bundle(g.nodes, g.edges, out_dir)
+    return (
+        f"bundle written to {out_dir}: {m['nodes']['rows']} nodes, "
+        f"{m['edges']['rows']} edges"
+    )
+
+
+def build_view_from_bundle(spark, bundle_dir: str) -> GraphView:
+    from codepropertygraph_spark.operators import exports
+
+    nodes, edges, _ = exports.load_bundle(spark, bundle_dir)
+    return GraphView(nodes, edges)
+
+
 def render(value) -> str:
     """Stringify an evaluation result the way the console would print it."""
     if isinstance(value, Traversal):
@@ -109,6 +140,8 @@ def evaluate(g: GraphView, line: str) -> str:
         return "\n".join(f"{n:22s} {doc}" for n, doc in g.help())
     if line == ":labels":
         return render(g.all().group_count("label"))
+    if line.startswith(":export "):
+        return export_bundle(g, line.split(None, 1)[1].strip())
     env = {"g": g, "F": F, "S": S, "__builtins__": __builtins__}
     value = eval(line, env)  # the REPL contract: evaluate the query line
     return render(value)
@@ -118,20 +151,22 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--sf-dir", default=None, help="build the graph from the generated corpus for this tier")
     ap.add_argument("--warehouse", default=None, help="open a committed pipeline warehouse")
+    ap.add_argument("--bundle", default=None, help="open a full-graph interchange bundle (:export output)")
     ap.add_argument("-c", "--command", default=None, help="evaluate one expression and exit")
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args(argv)
-    if not args.sf_dir and not args.warehouse:
-        ap.error("need --sf-dir or --warehouse")
+    if not args.sf_dir and not args.warehouse and not args.bundle:
+        ap.error("need --sf-dir, --warehouse or --bundle")
 
     from codepropertygraph_spark.session import get_spark
 
     spark = get_spark(app_name="kgql", master=args.master)
-    g = (
-        build_view_from_warehouse(spark, args.warehouse)
-        if args.warehouse
-        else build_view_from_corpus(spark, args.sf_dir)
-    )
+    if args.bundle:
+        g = build_view_from_bundle(spark, args.bundle)
+    elif args.warehouse:
+        g = build_view_from_warehouse(spark, args.warehouse)
+    else:
+        g = build_view_from_corpus(spark, args.sf_dir)
     if args.command:
         print(evaluate(g, args.command))
         return 0
