@@ -901,3 +901,40 @@ def reaching_defs_fields(defs: DataFrame, uses: DataFrame) -> DataFrame:
         .agg(F.max("src_order").alias("src_order"))
         .select("conv_id", "variable", "use_path", "src_order", "dst_order")
     )
+
+
+def reachable_within_auto(
+    edges: DataFrame,
+    max_hops: int = 4,
+    keyed_by: str = "conv_id",
+    group_edge_limit: int = 2_000_000,
+) -> DataFrame:
+    """Size-routed bounded closure — the shipped answer to the grouped
+    BFS's one-task-per-group ceiling. :func:`reachable_within_grouped` is
+    the fast path (one shuffle, group-local numpy BFS) but a single
+    pathological mega-conversation becomes one task's memory and wall
+    budget, and AQE cannot split an applyInPandas group. So: ONE
+    aggregation measures per-group edge counts; groups at or below
+    ``group_edge_limit`` take the grouped BFS, larger ones take the
+    iterative global join loop (:func:`reachable_within`), whose per-hop
+    equi-joins shuffle on (key, node) — AQE splits skewed keys there and
+    no task ever holds a whole group. Identical output either way
+    (both compute the distinct ≤ max_hops closure); the union is a plan
+    branch, not a correctness fork.
+
+    The default limit (~2M edges) keeps the dense-closure working set of a
+    single pandas group comfortably inside one executor task; tune down
+    for small executors or up for fat ones.
+    """
+    counts = edges.groupBy(keyed_by).agg(F.count("*").alias("__n"))
+    big = counts.where(F.col("__n") > group_edge_limit).select(keyed_by)
+    if big.isEmpty():
+        return reachable_within_grouped(edges, max_hops=max_hops, keyed_by=keyed_by)
+    big_b = F.broadcast(big)
+    small_edges = edges.join(big_b, keyed_by, "left_anti")
+    big_edges = edges.join(big_b, keyed_by, "left_semi")
+    return reachable_within_grouped(
+        small_edges, max_hops=max_hops, keyed_by=keyed_by
+    ).unionByName(
+        reachable_within(big_edges, max_hops=max_hops, keyed_by=keyed_by)
+    )

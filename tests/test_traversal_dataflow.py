@@ -868,3 +868,35 @@ def test_track_path_golden(tiny_g):
     assert kept == {(2, (1, 2)), (3, (1, 2, 3))}
     with pytest.raises(ValueError, match="track_path"):
         tiny_g.turns().paths()
+
+
+def test_reachable_within_auto_routes_and_agrees(spark):
+    """Size-routed closure: with a threshold that forces ONE conversation
+    through the global join loop and the other through the grouped BFS, the
+    union must equal the pure grouped result; with no group over the limit
+    it must take the grouped path wholesale."""
+    edges = spark.createDataFrame(
+        # cBig: 6 edges (chain + cycle), cSmall: 2 edges
+        [("cBig", "a", "b"), ("cBig", "b", "c"), ("cBig", "c", "d"),
+         ("cBig", "d", "a"), ("cBig", "b", "e"), ("cBig", "e", "f"),
+         ("cSmall", "x", "y"), ("cSmall", "y", "z")],
+        "conv_id string, s string, o string",
+    )
+    pure = {
+        tuple(r)
+        for r in dataflow.reachable_within_grouped(edges, max_hops=3).collect()
+    }
+    routed = {
+        tuple(r)
+        for r in dataflow.reachable_within_auto(
+            edges, max_hops=3, group_edge_limit=4
+        ).collect()
+    }
+    assert routed == pure
+    all_grouped = {
+        tuple(r)
+        for r in dataflow.reachable_within_auto(
+            edges, max_hops=3, group_edge_limit=100
+        ).collect()
+    }
+    assert all_grouped == pure
