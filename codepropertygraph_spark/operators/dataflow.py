@@ -524,7 +524,7 @@ def reachable_cross_conversation(
     from exact count statistics.
     """
     e_in = edges.persist()  # shared by the BFS and the bridge-entity scan
-    within = reachable_within_grouped(e_in, max_hops=max_hops, keyed_by=keyed_by)
+    within = reachable_within_auto(e_in, max_hops=max_hops, keyed_by=keyed_by)
     within = within.persist()
     _iter_caches: list[DataFrame] = [e_in, within]
     # ``sources`` (single-column 'src') restricts propagation to flows
