@@ -464,6 +464,36 @@ def _q_kg_raw_triples_udf(spark, sf_dir):
     )
 
 
+def _q_events_asof(spark, sf_dir):
+    """AS-OF join over the events stream: each error event joined to the
+    same user's latest prior-or-equal click (left semantics, 1-hour
+    tolerance) — the union-and-window as-of operator vs DuckDB's native
+    ASOF JOIN."""
+    from codepropertygraph_spark.operators import relational
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = e.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    j = relational.asof_join(
+        errors, clicks, on="user_id", ts="ts",
+        right_cols=["click_id", "value"], tolerance_us=3_600_000_000,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("click_id_asof").alias("prior_click_id"),
+        F.round("value_asof", 6).alias("prior_value"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+            - F.unix_micros(F.col("ts_asof").cast("timestamp_ltz"))
+        ).alias("lag_us"),
+    )
+
+
 def _q_events_sessionize(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -958,6 +988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entities": _q_kg_entities,
     "dedup_keep_list": _q_dedup_keep_list,
     "events_json_extract": _q_events_json_extract,
+    "events_asof": _q_events_asof,
     "kg_ast_json_tree": _q_kg_ast_json_tree,
     "kg_ast_json_tree_arrow": _q_kg_ast_json_tree_arrow,
     "kg_access_path_match": _q_kg_access_path_match,
@@ -1206,6 +1237,26 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                substr(hex(encode(text)), 1, 16) AS header_hex
         FROM documents
+    """,
+    "events_asof": """
+        WITH err AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+        ),
+        clk AS (
+          SELECT event_id AS click_id, user_id, ts, value
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT e.event_id,
+               e.user_id,
+               CASE WHEN epoch_us(e.ts) - epoch_us(c.ts) <= 3600000000
+                    THEN c.click_id END AS prior_click_id,
+               CASE WHEN epoch_us(e.ts) - epoch_us(c.ts) <= 3600000000
+                    THEN round(c.value, 6) END AS prior_value,
+               CASE WHEN epoch_us(e.ts) - epoch_us(c.ts) <= 3600000000
+                    THEN epoch_us(e.ts) - epoch_us(c.ts) END AS lag_us
+        FROM err e
+        ASOF LEFT JOIN clk c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
     """,
     "events_sessionize": """
         WITH g AS (

@@ -1,0 +1,85 @@
+"""Relational operators the reference lacks but a transcript/event analytics
+engine needs — currently the AS-OF join (SURVEY.md §2.F names as-of joins as
+deliberately absent from the reference; the task brief lists them as the
+canonical "operator Spark lacks" to compose from existing DataFrame ops).
+
+Scale shape: Spark has no native as-of join, and the naive formulation
+(range-condition join + per-left-row max) explodes to |left| x |right per
+key| intermediate rows. The implementation here is the union-and-window
+form — one shuffle on (keys, ts), identical scale behavior to
+sessionization: tag both sides, union, sort within key by (ts, side) and
+carry the last right-side payload forward with ``last(ignorenulls=True)``.
+No cross product at any key, skewed keys split by AQE like any window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward AS-OF join: each left row gains the LATEST right row with
+    ``right.ts <= left.ts`` in the same ``on`` group (ties at equal ts
+    match, like DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts`` — the oracle).
+    Unmatched left rows keep NULL right columns (left-join semantics).
+
+    right_cols: right columns to carry (default: everything but keys+ts),
+    emitted as ``<col><suffix>`` plus ``<ts><suffix>`` (the matched row's
+    timestamp). ``tolerance_us`` bounds the lookback: matches older than
+    this many microseconds are discarded (pandas ``merge_asof tolerance``).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys + [ts]]
+    rf0 = right.select(
+        *keys,
+        F.col(ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(ts).alias("__rts"), *[F.col(c) for c in right_cols]
+        ).alias("__payload"),
+    )
+    lf0 = left.select(
+        *keys,
+        F.col(ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    ptype = rf0.schema["__payload"].dataType
+    ltype = lf0.schema["__lrow"].dataType
+    lf = lf0.withColumn("__payload", F.lit(None).cast(ptype))
+    rf = rf0.withColumn("__lrow", F.lit(None).cast(ltype))
+    u = rf.unionByName(lf)
+    # right rows (__side 0) sort before left rows at equal ts, so an
+    # equal-timestamp right row is visible to the left row — the >= contract
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
+    out = matched.where(F.col("__side") == 1)
+    if tolerance_us is not None:
+        # NTZ timestamps need an ltz cast before unix_micros (UTC session)
+        _us = lambda c: F.unix_micros(c.cast("timestamp_ltz"))
+        out = out.withColumn(
+            "__m",
+            F.when(
+                _us(F.col("__t")) - _us(F.col("__m.__rts")) <= F.lit(tolerance_us),
+                F.col("__m"),
+            ),
+        )
+    return out.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        F.col("__m.__rts").alias(f"{ts}{suffix}"),
+        *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )

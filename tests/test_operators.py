@@ -351,3 +351,41 @@ def test_link_source_files_resolves_and_creates(spark):
     assert sorted(map(tuple, c2.drop("props").collect())) == sorted(
         map(tuple, created.drop("props").collect())
     )
+
+
+def test_asof_join_golden(spark):
+    """AS-OF semantics: latest right at-or-before each left ts per key;
+    equal timestamps match; unmatched lefts keep NULLs (left join);
+    tolerance discards stale matches; per-key isolation."""
+    from datetime import datetime
+
+    from codepropertygraph_spark.operators import relational
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, "u1", T(10)), (2, "u1", T(30)), (3, "u2", T(5)), (4, "u3", T(50))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", T(10), 100), ("u1", T(20), 200), ("u2", T(9), 300)],
+        "user_id string, ts timestamp, payload long",
+    )
+    got = {
+        r.event_id: (r.payload_asof, r.ts_asof)
+        for r in relational.asof_join(
+            left, right, on="user_id", ts="ts", right_cols=["payload"]
+        ).collect()
+    }
+    assert got[1] == (100, T(10))   # equal ts matches
+    assert got[2] == (200, T(20))   # latest prior wins
+    assert got[3] == (None, None)   # right row is AFTER the left ts
+    assert got[4] == (None, None)   # key with no right rows at all
+    # tolerance: u1@30 matched u1@20 (10s back) — a 5s tolerance kills it
+    got_tol = {
+        r.event_id: r.payload_asof
+        for r in relational.asof_join(
+            left, right, on="user_id", ts="ts",
+            right_cols=["payload"], tolerance_us=5_000_000,
+        ).collect()
+    }
+    assert got_tol[1] == 100 and got_tol[2] is None
