@@ -515,6 +515,53 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+def _q_events_range_join(spark, sf_dir):
+    """Binned range join: clicks landing inside the 10-minute window after
+    each error by the same user — per-error click count and value total.
+    The bin-equi-join + residual filter vs a plain BETWEEN join in DuckDB."""
+    from codepropertygraph_spark.operators import relational
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = relational.range_join_binned(
+        clicks, errors, on="user_id", pt_ts="ts",
+        start="w_start", end="w_end", bin_us=600_000_000,
+    )
+    return j.groupBy("error_id", "user_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("value"), 2).alias("click_value"),
+    )
+
+
+def _q_events_rollup(spark, sf_dir):
+    """Hypertable continuous-aggregate analog: hour x event_type rollup
+    WITH SUBTOTALS (Spark rollup() = GROUPING SETS ((hour, type), (hour),
+    ())) — the hierarchy a time-series store materializes; here one
+    two-phase hash aggregate, subtotal rows marked via grouping()."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hour = F.date_format(
+        F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00"
+    ).alias("hour")
+    return (
+        e.select(hour, "event_type", "value")
+        .rollup("hour", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.grouping("hour").cast("long").alias("g_hour"),
+            F.grouping("event_type").cast("long").alias("g_type"),
+        )
+    )
+
+
 def _q_events_hourly(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return e.groupBy(
@@ -989,6 +1036,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_list": _q_dedup_keep_list,
     "events_json_extract": _q_events_json_extract,
     "events_asof": _q_events_asof,
+    "events_rollup": _q_events_rollup,
+    "events_range_join": _q_events_range_join,
     "kg_ast_json_tree": _q_kg_ast_json_tree,
     "kg_ast_json_tree_arrow": _q_kg_ast_json_tree_arrow,
     "kg_access_path_match": _q_kg_access_path_match,
@@ -1237,6 +1286,33 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                substr(hex(encode(text)), 1, 16) AS header_hex
         FROM documents
+    """,
+    "events_range_join": """
+        WITH err AS (
+          SELECT event_id AS error_id, user_id, ts AS w_start,
+                 ts + INTERVAL 10 MINUTE AS w_end
+          FROM events WHERE event_type = 'error'
+        ),
+        clk AS (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        )
+        SELECT e.error_id, e.user_id,
+               count(*) AS n_clicks,
+               round(sum(c.value), 2) AS click_value
+        FROM clk c JOIN err e
+          ON c.user_id = e.user_id AND c.ts BETWEEN e.w_start AND e.w_end
+        GROUP BY e.error_id, e.user_id
+    """,
+    "events_rollup": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               event_type,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value,
+               CAST(CASE WHEN GROUPING(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS g_hour,
+               CAST(CASE WHEN GROUPING(event_type) > 0 THEN 1 ELSE 0 END AS BIGINT) AS g_type
+        FROM events
+        GROUP BY ROLLUP (hour, event_type)
     """,
     "events_asof": """
         WITH err AS (

@@ -83,3 +83,45 @@ def asof_join(
         F.col("__m.__rts").alias(f"{ts}{suffix}"),
         *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    pt_ts: str,
+    start: str,
+    end: str,
+    bin_us: int = 600_000_000,
+) -> DataFrame:
+    """Point-in-interval range join, scale-safe: Spark plans a raw
+    ``p.ts BETWEEN i.start AND i.end`` join as a per-key nested loop
+    (every point x every interval in the key). Time-binning restores an
+    equi-join: intervals explode into the fixed-width bins they overlap,
+    points hash into their single bin, the join runs on (keys, bin) and a
+    residual BETWEEN filter trims bin-edge false positives. Each (point,
+    interval) pair meets in exactly one bin (the point's), so no dedup.
+
+    Cost: |intervals| x (interval_span / bin_us + 1) replicated rows —
+    pick ``bin_us`` near the typical interval span so replication stays
+    O(1) per interval. Column names must be disjoint apart from the keys
+    (pre-alias on either side otherwise); returns inner-join rows with all
+    point + interval columns.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp_ltz"))
+    i2 = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(us(start) / F.lit(bin_us)),
+                F.floor(us(end) / F.lit(bin_us)),
+            )
+        ),
+    )
+    p2 = points.withColumn("__bin", F.floor(us(pt_ts) / F.lit(bin_us)))
+    return (
+        p2.join(i2, keys + ["__bin"])
+        .where(us(pt_ts).between(us(start), us(end)))
+        .drop("__bin")
+    )

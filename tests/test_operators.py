@@ -389,3 +389,35 @@ def test_asof_join_golden(spark):
         ).collect()
     }
     assert got_tol[1] == 100 and got_tol[2] is None
+
+
+def test_range_join_binned_golden(spark):
+    """Bin-edge semantics: inclusive BETWEEN bounds; intervals spanning
+    multiple bins match points in every spanned bin exactly once; points
+    outside every interval drop; bin width far smaller than the span still
+    yields each pair once (no dup from the explosion)."""
+    from datetime import datetime
+
+    from codepropertygraph_spark.operators import relational
+
+    from datetime import timedelta
+
+    T = lambda s: datetime(2024, 1, 1) + timedelta(seconds=s)
+    pts = spark.createDataFrame(
+        [(1, "u", T(0)), (2, "u", T(30)), (3, "u", T(59)), (4, "u", T(61)),
+         (5, "v", T(30))],
+        "pid long, user_id string, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(10, "u", T(0), T(59))],
+        "iid long, user_id string, w_start timestamp, w_end timestamp",
+    )
+    for bin_us in (5_000_000, 60_000_000, 3_600_000_000):
+        got = sorted(
+            r.pid
+            for r in relational.range_join_binned(
+                pts, iv, on="user_id", pt_ts="ts",
+                start="w_start", end="w_end", bin_us=bin_us,
+            ).collect()
+        )
+        assert got == [1, 2, 3], f"bin_us={bin_us}: {got}"
