@@ -1045,13 +1045,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_bands": _q_dedup_minhash_bands,
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
-    "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
     "dedup_simhash": _q_dedup_simhash,
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
-    "dedup_embedding_cosine_exact": _q_dedup_embedding_cosine_exact,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
+    "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine_exact": _q_dedup_embedding_cosine_exact,
     "text_token_count": _q_text_token_count,
     "text_quality": _q_text_quality,
     "text_langid": _q_text_langid,
