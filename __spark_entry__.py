@@ -541,6 +541,26 @@ def _q_events_range_join(spark, sf_dir):
     )
 
 
+def _q_events_kmv_users(spark, sf_dir):
+    """KMV distinct-user sketch per event_type (k=16): the sketch CONTENT
+    (k smallest md5-derived hashes + saturation state) is fully
+    SQL-reproducible, so the approximate structure itself hash-checks; the
+    numeric estimate is derived from kth and error-bounded in pytest. The
+    sketch fingerprint column makes content drift instantly visible."""
+    from codepropertygraph_spark.operators import sketches
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = sketches.kmv_sketch(e, ["event_type"], "user_id", k=16)
+    return sk.select(
+        "event_type",
+        "n_le_k",
+        "kth",
+        F.md5(F.concat_ws(",", F.col("sketch").cast("array<string>"))).alias(
+            "sketch_md5"
+        ),
+    )
+
+
 def _q_events_rollup(spark, sf_dir):
     """Hypertable continuous-aggregate analog: hour x event_type rollup
     WITH SUBTOTALS (Spark rollup() = GROUPING SETS ((hour, type), (hour),
@@ -1038,18 +1058,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof": _q_events_asof,
     "events_rollup": _q_events_rollup,
     "events_range_join": _q_events_range_join,
+    "events_kmv_users": _q_events_kmv_users,
     "kg_ast_json_tree": _q_kg_ast_json_tree,
     "kg_ast_json_tree_arrow": _q_kg_ast_json_tree_arrow,
     "kg_access_path_match": _q_kg_access_path_match,
     "kg_mention_ast_link": _q_kg_mention_ast_link,
     "dedup_exact": _q_dedup_exact,
-    "dedup_minhash_bands": _q_dedup_minhash_bands,
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
     "dedup_simhash": _q_dedup_simhash,
     "dedup_embedding_cosine": _q_dedup_embedding_cosine,
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
+    "dedup_minhash_bands": _q_dedup_minhash_bands,
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
     "dedup_embedding_cosine_exact": _q_dedup_embedding_cosine_exact,
     "text_token_count": _q_text_token_count,
@@ -1286,6 +1307,25 @@ ORACLES: dict[str, str] = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                substr(hex(encode(text)), 1, 16) AS header_hex
         FROM documents
+    """,
+    "events_kmv_users": """
+        WITH h AS (
+          SELECT DISTINCT event_type,
+                 cast(concat('0x', substr(md5(cast(user_id AS varchar)), 1, 15)) AS BIGINT) AS hh
+          FROM events
+        ),
+        r AS (
+          SELECT event_type, hh,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rk
+          FROM h
+        ),
+        topk AS (SELECT * FROM r WHERE rk <= 16)
+        SELECT event_type,
+               count(*) AS n_le_k,
+               max(CASE WHEN rk = 16 THEN hh END) AS kth,
+               md5(string_agg(cast(hh AS varchar), ',' ORDER BY hh)) AS sketch_md5
+        FROM topk
+        GROUP BY event_type
     """,
     "events_range_join": """
         WITH err AS (

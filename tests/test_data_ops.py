@@ -458,3 +458,36 @@ def test_ann_ivf_recall_floor(spark, emb):
         similarity.cosine_topk_ivf(planted, 10, 1, 16, n_probe=4),
     )
     assert rp >= 0.8, f"planted-twin recall@1 with 4/16 probes: {rp:.3f}"
+
+
+def test_kmv_sketch_merge_and_estimate(spark):
+    """KMV properties: (1) MERGE of two split-corpus sketches equals the
+    whole-corpus sketch row-for-row — the rollup contract; (2) the
+    estimate is exact below saturation and within 35% relative error at
+    saturation (k=32 gives ~1/sqrt(30) ≈ 18% expected error)."""
+    from codepropertygraph_spark.operators import sketches
+
+    rows = [("g1", f"user{i % 500}") for i in range(3000)] + [
+        ("g2", f"u{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    k = 32
+    whole = sketches.kmv_sketch(df, ["grp"], "uid", k=k)
+    h1 = df.where(F.crc32(F.col("uid")) % 2 == 0)
+    h2 = df.where(F.crc32(F.col("uid")) % 2 == 1)
+    merged = sketches.kmv_merge(
+        sketches.kmv_sketch(h1, ["grp"], "uid", k=k),
+        sketches.kmv_sketch(h2, ["grp"], "uid", k=k),
+        ["grp"],
+        k=k,
+    )
+    as_map = lambda d: {
+        r.grp: (tuple(r.sketch), r.n_le_k, r.kth) for r in d.collect()
+    }
+    assert as_map(merged) == as_map(whole)
+    est = {
+        r.grp: sketches.kmv_estimate(r.n_le_k, r.kth, k=k)
+        for r in whole.collect()
+    }
+    assert est["g2"] == 10.0                      # unsaturated → exact
+    assert abs(est["g1"] - 500) / 500 < 0.35      # saturated → bounded error
