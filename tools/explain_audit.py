@@ -69,6 +69,10 @@ def main() -> None:
         "ann_cosine_topk",
         "ann_cosine_topk_ivf",
         "kg_source_file_edges",
+        "events_asof",
+        "events_range_join",
+        "events_rollup",
+        "events_kmv_users",
         "tpch_q1",
     ):
         audit(name, qs[name](spark, SF_DIR))
