@@ -44,8 +44,10 @@ for _tier in ("sf0.001", "sf0.01"):
 _G01 = td.tier_dir("sf0.01")
 _T01 = f"{_G01}/transcripts.parquet/*.parquet"
 _A01 = f"{_G01}/alias_dict.parquet"
-_ET01 = f"{_G01}/expected_triples.parquet"
-_EC01 = f"{_G01}/expected_components.parquet"
+# NOTE: the frozen expected_triples/expected_components fixture parquet is
+# deliberately NOT referenced by any oracle here — every edge set is
+# re-derived by SQL via _TRIPLES_CTES; the fixtures live on as pytest-only
+# cross-checks (tests/test_kg_end_to_end.py).
 
 _PREDS_SQL = "('uses_tool', 'mentions', 'asks_about', 'refers_to')"
 
@@ -117,6 +119,79 @@ mreach AS (
 ),
 mm AS (SELECT x AS canonical_name, min(y) AS merged_name FROM mreach GROUP BY x)
 """
+
+# Full triple derivation as ONE reusable CTE chain ending in ``triples`` —
+# the flow/graph/dominator oracles consume their edge sets from here, so no
+# oracle reads the frozen expected_triples/expected_components fixtures: the
+# whole chain (tokenize → mention flags → best-alias link → recursive-CTE
+# canonicalization → clause + follows triples) is re-derived inside DuckDB
+# for every check. The fixtures remain pytest-only cross-checks
+# (test_kg_end_to_end.test_frozen_fixtures_match_independent_sql).
+# Requires WITH RECURSIVE on the enclosing statement (``mreach``).
+_TRIPLES_CTES = f"""{_TOK_CTE}, {_BEST_CTE}, {_MERGE_CTES},
+fl2 AS (
+  SELECT conv_id, turn_idx, ts, pos, tok,
+         lag(tok)   OVER w2 AS prev_tok,
+         lead(tok)  OVER w2 AS next_tok,
+         lag(tok, 2)  OVER w2 AS prev2_tok,
+         lead(tok, 2) OVER w2 AS next2_tok
+  FROM tok
+  WINDOW w2 AS (PARTITION BY conv_id, turn_idx, ts ORDER BY pos)
+),
+clauses AS (
+  SELECT f.conv_id,
+         coalesce(ms.merged_name,
+                  coalesce(bs.canonical_name, 'external:' || f.prev_tok)) AS subj,
+         f.tok AS pred,
+         coalesce(mo.merged_name,
+                  coalesce(bo.canonical_name, 'external:' || f.next_tok)) AS obj
+  FROM fl2 f
+  LEFT JOIN best bs ON f.prev_tok = bs.alias
+  LEFT JOIN best bo ON f.next_tok = bo.alias
+  LEFT JOIN mm ms
+    ON coalesce(bs.canonical_name, 'external:' || f.prev_tok) = ms.canonical_name
+  LEFT JOIN mm mo
+    ON coalesce(bo.canonical_name, 'external:' || f.next_tok) = mo.canonical_name
+  WHERE f.tok IN {_PREDS_SQL}
+    AND f.prev_tok IS NOT NULL AND f.next_tok IS NOT NULL
+),
+tcand AS (
+  SELECT f.conv_id, f.turn_idx, f.ts, f.pos,
+         (f.tok NOT IN {_PREDS_SQL}) AND (
+            b.canonical_name IS NOT NULL
+            OR coalesce(f.prev_tok IN {_PREDS_SQL}
+                        AND f.prev2_tok IS NOT NULL, false)
+            OR coalesce(f.next_tok IN {_PREDS_SQL}
+                        AND f.next2_tok IS NOT NULL, false)
+         ) AS is_mention,
+         coalesce(b.canonical_name, 'external:' || f.tok) AS canonical
+  FROM fl2 f LEFT JOIN best b ON f.tok = b.alias
+),
+tfm AS (
+  SELECT conv_id, turn_idx, ts,
+         min_by(canonical, pos) FILTER (is_mention) AS first_canonical
+  FROM tcand GROUP BY conv_id, turn_idx, ts
+),
+tfmm AS (
+  SELECT f.conv_id, f.turn_idx, f.ts,
+         coalesce(m.merged_name, f.first_canonical) AS first_c
+  FROM tfm f LEFT JOIN mm m ON f.first_canonical = m.canonical_name
+),
+tfo AS (
+  SELECT conv_id, first_c,
+         lag(first_c) OVER (
+             PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev_c
+  FROM tfmm
+),
+tfol AS (
+  SELECT conv_id, first_c AS subj, 'follows' AS pred, prev_c AS obj
+  FROM tfo WHERE first_c IS NOT NULL AND prev_c IS NOT NULL
+),
+triples AS MATERIALIZED (
+  SELECT DISTINCT conv_id, subj, pred, obj FROM (
+    SELECT * FROM clauses UNION ALL SELECT * FROM tfol
+  )
+)"""
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,9 +591,14 @@ def _q_events_sessionize(spark, sf_dir):
 
 
 def _q_events_range_join(spark, sf_dir):
-    """Binned range join: clicks landing inside the 10-minute window after
-    each error by the same user — per-error click count and value total.
-    The bin-equi-join + residual filter vs a plain BETWEEN join in DuckDB."""
+    """Binned range join: EVERY event landing inside the 45-minute window
+    after each error by the same user — per-error count and value total.
+    The bin-equi-join + residual filter vs a plain BETWEEN join in DuckDB.
+    The fixture is deliberately dense (VERDICT r3 #7): each 45-min interval
+    spans 4-5 of the 10-min bins (multi-bin explosion + residual-trim
+    coverage), and every error matches its own point at exactly w_start —
+    the inclusive lower bin-edge case — so the external check covers ~2k
+    result rows instead of r3's 4."""
     from codepropertygraph_spark.operators import relational
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -526,18 +606,16 @@ def _q_events_range_join(spark, sf_dir):
         F.col("event_id").alias("error_id"),
         "user_id",
         F.col("ts").alias("w_start"),
-        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("w_end"),
     )
-    clicks = e.where(F.col("event_type") == "click").select(
-        "user_id", "ts", "value"
-    )
+    points = e.select("user_id", "ts", "value")
     j = relational.range_join_binned(
-        clicks, errors, on="user_id", pt_ts="ts",
+        points, errors, on="user_id", pt_ts="ts",
         start="w_start", end="w_end", bin_us=600_000_000,
     )
     return j.groupBy("error_id", "user_id").agg(
-        F.count("*").alias("n_clicks"),
-        F.round(F.sum("value"), 2).alias("click_value"),
+        F.count("*").alias("n_pts"),
+        F.round(F.sum("value"), 2).alias("pt_value"),
     )
 
 
@@ -647,7 +725,7 @@ def _q_kg_dominators(spark, sf_dir):
     )
     # entry = lexicographically-min source node per conversation (stable)
     entries = follows.groupBy("conv_id").agg(F.min("s").alias("entry"))
-    return dataflow.dominators_grouped(follows, entries)
+    return dataflow.dominators_auto(follows, entries)
 
 
 def _q_kg_flows_4hop(spark, sf_dir):
@@ -659,7 +737,7 @@ def _q_kg_flows_4hop(spark, sf_dir):
     follows = triples.where(F.col("pred") == S.PRED_FOLLOWS).select(
         "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
     )
-    return dataflow.flow_paths_grouped(follows, max_hops=4)
+    return dataflow.flow_paths_auto(follows, max_hops=4)
 
 
 def _q_kg_flows_from_stubs(spark, sf_dir):
@@ -674,7 +752,7 @@ def _q_kg_flows_from_stubs(spark, sf_dir):
     stubs = follows.where(F.col("s").startswith(S.EXTERNAL_PREFIX)).select(
         F.col("s").alias("src")
     )
-    return dataflow.flow_paths_grouped(follows, max_hops=4, sources=stubs)
+    return dataflow.flow_paths_auto(follows, max_hops=4, sources=stubs)
 
 
 def _q_kg_flows_witness(spark, sf_dir):
@@ -686,7 +764,7 @@ def _q_kg_flows_witness(spark, sf_dir):
     follows = triples.where(F.col("pred") == S.PRED_FOLLOWS).select(
         "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
     )
-    return dataflow.flow_witness_grouped(follows, max_hops=4)
+    return dataflow.flow_witness_auto(follows, max_hops=4)
 
 
 def _q_kg_flow_edges_semantics(spark, sf_dir):
@@ -751,7 +829,7 @@ def _q_kg_flows_witness_from_stubs(spark, sf_dir):
     stubs = follows.where(F.col("s").startswith(S.EXTERNAL_PREFIX)).select(
         F.col("s").alias("src")
     )
-    return dataflow.flow_witness_grouped(follows, max_hops=4, sources=stubs)
+    return dataflow.flow_witness_auto(follows, max_hops=4, sources=stubs)
 
 
 def _q_kg_cdg(spark, sf_dir):
@@ -766,7 +844,7 @@ def _q_kg_cdg(spark, sf_dir):
         follows.select("conv_id", F.col("o").alias("n"))
     )
     exits = nodes.groupBy("conv_id").agg(F.max("n").alias("exit"))
-    return dataflow.control_dependence_grouped(follows, exits)
+    return dataflow.control_dependence_auto(follows, exits)
 
 
 def _q_kg_traversal_mentions(spark, sf_dir):
@@ -818,7 +896,7 @@ def _q_kg_traversal_dominates(spark, sf_dir):
         "conv_id", F.col("obj").alias("s"), F.col("subj").alias("o")
     )
     entries = follows.groupBy("conv_id").agg(F.min("s").alias("entry"))
-    idom = dataflow.dominators_grouped(follows, entries)
+    idom = dataflow.dominators_auto(follows, entries)
     nid = lambda c, n: hash60(F.concat_ws("|", F.lit("DOMN"), F.col(c), F.col(n)))
     nodes = idom.select(
         nid("conv_id", "node").alias("id"),
@@ -1019,57 +1097,188 @@ def _q_events_json_extract(spark, sf_dir):
     )
 
 
+def _q_kg_reaching_defs_fields_ext(spark, sf_dir):
+    """Field-level reaching defs in the engine's EXTENDED over-approximation
+    mode (AccessPath.scala EXTENDED_MATCH + Engine.scala:255-331 leftover
+    propagation — VERDICT r3 missing #4 closed): defs are the DEEP leaf
+    writes ('$.clauses[*].obj.surface', index wildcarded), uses are BOTH the
+    concrete leaf paths (EXACT covers, '.pos' leaves fall out as NO_MATCH)
+    and the shallower ARG paths ('$.clauses[k].obj'), which only a deeper
+    write can affect — those reach as EXTENDED with the unmatched '.surface'
+    suffix carried as leftover, and are NOT killed by position alone."""
+    from pyspark.sql import Window
+
+    from codepropertygraph_spark.sources import json_ingest
+
+    d = td.ensure_generated(td.tier_of_sf_dir(sf_dir))
+    aj = spark.read.parquet(f"{d}/ast_json.parquet")
+    tree = json_ingest.json_tree_arrow(aj, "ast_id", "ast")
+    ad = _alias_dict(spark, sf_dir)
+    merge = canonicalize.merge_map(ad).localCheckpoint(eager=True)
+    surf = tree.where(
+        F.col("path").rlike(r"\.clauses\[\d+\]\.(subj|obj)\.surface$")
+    ).select(
+        "ast_id",
+        F.col("parent_path").alias("arg_path"),
+        F.col("value").alias("surface"),
+        F.regexp_extract("path", r"\.(subj|obj)\.surface$", 1).alias("arg_role"),
+    )
+    surf = linking.link_surfaces(surf, ad, "surface", "canonical")
+    surf = linking.apply_merge(surf, merge, "canonical", "variable")
+    orders = aj.select("ast_id", "conv_id").withColumn(
+        "turn_order",
+        F.row_number().over(Window.partitionBy("conv_id").orderBy("ast_id")),
+    )
+    leaves = tree.where(
+        F.col("path").rlike(r"\.clauses\[\d+\]\.(subj|obj)\.(surface|pos)$")
+    ).select("ast_id", F.col("parent_path").alias("arg_path"), "path")
+    leaf_uses = (
+        leaves.join(
+            surf.select("ast_id", "arg_path", "variable"), ["ast_id", "arg_path"]
+        )
+        .join(orders, "ast_id")
+        .select("conv_id", "turn_order", "variable", "path")
+    )
+    arg_uses = (
+        surf.select("ast_id", F.col("arg_path").alias("path"), "variable")
+        .dropDuplicates()
+        .join(orders, "ast_id")
+        .select("conv_id", "turn_order", "variable", "path")
+    )
+    uses = leaf_uses.unionByName(arg_uses)
+    defs = (
+        surf.where(F.col("arg_role") == "obj")
+        .select(
+            "ast_id",
+            F.concat(
+                F.regexp_replace("arg_path", r"\[\d+\]", "[*]"),
+                F.lit(".surface"),
+            ).alias("path"),
+            "variable",
+        )
+        .join(orders, "ast_id")
+        .select("conv_id", "turn_order", "variable", "path")
+    )
+    return dataflow.reaching_defs_fields_ext(defs, uses)
+
+
+def _q_kg_stub_removal(spark, sf_dir):
+    """StubRemovalPass (A5) through the external gate: a deliberately DIRTY
+    entity table — every mention surface stubbed as 'external:<surface>' on
+    top of the real linked entity set — goes through remove_shadowed_stubs;
+    stubs whose surface is shadowed by a real canonical must vanish, the
+    rest survive (StubRemovalPass.scala's stubs-anti-join-defs semantics on
+    merged inputs)."""
+    from codepropertygraph_spark.ids import hash60
+    from codepropertygraph_spark.plans import diff as D
+
+    tr, ad = _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    merge = canonicalize.merge_map(ad).localCheckpoint(eager=True)
+    ents = G.entity_nodes(tr, ad, merge)
+    real = ents.where(
+        F.element_at("props", "is_external") != F.lit("true")
+    ).select("id", "label", "full_name")
+    m = extraction.mention_surfaces(tr, ad)
+    stubs = (
+        m.select("surface")
+        .dropDuplicates()
+        .select(
+            hash60(F.concat_ws("|", F.lit("DIRTYSTUB"), F.col("surface"))).alias("id"),
+            F.lit(S.ENTITY).alias("label"),
+            F.concat(F.lit(S.EXTERNAL_PREFIX), F.col("surface")).alias("full_name"),
+        )
+    )
+    nodes = real.unionByName(stubs)
+    edges = nodes.limit(0).select(
+        F.col("id").alias("src"), F.col("id").alias("dst"), F.col("label")
+    )
+    after, _ = D.remove_shadowed_stubs(nodes, edges)
+    return after.select(
+        "full_name",
+        F.col("full_name").startswith(S.EXTERNAL_PREFIX).alias("is_stub"),
+    )
+
+
+def _q_kg_props_decorated(spark, sf_dir):
+    """MethodDecoratorPass (A8) through the external gate: derived per-turn
+    properties (token / predicate counts) applied as SetNodeProperty update
+    rows and MERGED into the existing props map (set_node_props = the
+    overlay's merge-on-read math); the surviving original 'role' key proves
+    the merge extends rather than replaces."""
+    from codepropertygraph_spark.plans import diff as D
+
+    tr = _transcripts(spark, sf_dir)
+    turns = G.turn_nodes(tr)
+    n_tokens = turns.select(
+        "id",
+        F.lit("n_tokens").alias("key"),
+        F.size(F.split("code", " ")).cast("string").alias("value"),
+    )
+    n_preds = turns.select(
+        "id",
+        F.lit("n_preds").alias("key"),
+        F.size(
+            F.filter(F.split("code", " "), lambda t: t.isin(list(S.TEXT_PREDICATES)))
+        )
+        .cast("string")
+        .alias("value"),
+    )
+    decorated = D.set_node_props(turns, n_tokens.unionByName(n_preds))
+    return decorated.select(
+        "conv_id",
+        F.col("order").cast("long").alias("turn_order"),
+        F.element_at("props", "n_tokens").cast("long").alias("n_tokens"),
+        F.element_at("props", "n_preds").cast("long").alias("n_preds"),
+        F.element_at("props", "role").alias("role"),
+    )
+
+
+# Registry order IS the driver-gate window: the driver value-hash-checks the
+# FIRST 50 entries each round, so rotation policy (VERDICT r3 #2) puts (a)
+# queries NEW this round, (b) queries whose last external green predates the
+# previous round, and (c) queries whose Spark implementation or oracle text
+# changed this round ahead of the stable tail; every tail entry is verified
+# by tools/check_oracles.py locally and was driver-green in the round noted
+# by CORRECTNESS_r{N}.json history.
+def _q_events_quantiles(spark, sf_dir):
+    """Mergeable rank/quantile sketch per event_type (bottom-64-by-row-hash
+    sample over centi-unit values — the KMV discipline applied to row
+    sampling; see sketches.quantile_sketch for the KLL tradeoff note): the
+    sketch CONTENT is md5-fingerprinted and the q25/50/75 estimates are
+    derived by the deterministic nearest-rank rule, so the whole approximate
+    result is SQL-reproducible; merge-exactness and the sampling error bound
+    are pytest-verified (test_data_ops)."""
+    from codepropertygraph_spark.operators import sketches
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "value_centi", F.round(F.col("value") * 100).cast("long")
+    )
+    sk = sketches.quantile_sketch(
+        e, ["event_type"], "value_centi", row_key=["event_id"], s=64
+    )
+    pair = F.transform(
+        "qsketch",
+        lambda x: F.concat_ws(
+            ":", x.getField("h").cast("string"), x.getField("v").cast("string")
+        ),
+    )
+    return sk.select(
+        "event_type",
+        "n_rows",
+        F.md5(F.concat_ws(",", pair)).alias("sketch_md5"),
+        sketches.quantile_value(F.col("qsketch"), 0.25).alias("q25_centi"),
+        sketches.quantile_value(F.col("qsketch"), 0.50).alias("q50_centi"),
+        sketches.quantile_value(F.col("qsketch"), 0.75).alias("q75_centi"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "kg_ordered_turns": _q_kg_ordered_turns,
-    "kg_next_edges": _q_kg_next_edges,
-    "kg_raw_triples": _q_kg_raw_triples,
-    "kg_mentions": _q_kg_mentions,
-    "kg_best_alias": _q_kg_best_alias,
-    "kg_linked_mentions": _q_kg_linked_mentions,
-    "kg_entity_stubs": _q_kg_entity_stubs,
-    "kg_merge_map": _q_kg_merge_map,
-    "kg_merge_map_tokenblock": _q_kg_merge_map_tokenblock,
-    "kg_triples": _q_kg_triples,
-    "kg_conv_stats": _q_kg_conv_stats,
-    "kg_toolcalls": _q_kg_toolcalls,
-    "kg_graph_nodes": _q_kg_graph_nodes,
-    "kg_graph_edges": _q_kg_graph_edges,
-    "kg_source_file_edges": _q_kg_source_file_edges,
-    "kg_reachable_4hop": _q_kg_reachable_4hop,
-    "kg_raw_triples_udf": _q_kg_raw_triples_udf,
-    "kg_reaching_defs": _q_kg_reaching_defs,
-    "kg_reaching_defs_fields": _q_kg_reaching_defs_fields,
-    "kg_dominators": _q_kg_dominators,
-    "kg_cdg": _q_kg_cdg,
-    "kg_flows_4hop": _q_kg_flows_4hop,
-    "kg_flows_witness": _q_kg_flows_witness,
-    "kg_flows_from_stubs": _q_kg_flows_from_stubs,
-    "kg_flow_edges_semantics": _q_kg_flow_edges_semantics,
-    "kg_reachable_semantics": _q_kg_reachable_semantics,
-    "kg_reachable_cross_conv": _q_kg_reachable_cross_conv,
-    "kg_reachable_cross_conv2": _q_kg_reachable_cross_conv2,
-    "kg_flows_witness_from_stubs": _q_kg_flows_witness_from_stubs,
-    "kg_traversal_mentions": _q_kg_traversal_mentions,
-    "kg_traversal_coalesce": _q_kg_traversal_coalesce,
-    "kg_traversal_dominates": _q_kg_traversal_dominates,
-    "kg_entities": _q_kg_entities,
-    "dedup_keep_list": _q_dedup_keep_list,
-    "events_json_extract": _q_events_json_extract,
-    "events_asof": _q_events_asof,
-    "events_rollup": _q_events_rollup,
-    "events_range_join": _q_events_range_join,
-    "events_kmv_users": _q_events_kmv_users,
-    "kg_ast_json_tree": _q_kg_ast_json_tree,
-    "kg_ast_json_tree_arrow": _q_kg_ast_json_tree_arrow,
-    "kg_access_path_match": _q_kg_access_path_match,
-    "kg_mention_ast_link": _q_kg_mention_ast_link,
-    "dedup_exact": _q_dedup_exact,
-    "dedup_minhash_pairs": _q_dedup_minhash_pairs,
-    "dedup_simhash": _q_dedup_simhash,
-    "dedup_embedding_cosine": _q_dedup_embedding_cosine,
-    "ann_cosine_topk": _q_ann_cosine_topk,
-    "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
-    "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
+    # (a) new this round
+    "kg_stub_removal": _q_kg_stub_removal,
+    "events_quantiles": _q_events_quantiles,
+    "kg_props_decorated": _q_kg_props_decorated,
+    "kg_reaching_defs_fields_ext": _q_kg_reaching_defs_fields_ext,
+    # (b) not externally checked since r1/r2 — rotated into the window
     "dedup_minhash_bands": _q_dedup_minhash_bands,
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
     "dedup_embedding_cosine_exact": _q_dedup_embedding_cosine_exact,
@@ -1079,12 +1288,67 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": _q_text_fingerprint,
     "multimodal_meta": _q_multimodal_meta,
     "multimodal_resize": _q_multimodal_resize,
-    "dedup_clusters": _q_dedup_clusters,
     "multimodal_decode": _q_multimodal_decode,
+    "dedup_clusters": _q_dedup_clusters,
     "events_sessionize": _q_events_sessionize,
     "events_hourly": _q_events_hourly,
     "tpch_q1": _q_tpch_q1,
     "tpch_q3": _q_tpch_q3,
+    # (c) oracle rewritten onto the _TRIPLES_CTES derivation (r4) or Spark
+    # implementation changed (size routing, linking dedup, asof tie-break,
+    # densified range join)
+    "kg_triples": _q_kg_triples,
+    "kg_reachable_4hop": _q_kg_reachable_4hop,
+    "kg_graph_nodes": _q_kg_graph_nodes,
+    "kg_graph_edges": _q_kg_graph_edges,
+    "kg_entities": _q_kg_entities,
+    "kg_reaching_defs": _q_kg_reaching_defs,
+    "kg_dominators": _q_kg_dominators,
+    "kg_cdg": _q_kg_cdg,
+    "kg_traversal_dominates": _q_kg_traversal_dominates,
+    "kg_flows_witness": _q_kg_flows_witness,
+    "kg_flows_witness_from_stubs": _q_kg_flows_witness_from_stubs,
+    "kg_flows_4hop": _q_kg_flows_4hop,
+    "kg_flows_from_stubs": _q_kg_flows_from_stubs,
+    "kg_flow_edges_semantics": _q_kg_flow_edges_semantics,
+    "kg_reachable_semantics": _q_kg_reachable_semantics,
+    "kg_reachable_cross_conv": _q_kg_reachable_cross_conv,
+    "kg_reachable_cross_conv2": _q_kg_reachable_cross_conv2,
+    "kg_source_file_edges": _q_kg_source_file_edges,
+    "events_asof": _q_events_asof,
+    "events_range_join": _q_events_range_join,
+    # r3-green headline stalwarts filling the window
+    "kg_ordered_turns": _q_kg_ordered_turns,
+    "kg_next_edges": _q_kg_next_edges,
+    "kg_raw_triples": _q_kg_raw_triples,
+    "kg_mentions": _q_kg_mentions,
+    "kg_best_alias": _q_kg_best_alias,
+    "kg_linked_mentions": _q_kg_linked_mentions,
+    "kg_entity_stubs": _q_kg_entity_stubs,
+    "kg_merge_map": _q_kg_merge_map,
+    "kg_conv_stats": _q_kg_conv_stats,
+    "kg_ast_json_tree": _q_kg_ast_json_tree,
+    # ---- tail: r3 driver-green, unchanged this round ----
+    "kg_toolcalls": _q_kg_toolcalls,
+    "kg_raw_triples_udf": _q_kg_raw_triples_udf,
+    "kg_merge_map_tokenblock": _q_kg_merge_map_tokenblock,
+    "kg_reaching_defs_fields": _q_kg_reaching_defs_fields,
+    "kg_traversal_mentions": _q_kg_traversal_mentions,
+    "kg_traversal_coalesce": _q_kg_traversal_coalesce,
+    "kg_ast_json_tree_arrow": _q_kg_ast_json_tree_arrow,
+    "kg_access_path_match": _q_kg_access_path_match,
+    "kg_mention_ast_link": _q_kg_mention_ast_link,
+    "events_json_extract": _q_events_json_extract,
+    "events_rollup": _q_events_rollup,
+    "events_kmv_users": _q_events_kmv_users,
+    "dedup_keep_list": _q_dedup_keep_list,
+    "dedup_exact": _q_dedup_exact,
+    "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+    "dedup_simhash": _q_dedup_simhash,
+    "dedup_embedding_cosine": _q_dedup_embedding_cosine,
+    "ann_cosine_topk": _q_ann_cosine_topk,
+    "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
+    "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
 }
 
 
@@ -1330,16 +1594,16 @@ ORACLES: dict[str, str] = {
     "events_range_join": """
         WITH err AS (
           SELECT event_id AS error_id, user_id, ts AS w_start,
-                 ts + INTERVAL 10 MINUTE AS w_end
+                 ts + INTERVAL 45 MINUTE AS w_end
           FROM events WHERE event_type = 'error'
         ),
-        clk AS (
-          SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+        pt AS (
+          SELECT user_id, ts, value FROM events
         )
         SELECT e.error_id, e.user_id,
-               count(*) AS n_clicks,
-               round(sum(c.value), 2) AS click_value
-        FROM clk c JOIN err e
+               count(*) AS n_pts,
+               round(sum(c.value), 2) AS pt_value
+        FROM pt c JOIN err e
           ON c.user_id = e.user_id AND c.ts BETWEEN e.w_start AND e.w_end
         GROUP BY e.error_id, e.user_id
     """,
@@ -1474,68 +1738,8 @@ ORACLES: dict[str, str] = {
         SELECT canonical_name, merged_name FROM mm
     """,
     "kg_triples": f"""
-        WITH RECURSIVE {_TOK_CTE}, {_BEST_CTE}, {_MERGE_CTES},
-        fl2 AS (
-          SELECT conv_id, turn_idx, ts, pos, tok,
-                 lag(tok)   OVER w AS prev_tok,
-                 lead(tok)  OVER w AS next_tok,
-                 lag(tok, 2)  OVER w AS prev2_tok,
-                 lead(tok, 2) OVER w AS next2_tok
-          FROM tok
-          WINDOW w AS (PARTITION BY conv_id, turn_idx, ts ORDER BY pos)
-        ),
-        clauses AS (
-          SELECT f.conv_id,
-                 coalesce(ms.merged_name,
-                          coalesce(bs.canonical_name, 'external:' || f.prev_tok)) AS subj,
-                 f.tok AS pred,
-                 coalesce(mo.merged_name,
-                          coalesce(bo.canonical_name, 'external:' || f.next_tok)) AS obj
-          FROM fl2 f
-          LEFT JOIN best bs ON f.prev_tok = bs.alias
-          LEFT JOIN best bo ON f.next_tok = bo.alias
-          LEFT JOIN mm ms
-            ON coalesce(bs.canonical_name, 'external:' || f.prev_tok) = ms.canonical_name
-          LEFT JOIN mm mo
-            ON coalesce(bo.canonical_name, 'external:' || f.next_tok) = mo.canonical_name
-          WHERE f.tok IN {_PREDS_SQL}
-            AND f.prev_tok IS NOT NULL AND f.next_tok IS NOT NULL
-        ),
-        cand AS (
-          SELECT f.conv_id, f.turn_idx, f.ts, f.pos,
-                 (f.tok NOT IN {_PREDS_SQL}) AND (
-                    b.canonical_name IS NOT NULL
-                    OR coalesce(f.prev_tok IN {_PREDS_SQL}
-                                AND f.prev2_tok IS NOT NULL, false)
-                    OR coalesce(f.next_tok IN {_PREDS_SQL}
-                                AND f.next2_tok IS NOT NULL, false)
-                 ) AS is_mention,
-                 coalesce(b.canonical_name, 'external:' || f.tok) AS canonical
-          FROM fl2 f LEFT JOIN best b ON f.tok = b.alias
-        ),
-        fm AS (
-          SELECT conv_id, turn_idx, ts,
-                 min_by(canonical, pos) FILTER (is_mention) AS first_canonical
-          FROM cand GROUP BY conv_id, turn_idx, ts
-        ),
-        fmm AS (
-          SELECT f.conv_id, f.turn_idx, f.ts,
-                 coalesce(m.merged_name, f.first_canonical) AS first_c
-          FROM fm f LEFT JOIN mm m ON f.first_canonical = m.canonical_name
-        ),
-        fo AS (
-          SELECT conv_id, first_c,
-                 lag(first_c) OVER (
-                     PARTITION BY conv_id ORDER BY turn_idx, ts) AS prev_c
-          FROM fmm
-        ),
-        fol AS (
-          SELECT conv_id, first_c AS subj, 'follows' AS pred, prev_c AS obj
-          FROM fo WHERE first_c IS NOT NULL AND prev_c IS NOT NULL
-        )
-        SELECT DISTINCT conv_id, subj, pred, obj FROM (
-          SELECT * FROM clauses UNION ALL SELECT * FROM fol
-        )
+        WITH RECURSIVE {_TRIPLES_CTES}
+        SELECT conv_id, subj, pred, obj FROM triples
     """,
     "kg_conv_stats": f"""
         SELECT conv_id,
@@ -1550,7 +1754,7 @@ ORACLES: dict[str, str] = {
         WHERE tool IS NOT NULL
     """,
     "kg_graph_nodes": f"""
-        WITH {_TOK_CTE}, {_MENTION_CTE}, {_BEST_CTE},
+        WITH RECURSIVE {_TOK_CTE}, {_MENTION_CTE}, {_BEST_CTE}, {_MERGE_CTES},
         surfaces AS (
           SELECT surface FROM mention
           UNION ALL
@@ -1562,7 +1766,7 @@ ORACLES: dict[str, str] = {
                    coalesce(b.canonical_name, 'external:' || m.surface)) AS full_name
           FROM surfaces m
           LEFT JOIN best b ON m.surface = b.alias
-          LEFT JOIN read_parquet('{_EC01}') mm
+          LEFT JOIN mm
                  ON coalesce(b.canonical_name, 'external:' || m.surface) = mm.canonical_name
         )
         SELECT 'CONVERSATION' AS label, count(DISTINCT conv_id) AS n FROM tr
@@ -1610,7 +1814,7 @@ ORACLES: dict[str, str] = {
         WHERE tool IS NOT NULL
     """,
     "kg_graph_edges": f"""
-        WITH {_TOK_CTE}, {_MENTION_CTE}
+        WITH RECURSIVE {_TRIPLES_CTES}, {_MENTION_CTE}
         SELECT 'AST' AS label,
                (SELECT count(*) FROM tr) + (SELECT count(*) FROM mention)
                + (SELECT count(*) FROM tr WHERE tool IS NOT NULL) AS n
@@ -1621,13 +1825,14 @@ ORACLES: dict[str, str] = {
         UNION ALL SELECT 'NEXT',
                (SELECT count(*) FROM tr) - (SELECT count(DISTINCT conv_id) FROM tr)
         UNION ALL SELECT 'REF', (SELECT count(*) FROM mention)
-        UNION ALL SELECT 'REL', (SELECT count(*) FROM read_parquet('{_ET01}'))
+        UNION ALL SELECT 'REL', (SELECT count(*) FROM triples)
         ORDER BY label
     """,
     "kg_reachable_4hop": f"""
-        WITH e AS (
+        WITH RECURSIVE {_TRIPLES_CTES},
+        e AS MATERIALIZED (
           SELECT DISTINCT conv_id, subj AS s, obj AS o
-          FROM read_parquet('{_ET01}') WHERE pred = 'follows'
+          FROM triples WHERE pred = 'follows'
         ),
         h2 AS (SELECT a.conv_id, a.s, b.o FROM e a JOIN e b
                 ON a.conv_id = b.conv_id AND a.o = b.s),
@@ -1681,9 +1886,10 @@ def _witness_levels_sql(max_hops: int = 4, start_pred: str = "") -> str:
 
 
 ORACLES["kg_flows_witness"] = f"""
-    WITH e AS (
+    WITH RECURSIVE {_TRIPLES_CTES},
+    e AS MATERIALIZED (
       SELECT DISTINCT conv_id, subj AS s, obj AS o
-      FROM read_parquet('{_ET01}') WHERE pred = 'follows' AND subj != obj
+      FROM triples WHERE pred = 'follows' AND subj != obj
     ),
     {_witness_levels_sql(4)}
     SELECT conv_id, start AS src, node AS dst, CAST(hops AS BIGINT) AS hops, path
@@ -1691,9 +1897,10 @@ ORACLES["kg_flows_witness"] = f"""
 """
 
 ORACLES["kg_flows_witness_from_stubs"] = f"""
-    WITH e AS (
+    WITH RECURSIVE {_TRIPLES_CTES},
+    e AS MATERIALIZED (
       SELECT DISTINCT conv_id, subj AS s, obj AS o
-      FROM read_parquet('{_ET01}') WHERE pred = 'follows' AND subj != obj
+      FROM triples WHERE pred = 'follows' AND subj != obj
     ),
     {_witness_levels_sql(4, "WHERE s LIKE 'external:%'")}
     SELECT conv_id, start AS src, node AS dst, CAST(hops AS BIGINT) AS hops, path
@@ -1701,10 +1908,10 @@ ORACLES["kg_flows_witness_from_stubs"] = f"""
 """
 
 ORACLES["kg_flows_from_stubs"] = f"""
-    WITH RECURSIVE
-    e AS (
+    WITH RECURSIVE {_TRIPLES_CTES},
+    e AS MATERIALIZED (
       SELECT DISTINCT conv_id, subj AS s, obj AS o
-      FROM read_parquet('{_ET01}') WHERE pred = 'follows'
+      FROM triples WHERE pred = 'follows'
     ),
     p AS (
       SELECT conv_id, s AS src, o AS dst, 1 AS hops, [s, o] AS nodes
@@ -1723,9 +1930,9 @@ ORACLES["kg_flows_from_stubs"] = f"""
 # the default semantics rules (operators/semantics.DEFAULT_SEMANTICS),
 # mirrored literally: subj->obj for uses_tool/mentions/refers_to/follows,
 # obj->subj for mentions/asks_about
-_SEM_EDGES = f"""
-t AS (SELECT * FROM read_parquet('{_ET01}')),
-fe AS (
+_SEM_EDGES = """
+t AS (SELECT * FROM triples),
+fe AS MATERIALIZED (
   SELECT DISTINCT conv_id, s, o FROM (
     SELECT conv_id, subj AS s, obj AS o FROM t
     WHERE pred IN ('uses_tool', 'mentions', 'refers_to', 'follows')
@@ -1737,12 +1944,12 @@ fe AS (
 """
 
 ORACLES["kg_flow_edges_semantics"] = f"""
-    WITH {_SEM_EDGES}
+    WITH RECURSIVE {_TRIPLES_CTES}, {_SEM_EDGES}
     SELECT conv_id, s, o FROM fe
 """
 
 ORACLES["kg_reachable_semantics"] = f"""
-    WITH {_SEM_EDGES},
+    WITH RECURSIVE {_TRIPLES_CTES}, {_SEM_EDGES},
     h2 AS (SELECT a.conv_id, a.s, b.o FROM fe a JOIN fe b
             ON a.conv_id = b.conv_id AND a.o = b.s),
     h3 AS (SELECT a.conv_id, a.s, b.o FROM h2 a JOIN fe b
@@ -1755,9 +1962,10 @@ ORACLES["kg_reachable_semantics"] = f"""
 """
 
 ORACLES["kg_reachable_cross_conv"] = f"""
-    WITH e AS (
+    WITH RECURSIVE {_TRIPLES_CTES},
+    e AS MATERIALIZED (
       SELECT DISTINCT conv_id, subj AS s, obj AS o
-      FROM read_parquet('{_ET01}') WHERE pred = 'follows'
+      FROM triples WHERE pred = 'follows'
     ),
     h2 AS (SELECT a.conv_id, a.s, b.o FROM e a JOIN e b
             ON a.conv_id = b.conv_id AND a.o = b.s),
@@ -1782,9 +1990,10 @@ ORACLES["kg_reachable_cross_conv"] = f"""
 """
 
 ORACLES["kg_reachable_cross_conv2"] = f"""
-    WITH e AS (
+    WITH RECURSIVE {_TRIPLES_CTES},
+    e AS MATERIALIZED (
       SELECT DISTINCT conv_id, subj AS s, obj AS o
-      FROM read_parquet('{_ET01}') WHERE pred = 'follows'
+      FROM triples WHERE pred = 'follows'
     ),
     h2 AS (SELECT a.conv_id, a.s, b.o FROM e a JOIN e b
             ON a.conv_id = b.conv_id AND a.o = b.s),
@@ -1817,10 +2026,10 @@ ORACLES["kg_reachable_cross_conv2"] = f"""
 """
 
 ORACLES["kg_flows_4hop"] = f"""
-    WITH RECURSIVE
-    e AS (
+    WITH RECURSIVE {_TRIPLES_CTES},
+    e AS MATERIALIZED (
       SELECT DISTINCT conv_id, subj AS s, obj AS o
-      FROM read_parquet('{_ET01}') WHERE pred = 'follows'
+      FROM triples WHERE pred = 'follows'
     ),
     p AS (
       SELECT conv_id, s AS src, o AS dst, 1 AS hops, [s, o] AS nodes
@@ -1846,8 +2055,8 @@ def _dom_cte(edges_body: str, entry_body: str) -> str:
     from the Spark side's Cooper-Harvey-Kennedy fixpoint (dataflow.py), so
     the hash check cross-validates two different algorithms."""
     return f"""
-e AS ({edges_body}),
-en AS ({entry_body}),
+e AS MATERIALIZED ({edges_body}),
+en AS MATERIALIZED ({entry_body}),
 nd AS (SELECT DISTINCT conv_id, n FROM (
   SELECT conv_id, s AS n FROM e UNION ALL SELECT conv_id, o AS n FROM e)),
 full_reach AS (
@@ -1891,12 +2100,12 @@ idom_out AS (
 
 
 _FOLLOWS_EDGES = (
-    f"SELECT DISTINCT conv_id, obj AS s, subj AS o "
-    f"FROM read_parquet('{_ET01}') WHERE pred = 'follows'"
+    "SELECT DISTINCT conv_id, obj AS s, subj AS o "
+    "FROM triples WHERE pred = 'follows'"
 )
 
 ORACLES["kg_dominators"] = (
-    "WITH RECURSIVE "
+    "WITH RECURSIVE " + _TRIPLES_CTES + ", "
     + _dom_cte(
         _FOLLOWS_EDGES,
         "SELECT conv_id, min(s) AS entry FROM e GROUP BY conv_id",
@@ -1909,7 +2118,7 @@ ORACLES["kg_dominators"] = (
 # for each original edge (a, b), runner = a climbs the ipdom chain until
 # ipdom(b), emitting (runner controls b) at every step.
 ORACLES["kg_cdg"] = (
-    "WITH RECURSIVE eo AS (" + _FOLLOWS_EDGES + "), "
+    "WITH RECURSIVE " + _TRIPLES_CTES + ", eo AS MATERIALIZED (" + _FOLLOWS_EDGES + "), "
     + _dom_cte(
         "SELECT conv_id, o AS s, s AS o FROM eo",
         "SELECT conv_id, max(n) AS entry FROM "
@@ -1935,7 +2144,7 @@ SELECT DISTINCT conv_id, runner AS controller, b AS dependent FROM walk"""
 # characterization's full `dom` relation — the DSL's idom-chain closure must
 # reproduce it exactly (dominator sets == idom chains, the classic identity).
 ORACLES["kg_traversal_dominates"] = (
-    "WITH RECURSIVE "
+    "WITH RECURSIVE " + _TRIPLES_CTES + ", "
     + _dom_cte(
         _FOLLOWS_EDGES,
         "SELECT conv_id, min(s) AS entry FROM e GROUP BY conv_id",
@@ -1944,14 +2153,14 @@ ORACLES["kg_traversal_dominates"] = (
 )
 
 ORACLES["kg_reaching_defs"] = f"""
-    WITH {_TOK_CTE}, {_MENTION_CTE}, {_BEST_CTE},
+    WITH RECURSIVE {_TOK_CTE}, {_MENTION_CTE}, {_BEST_CTE}, {_MERGE_CTES},
     linked AS (
       SELECT m.conv_id, m.turn_idx, m.ts,
              coalesce(mm.merged_name,
                       coalesce(b.canonical_name, 'external:' || m.surface)) AS canonical
       FROM mention m
       LEFT JOIN best b ON m.surface = b.alias
-      LEFT JOIN read_parquet('{_EC01}') mm
+      LEFT JOIN mm
              ON coalesce(b.canonical_name, 'external:' || m.surface) = mm.canonical_name
     ),
     turns AS (
@@ -2054,7 +2263,7 @@ ORACLES["kg_traversal_coalesce"] = f"""
 """
 
 ORACLES["kg_entities"] = f"""
-    WITH {_TOK_CTE}, {_MENTION_CTE}, {_BEST_CTE},
+    WITH RECURSIVE {_TOK_CTE}, {_MENTION_CTE}, {_BEST_CTE}, {_MERGE_CTES},
     surfaces AS (
       SELECT surface FROM mention
       UNION ALL
@@ -2065,7 +2274,7 @@ ORACLES["kg_entities"] = f"""
                       coalesce(b.canonical_name, 'external:' || m.surface)) AS full_name
       FROM surfaces m
       LEFT JOIN best b ON m.surface = b.alias
-      LEFT JOIN read_parquet('{_EC01}') mm
+      LEFT JOIN mm
              ON coalesce(b.canonical_name, 'external:' || m.surface) = mm.canonical_name
     ),
     used AS (SELECT DISTINCT full_name FROM linked),
@@ -2287,6 +2496,127 @@ ORACLES["multimodal_decode"] = """
 ORACLES["events_json_extract"] = """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
     FROM events
+"""
+
+# Independent derivation for kg_reaching_defs_fields_ext: same token-stream
+# clause reconstruction as the base fields oracle; with deep defs
+# ('$.clauses[*].obj.surface') the algebra collapses per use shape — leaf
+# '.surface' uses are EXACT covers (latest-def-wins), leaf '.pos' uses fall
+# out NO_MATCH, and arg-level uses ('$.clauses[k].obj') admit EVERY earlier
+# def as EXTENDED with leftover 'surface' (no covering def exists to kill).
+ORACLES["kg_reaching_defs_fields_ext"] = f"""
+    WITH RECURSIVE {_TOK_CTE}, {_BEST_CTE}, {_MERGE_CTES},
+    tri AS (
+      SELECT conv_id, turn_idx, ts, pos,
+             lag(tok)  OVER w AS subj, tok AS pred, lead(tok) OVER w AS obj
+      FROM tok
+      WINDOW w AS (PARTITION BY conv_id, turn_idx, ts ORDER BY pos)
+    ),
+    cl AS (
+      SELECT conv_id, turn_idx, ts,
+             row_number() OVER (
+                 PARTITION BY conv_id, turn_idx, ts ORDER BY pos) - 1 AS k,
+             subj, obj
+      FROM tri
+      WHERE pred IN {_PREDS_SQL} AND subj IS NOT NULL AND obj IS NOT NULL
+    ),
+    linked AS (
+      SELECT c.conv_id, c.turn_idx, c.ts, c.k,
+             coalesce(m.merged_name,
+                      coalesce(b.canonical_name, 'external:' || c.obj)) AS variable
+      FROM cl c
+      LEFT JOIN best b ON c.obj = b.alias
+      LEFT JOIN mm m
+        ON coalesce(b.canonical_name, 'external:' || c.obj) = m.canonical_name
+    ),
+    orders AS (
+      SELECT conv_id, turn_idx, ts,
+             CAST(row_number() OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx, ts) AS BIGINT) AS turn_order
+      FROM tr
+    ),
+    lo AS (
+      SELECT l.conv_id, l.k, l.variable, o.turn_order
+      FROM linked l JOIN orders o USING (conv_id, turn_idx, ts)
+    ),
+    defs AS (SELECT DISTINCT conv_id, variable, turn_order FROM lo),
+    cover AS (
+      SELECT u.conv_id, u.variable,
+             '$.clauses[' || u.k || '].obj.surface' AS use_path,
+             max(d.turn_order) AS src_order, u.turn_order AS dst_order,
+             'COVER' AS match_kind, '' AS leftover
+      FROM lo u
+      JOIN defs d ON d.conv_id = u.conv_id AND d.variable = u.variable
+                 AND d.turn_order < u.turn_order
+      GROUP BY u.conv_id, u.variable, u.k, u.turn_order
+    ),
+    ext AS (
+      SELECT DISTINCT u.conv_id, u.variable,
+             '$.clauses[' || u.k || '].obj' AS use_path,
+             d.turn_order AS src_order, u.turn_order AS dst_order,
+             'EXTENDED' AS match_kind, 'surface' AS leftover
+      FROM lo u
+      JOIN defs d ON d.conv_id = u.conv_id AND d.variable = u.variable
+                 AND d.turn_order < u.turn_order
+    )
+    SELECT * FROM cover UNION ALL SELECT * FROM ext
+"""
+
+ORACLES["events_quantiles"] = """
+    WITH h AS (
+      SELECT event_type,
+             cast(concat('0x', substr(md5(cast(event_id AS varchar)), 1, 15)) AS BIGINT) AS hh,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY hh) AS rk
+      FROM h
+    ),
+    topk AS (SELECT * FROM r WHERE rk <= 64),
+    agg AS (
+      SELECT event_type,
+             md5(string_agg(hh || ':' || v, ',' ORDER BY hh)) AS sketch_md5,
+             list_sort(list(v ORDER BY hh)) AS vs
+      FROM topk GROUP BY event_type
+    ),
+    n AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1)
+    SELECT a.event_type, n.n_rows, a.sketch_md5,
+           vs[CAST(floor(0.25 * (len(vs) - 1)) AS INT) + 1] AS q25_centi,
+           vs[CAST(floor(0.50 * (len(vs) - 1)) AS INT) + 1] AS q50_centi,
+           vs[CAST(floor(0.75 * (len(vs) - 1)) AS INT) + 1] AS q75_centi
+    FROM agg a JOIN n ON a.event_type = n.event_type
+"""
+
+ORACLES["kg_stub_removal"] = f"""
+    WITH RECURSIVE {_TOK_CTE}, {_MENTION_CTE}, {_BEST_CTE}, {_MERGE_CTES},
+    real AS (
+      SELECT DISTINCT coalesce(mm.merged_name, b.canonical_name) AS full_name
+      FROM (SELECT surface FROM mention
+            UNION ALL SELECT tool AS surface FROM tr WHERE tool IS NOT NULL) m
+      JOIN best b ON m.surface = b.alias
+      LEFT JOIN mm ON b.canonical_name = mm.canonical_name
+    ),
+    stubs AS (SELECT DISTINCT surface FROM mention)
+    SELECT full_name, false AS is_stub FROM real
+    UNION ALL
+    SELECT 'external:' || surface AS full_name, true AS is_stub
+    FROM stubs WHERE surface NOT IN (SELECT full_name FROM real)
+"""
+
+ORACLES["kg_props_decorated"] = f"""
+    WITH o AS (
+      SELECT conv_id, role, text,
+             row_number() OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx, ts) AS turn_order
+      FROM read_parquet('{_T01}')
+    )
+    SELECT conv_id, CAST(turn_order AS BIGINT) AS turn_order,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN {_PREDS_SQL})) AS BIGINT) AS n_preds,
+           role
+    FROM o
 """
 
 # every queries() entry has an oracle_sql() entry — zero rows-only checks.

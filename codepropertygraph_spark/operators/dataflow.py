@@ -221,14 +221,24 @@ def control_dependence_grouped(edges: DataFrame, exits: DataFrame) -> DataFrame:
             pdf[["s", "o"]].drop_duplicates().itertuples(index=False, name=None)
         )
         # PDF via the standard two-pointer walk: for edge (a, b), runner = a
-        # while runner != ipdom(b): b is control-dependent on runner
+        # while runner != ipdom(b): b is control-dependent on runner. The
+        # chain bound RAISES rather than truncating: an ipdom chain longer
+        # than the group's node count means a cyclic ipdom map (impossible
+        # from a well-formed dominator pass) and silently dropping pairs
+        # would be a correctness cliff, not a degradation.
+        max_chain = len(ipdom) + 1
         for a, b in edge_set:
             if a not in ipdom or b not in ipdom:
                 continue
             runner = a
             stop = ipdom[b]
             guard = 0
-            while runner != stop and guard < 10000:
+            while runner != stop:
+                if guard > max_chain:
+                    raise RuntimeError(
+                        f"control_dependence_grouped: ipdom chain exceeds "
+                        f"{max_chain} nodes in group {conv!r} — cyclic ipdom map"
+                    )
                 pairs.add((runner, b))
                 if runner == ipdom.get(runner):
                     break
@@ -355,6 +365,36 @@ def flow_witness_grouped(
     )
 
 
+#: depart-summary rows above which the crossing joins stop broadcasting and
+#: salt the bridge key instead — pair summaries are ~5 small columns, so 2M
+#: rows keeps the broadcast well under typical executor/driver headroom.
+DEPART_BROADCAST_MAX_ROWS = 2_000_000
+
+#: deterministic salt fan-out for the non-broadcast fallback
+_BRIDGE_SALT = 16
+
+
+def _salted_bridge_join(
+    left: DataFrame, right: DataFrame, keys: list[str], spread_cols: list[str]
+) -> DataFrame:
+    """Skew-safe shuffle join for a bridge-keyed join whose right side
+    outgrew the broadcast gate: the left side salts deterministically on
+    ``spread_cols`` (columns that vary within a hot key), the right side
+    replicates across all salts, and the join runs on keys+salt — a hub
+    bridge's rows land on ``_BRIDGE_SALT`` reducers instead of one. The
+    explicit salt (not AQE skew handling) keeps the plan straggler-free even
+    under localCheckpoint's toRdd materialization, where AQE never runs."""
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*spread_cols), F.lit(_BRIDGE_SALT)).cast("int")
+    )
+    # generators cannot nest inside expressions — explode bare, no cast
+    # (sequence already yields int, matching the pmod cast on the left)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(_BRIDGE_SALT - 1)))
+    )
+    return l.join(r, keys + ["__salt"]).drop("__salt")
+
+
 def _crossing_pairs(
     frontier: DataFrame, depart: DataFrame, caches: list[DataFrame]
 ) -> DataFrame:
@@ -387,17 +427,11 @@ def _crossing_pairs(
     """
     frontier = frontier.persist()
     caches.append(frontier)
-    depart_b = F.broadcast(depart)
     invalid = (
         (~F.col("f_many")) & (F.col("n_d") == 1) & (F.col("c_d1") == F.col("f_conv"))
     )
-    expansion = (
-        frontier.join(depart_b, "bridge")
-        .where(~invalid)
-        .select("src", F.col("dst2").alias("dst"))
-        .dropDuplicates()
-    )
-    # ONE stats job: expansion-cost estimate, grid dimensions, bridge count
+    # ONE stats job: expansion-cost estimate, grid dimensions, bridge count,
+    # and the depart row count that gates the broadcast below
     fb = frontier.groupBy("bridge").agg(F.count("*").alias("f_cnt"))
     db = depart.groupBy("bridge").agg(F.count("*").alias("d_cnt"))
     stats = (
@@ -409,13 +443,33 @@ def _crossing_pairs(
                 F.countDistinct("src").alias("n_src"),
             )
         )
-        .crossJoin(depart.agg(F.countDistinct("dst2").alias("n_dst")))
+        .crossJoin(
+            depart.agg(
+                F.countDistinct("dst2").alias("n_dst"),
+                F.count("*").alias("n_dep_rows"),
+            )
+        )
         .crossJoin(
             frontier.select("bridge")
             .unionByName(depart.select("bridge"))
             .agg(F.countDistinct("bridge").alias("b_total"))
         )
         .collect()[0]
+    )
+    # the depart summary usually broadcasts (an entity-PAIR summary, conv
+    # multiplicity collapsed) — but it grows with the corpus, so past the
+    # gate the joins fall back to a deterministic salted shuffle join
+    # instead of failing at the broadcast limit.
+    dep_small = stats.n_dep_rows <= DEPART_BROADCAST_MAX_ROWS
+    depart_b = F.broadcast(depart) if dep_small else depart
+    if dep_small:
+        expansion_joined = frontier.join(depart_b, "bridge")
+    else:
+        expansion_joined = _salted_bridge_join(frontier, depart, ["bridge"], ["src"])
+    expansion = (
+        expansion_joined.where(~invalid)
+        .select("src", F.col("dst2").alias("dst"))
+        .dropDuplicates()
     )
     cost_e = stats.cost_e or 0
     cost_p = stats.n_src * stats.n_dst
@@ -602,6 +656,14 @@ def reachable_cross_conversation(
             .persist()
         )
         _iter_caches.append(depart)
+        # broadcast gate for the INTERMEDIATE-level witness joins (the final
+        # level re-derives its own gate from the fused stats inside
+        # _crossing_pairs): one count on the already-persisted summary — it
+        # pays the materialization the loop would pay anyway — and past the
+        # gate the expansion joins salt instead of blowing the broadcast.
+        dep_small = (
+            max_crossings < 2 or depart.count() <= DEPART_BROADCAST_MAX_ROWS
+        )
         # initial frontier summary: per (src, bridge=dst) of the closure,
         # many-or-single witness of the (single-segment) path so far.
         frontier = ps_from.join(
@@ -626,9 +688,15 @@ def reachable_cross_conversation(
             # Explicit broadcast: the join key (bridge entity) is inherently
             # low-cardinality/skewed — a sort-merge join stalls on hub
             # stragglers. depart is an entity-PAIR summary (conv multiplicity
-            # already collapsed); if a corpus outgrows the broadcast limit,
-            # drop the hint and salt the bridge key instead.
-            joined = frontier.join(F.broadcast(depart), "bridge").where(
+            # already collapsed); past the gate, the deterministic salted
+            # join spreads each hub bridge over _BRIDGE_SALT reducers.
+            if dep_small:
+                expanded = frontier.join(F.broadcast(depart), "bridge")
+            else:
+                expanded = _salted_bridge_join(
+                    frontier, depart, ["bridge"], ["src"]
+                )
+            joined = expanded.where(
                 # invalid only when both sides are pinned to the same conv
                 ~(
                     (~F.col("f_many"))
@@ -903,6 +971,89 @@ def reaching_defs_fields(defs: DataFrame, uses: DataFrame) -> DataFrame:
     )
 
 
+def reaching_defs_fields_ext(defs: DataFrame, uses: DataFrame) -> DataFrame:
+    """Field-level reaching defs WITH the engine's EXTENDED over-approximation
+    mode (``AccessPath.scala`` EXTENDED_MATCH consumed by
+    ``queryengine/Engine.scala:255-331``): beyond the EXACT/PREFIX covers of
+    :func:`reaching_defs_fields`, a def whose access path EXTENDS the use's
+    (write to ``$.x.a.b`` vs read of ``$.x.a``) MAY affect the read — it is
+    admitted with the leftover element suffix carried, and it is a WEAK
+    update: it neither kills nor is killed by position alone, only a later
+    covering (strong) def supersedes it.
+
+    Same inputs as :func:`reaching_defs_fields`. Returns one row per
+    surviving (def, use) influence:
+      (conv_id, variable, use_path, src_order, dst_order, match_kind,
+       leftover)
+    where match_kind is 'COVER' (the latest EXACT/PREFIX def — at most one
+    per use, the strong-update winner) or 'EXTENDED' (every extending def
+    not overwritten by a later strong def), and leftover is the '.'-joined
+    unmatched def suffix ('' for COVER).
+
+    Scale shape: identical to the base operator — one (conv_id, variable)
+    equi-join with the path algebra evaluated columnar JVM-side, plus one
+    broadcast-sized aggregation join for the strong-kill filter."""
+    from ..functions import access_path as AP
+
+    d = defs.dropDuplicates().select(
+        "conv_id",
+        "variable",
+        F.col("turn_order").cast("long").alias("src_order"),
+        AP.elements("path").alias("__d_el"),
+    )
+    u = uses.dropDuplicates().select(
+        "conv_id",
+        "variable",
+        F.col("turn_order").cast("long").alias("dst_order"),
+        F.col("path").alias("use_path"),
+        AP.elements("path").alias("__u_el"),
+    )
+    md = AP.match_and_diff(F.col("__d_el"), F.col("__u_el"))
+    j = (
+        d.join(u, ["conv_id", "variable"])
+        .where(F.col("src_order") < F.col("dst_order"))
+        .withColumn("__kind", md.getField("kind"))
+        .withColumn("__diff", md.getField("diff"))
+        .where(F.col("__kind") != "NO_MATCH")
+    )
+    use_key = ["conv_id", "variable", "use_path", "dst_order"]
+    strong = (
+        j.where(F.col("__kind").isin("EXACT", "A_PREFIX_OF_B"))
+        .groupBy(*use_key)
+        .agg(F.max("src_order").alias("src_order"))
+    )
+    cover = strong.select(
+        *use_key,
+        "src_order",
+        F.lit("COVER").alias("match_kind"),
+        F.lit("").alias("leftover"),
+    )
+    ext = (
+        j.where(F.col("__kind") == "B_PREFIX_OF_A")
+        .join(
+            strong.select(*use_key, F.col("src_order").alias("__strong_src")),
+            use_key,
+            "left",
+        )
+        .where(
+            F.col("__strong_src").isNull()
+            | (F.col("src_order") > F.col("__strong_src"))
+        )
+        .select(
+            *use_key,
+            "src_order",
+            F.lit("EXTENDED").alias("match_kind"),
+            F.concat_ws(".", "__diff").alias("leftover"),
+        )
+        .dropDuplicates()
+    )
+    out_cols = [
+        "conv_id", "variable", "use_path", "src_order", "dst_order",
+        "match_kind", "leftover",
+    ]
+    return cover.select(*out_cols).unionByName(ext.select(*out_cols))
+
+
 def reachable_within_auto(
     edges: DataFrame,
     max_hops: int = 4,
@@ -926,15 +1077,553 @@ def reachable_within_auto(
     single pandas group comfortably inside one executor task; tune down
     for small executors or up for fat ones.
     """
-    counts = edges.groupBy(keyed_by).agg(F.count("*").alias("__n"))
-    big = counts.where(F.col("__n") > group_edge_limit).select(keyed_by)
-    if big.isEmpty():
+    small_edges, big_edges = _split_big_groups(edges, keyed_by, group_edge_limit)
+    if big_edges is None:
         return reachable_within_grouped(edges, max_hops=max_hops, keyed_by=keyed_by)
-    big_b = F.broadcast(big)
-    small_edges = edges.join(big_b, keyed_by, "left_anti")
-    big_edges = edges.join(big_b, keyed_by, "left_semi")
     return reachable_within_grouped(
         small_edges, max_hops=max_hops, keyed_by=keyed_by
     ).unionByName(
         reachable_within(big_edges, max_hops=max_hops, keyed_by=keyed_by)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-loop formulations + size routing for every grouped operator
+# ---------------------------------------------------------------------------
+# applyInPandas sends one GROUP to one TASK; AQE cannot split it, so a
+# pathological mega-conversation is one straggler/OOM task at 100x scale.
+# Each grouped operator therefore gets (a) a join-loop formulation whose
+# per-iteration work is plain shuffled joins/aggregations (skewed keys split
+# by AQE, no task ever holds a whole group) and (b) an ``*_auto`` router:
+# ONE count aggregation splits groups at ``group_edge_limit`` edges, small
+# groups take the one-task BFS (faster constant), big ones the join loop.
+# Both formulations compute identical rows — the union is a plan branch,
+# not a correctness fork (asserted by tests/test_traversal_dataflow.py's
+# mega-group fixtures).
+
+#: default per-group edge-count ceiling for the one-task grouped operators
+GROUP_EDGE_LIMIT = 2_000_000
+
+
+def _split_big_groups(
+    edges: DataFrame, keyed_by: str, group_edge_limit: int
+) -> tuple[DataFrame, DataFrame | None]:
+    """(small_edges, big_edges) split on per-group edge count; big_edges is
+    None when every group fits (the overwhelmingly common case — the split
+    then costs one aggregation and no extra scan)."""
+    counts = edges.groupBy(keyed_by).agg(F.count("*").alias("__n"))
+    big = counts.where(F.col("__n") > group_edge_limit).select(keyed_by)
+    if big.isEmpty():
+        return edges, None
+    big_b = F.broadcast(big)
+    return (
+        edges.join(big_b, keyed_by, "left_anti"),
+        edges.join(big_b, keyed_by, "left_semi"),
+    )
+
+
+def _unpersist_all(caches: list[DataFrame]) -> None:
+    for df in caches:
+        df.unpersist()
+
+
+def flow_witness_join(
+    edges: DataFrame,
+    max_hops: int = 4,
+    keyed_by: str = "conv_id",
+    sources: DataFrame | None = None,
+    sinks: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`flow_witness_grouped` as a distributed join loop — identical
+    rows, no one-task-per-group ceiling. The level-synchronized recurrence
+    maps directly onto DataFrame ops: level L = (frontier join edges on the
+    tail node) → anti-join against every earlier level's reached set → a
+    min(path) aggregation per (key, src, node). Appending a child preserves
+    string order (the '-' separator sorts below every name character), so
+    the per-level min IS min over all incoming parents — the same argument
+    the grouped BFS and the DuckDB oracle rely on.
+
+    Scale shape: each level is one shuffle on (key, src, node); hub fan-out
+    skew lands on a composite key AQE can split, and no executor ever
+    materializes a whole conversation."""
+    caches: list[DataFrame] = []
+    e = (
+        edges.select(keyed_by, "s", "o")
+        .where(F.col("s") != F.col("o"))
+        .dropDuplicates([keyed_by, "s", "o"])
+        .persist()
+    )
+    caches.append(e)
+    lv = e
+    if sources is not None:
+        lv = lv.join(
+            F.broadcast(sources.select(F.col("src").alias("s")).dropDuplicates()),
+            "s",
+            "left_semi",
+        )
+    frontier = (
+        lv.groupBy(keyed_by, F.col("s").alias("src"), F.col("o").alias("node"))
+        .agg(F.min(F.concat("s", F.lit("->"), "o")).alias("path"))
+        .persist()
+    )
+    caches.append(frontier)
+    # reached = start itself + every node seen at any earlier level
+    reached = (
+        frontier.select(keyed_by, "src", F.col("src").alias("node"))
+        .dropDuplicates()
+        .unionByName(frontier.select(keyed_by, "src", "node"))
+        .persist()
+    )
+    caches.append(reached)
+    out_levels = [frontier.withColumn("hops", F.lit(1))]
+    for hop in range(2, max_hops + 1):
+        cand = (
+            frontier.alias("f")
+            .join(
+                e.alias("e"),
+                (F.col(f"f.{keyed_by}") == F.col(f"e.{keyed_by}"))
+                & (F.col("f.node") == F.col("e.s")),
+            )
+            .select(
+                F.col(f"f.{keyed_by}").alias(keyed_by),
+                F.col("f.src").alias("src"),
+                F.col("e.o").alias("node"),
+                F.concat("f.path", F.lit("->"), "e.o").alias("path"),
+            )
+            .join(reached, [keyed_by, "src", "node"], "left_anti")
+            .groupBy(keyed_by, "src", "node")
+            .agg(F.min("path").alias("path"))
+            .persist()
+        )
+        caches.append(cand)
+        if cand.isEmpty():
+            break
+        out_levels.append(cand.withColumn("hops", F.lit(hop)))
+        new_reached = reached.unionByName(
+            cand.select(keyed_by, "src", "node")
+        ).persist()
+        caches.append(new_reached)
+        reached = new_reached
+        frontier = cand
+    out = out_levels[0]
+    for lvf in out_levels[1:]:
+        out = out.unionByName(lvf)
+    if sinks is not None:
+        out = out.join(
+            F.broadcast(sinks.select(F.col("dst").alias("node")).dropDuplicates()),
+            "node",
+            "left_semi",
+        )
+    result = out.select(
+        keyed_by,
+        "src",
+        F.col("node").alias("dst"),
+        F.col("hops").cast("long").alias("hops"),
+        "path",
+    ).localCheckpoint(eager=True)
+    _unpersist_all(caches)
+    return result
+
+
+def flow_paths_join(
+    edges: DataFrame,
+    max_hops: int = 4,
+    keyed_by: str = "conv_id",
+    sources: DataFrame | None = None,
+    max_paths_per_group: int = 10_000_000,
+) -> DataFrame:
+    """:func:`flow_paths_grouped` as a distributed join loop: level L joins
+    the level-(L-1) path frontier with the edge table and drops extensions
+    revisiting a path node (``array_contains`` over the split path — the
+    simple-path discipline, evaluated JVM-side). Every extension row IS an
+    output row, so no dedup is needed anywhere.
+
+    The per-group output guard survives routing: each level's one count
+    aggregation (also the emptiness check) accumulates per-key path counts
+    and raises past ``max_paths_per_group`` — same contract as the grouped
+    operator, enforced from exact distributed counts instead of one task's
+    list length."""
+    caches: list[DataFrame] = []
+    e = (
+        edges.select(keyed_by, "s", "o")
+        .where(F.col("s") != F.col("o"))
+        .dropDuplicates([keyed_by, "s", "o"])
+        .persist()
+    )
+    caches.append(e)
+    lv = e
+    if sources is not None:
+        lv = lv.join(
+            F.broadcast(sources.select(F.col("src").alias("s")).dropDuplicates()),
+            "s",
+            "left_semi",
+        )
+    frontier = lv.select(
+        keyed_by,
+        F.col("s").alias("src"),
+        F.col("o").alias("dst"),
+        F.concat("s", F.lit("->"), "o").alias("path"),
+    ).persist()
+    caches.append(frontier)
+    totals: dict[str, int] = {}
+
+    def _account(level: DataFrame) -> int:
+        rows = level.groupBy(keyed_by).agg(F.count("*").alias("n")).collect()
+        for r in rows:
+            totals[r[0]] = totals.get(r[0], 0) + r[1]
+            if totals[r[0]] > max_paths_per_group:
+                raise ValueError(
+                    f"flow_paths_join: group {r[0]!r} exceeds "
+                    f"max_paths_per_group={max_paths_per_group} simple paths; "
+                    "restrict sources= or use the witness operator"
+                )
+        return sum(r[1] for r in rows)
+
+    _account(frontier)
+    out_levels = [frontier.withColumn("hops", F.lit(1))]
+    for hop in range(2, max_hops + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(
+                e.alias("e"),
+                (F.col(f"f.{keyed_by}") == F.col(f"e.{keyed_by}"))
+                & (F.col("f.dst") == F.col("e.s")),
+            )
+            .where(~F.array_contains(F.split("f.path", "->"), F.col("e.o")))
+            .select(
+                F.col(f"f.{keyed_by}").alias(keyed_by),
+                F.col("f.src").alias("src"),
+                F.col("e.o").alias("dst"),
+                F.concat("f.path", F.lit("->"), "e.o").alias("path"),
+            )
+            .persist()
+        )
+        caches.append(nxt)
+        if _account(nxt) == 0:
+            break
+        out_levels.append(nxt.withColumn("hops", F.lit(hop)))
+        frontier = nxt
+    out = out_levels[0]
+    for lvf in out_levels[1:]:
+        out = out.unionByName(lvf)
+    result = out.select(
+        keyed_by, "src", "dst", F.col("hops").cast("long").alias("hops"), "path"
+    ).localCheckpoint(eager=True)
+    _unpersist_all(caches)
+    return result
+
+
+def _reach_fixpoint(
+    seed: DataFrame, e: DataFrame, keyed_by: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """Unbounded reachability closure of ``seed`` (keyed_by, *extra, node)
+    over edges ``e`` (keyed_by, s, o), refusing to step onto a node equal to
+    any ``extra`` column — with extra=('avoid',) this is the batched
+    node-removal BFS behind the dominator join form. Returns the reflexive
+    closure (seed rows included) as a checkpointed frame.
+
+    Every iteration localCheckpoints: the loop runs to the graph DEPTH
+    (hundreds of iterations on a long chain), and un-truncated union
+    lineage grows the logical plan geometrically — checkpointing keeps each
+    iteration's plan O(1), which is what makes an unbounded fixpoint viable
+    on Spark at all.
+
+    Constraint propagation is disabled for the loop's queries: Spark 4's
+    ``UnionBase.rewriteConstraints`` crashes (``NoSuchElementException: key
+    not found`` inside InferFiltersFromConstraints) when optimizing a Union
+    whose children are LogicalRDDs from localCheckpoint — exactly this
+    loop's accumulate shape. With propagation off the constraints sets stay
+    empty and both the per-iteration checkpoints and the final one are
+    safe; the toggle is restored afterwards, and the returned frame is a
+    flat (constraint-free) checkpointed scan."""
+    grp = [keyed_by, *extra]
+    spark = seed.sparkSession
+    _CP = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(_CP, "true")
+    spark.conf.set(_CP, "false")
+    try:
+        reached = seed.dropDuplicates(grp + ["node"]).localCheckpoint(eager=True)
+        frontier = reached
+        while True:
+            step = (
+                frontier.alias("f")
+                .join(
+                    e.alias("e"),
+                    (F.col(f"f.{keyed_by}") == F.col(f"e.{keyed_by}"))
+                    & (F.col("f.node") == F.col("e.s")),
+                )
+                .select(
+                    *[F.col(f"f.{c}").alias(c) for c in grp],
+                    F.col("e.o").alias("node"),
+                )
+            )
+            for c in extra:
+                step = step.where(F.col("node") != F.col(c))
+            new = (
+                step.dropDuplicates(grp + ["node"])
+                .join(reached, grp + ["node"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if new.isEmpty():
+                break
+            reached = reached.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+        return reached
+    finally:
+        spark.conf.set(_CP, prev)
+
+
+def _dom_pairs_join(
+    edges: DataFrame, entries: DataFrame, keyed_by: str = "conv_id"
+) -> DataFrame:
+    """Full reflexive (keyed_by, n, m) dominator pairs via the removal
+    characterization — m dominates n iff n is unreachable from the entry
+    once m is deleted — the same independent formulation the DuckDB oracle
+    uses (__spark_entry__ ``_dom_cte``), here as batched distributed BFS:
+    ONE closure job carries every (group, avoided-node) pair simultaneously,
+    shuffled on (key, avoid, node) so no task holds a group.
+
+    Cost is the characterization's inherent O(V·E) rows per group — the
+    price of a formulation with no per-group sequential fixpoint; it is the
+    mega-group fallback, not the default path."""
+    e = edges.select(keyed_by, "s", "o").dropDuplicates().persist()
+    en = entries.select(keyed_by, "entry")
+    full = _reach_fixpoint(
+        en.select(keyed_by, F.col("entry").alias("node")), e, keyed_by
+    )
+    nodes = (
+        e.select(keyed_by, F.col("s").alias("n"))
+        .unionByName(e.select(keyed_by, F.col("o").alias("n")))
+        .dropDuplicates()
+        .persist()
+    )
+    seeds = (
+        nodes.join(en, keyed_by)
+        .where(F.col("n") != F.col("entry"))
+        .select(keyed_by, F.col("n").alias("avoid"), F.col("entry").alias("node"))
+    )
+    avoid_reach = _reach_fixpoint(seeds, e, keyed_by, extra=("avoid",))
+    # m dom n  ⟺  n reachable ∧ n not reachable when avoiding m.
+    # avoid=entry has no seed rows, so the anti-join keeps every (n, entry)
+    # pair — the entry dominates everything, as required; avoid=n never
+    # reaches n (the BFS refuses to step onto the avoided node), so the
+    # relation is reflexive, also as required.
+    dom = (
+        full.select(keyed_by, F.col("node").alias("n"))
+        .join(nodes.select(keyed_by, F.col("n").alias("m")), keyed_by)
+        .join(
+            avoid_reach.select(
+                keyed_by, F.col("avoid").alias("m"), F.col("node").alias("n")
+            ),
+            [keyed_by, "m", "n"],
+            "left_anti",
+        )
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    full.unpersist()
+    nodes.unpersist()
+    avoid_reach.unpersist()
+    return dom
+
+
+def _idom_from_pairs(
+    dom: DataFrame, entries: DataFrame, keyed_by: str = "conv_id"
+) -> DataFrame:
+    """(keyed_by, node, idom) from full dominator pairs: the immediate
+    dominator is the strict dominator with the largest own dominator set
+    (dominators of a node form a chain, so the max is unique; the min-m
+    tie-break below is pure determinism insurance)."""
+    from pyspark.sql import Window
+
+    ndom = dom.groupBy(keyed_by, "n").agg(F.count("*").alias("sz"))
+    sd = dom.where(F.col("m") != F.col("n")).join(
+        ndom.select(keyed_by, F.col("n").alias("m"), "sz"), [keyed_by, "m"]
+    )
+    w = Window.partitionBy(keyed_by, "n").orderBy(F.col("sz").desc(), F.col("m"))
+    picked = (
+        sd.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(keyed_by, F.col("n").alias("node"), F.col("m").alias("idom"))
+    )
+    return picked.unionByName(
+        entries.select(
+            keyed_by, F.col("entry").alias("node"), F.col("entry").alias("idom")
+        )
+    )
+
+
+def dominators_join(
+    edges: DataFrame, entries: DataFrame, keyed_by: str = "conv_id"
+) -> DataFrame:
+    """:func:`dominators_grouped` as distributed joins — identical rows
+    (same contract: reachable nodes only, entry's idom is itself), no
+    one-task-per-group fixpoint. See :func:`_dom_pairs_join` for the
+    removal-characterization derivation."""
+    dom = _dom_pairs_join(edges, entries, keyed_by)
+    # restrict the synthesized entry rows to groups that still have edges
+    en = entries.join(
+        dom.select(keyed_by).dropDuplicates(), keyed_by, "left_semi"
+    )
+    return _idom_from_pairs(dom, en, keyed_by)
+
+
+def control_dependence_join(
+    edges: DataFrame, exits: DataFrame, keyed_by: str = "conv_id"
+) -> DataFrame:
+    """:func:`control_dependence_grouped` as distributed joins. Uses the
+    classic identity that a node's dominator SET is exactly its chain to the
+    root of the dominator tree: with full post-dominator pairs in hand, the
+    grouped runner walk for edge (a, b) — runner climbs a's ipdom chain
+    until ipdom(b) — becomes set algebra:
+
+      runners(a, b) = { x ∈ pdom*(a) : ipdom(b) ∉ pdom*(a)
+                                       ∨ |pdom(x)| > |pdom(ipdom(b))| }
+
+    (deeper chain members have strictly LARGER pdom sets, so the size
+    comparison is the 'strictly below the stop node' test; when the stop is
+    not on a's chain the walk runs to the root, i.e. the whole set). Every
+    step is an equi-join or aggregation on (key, node) — no walk, no task
+    holding a group."""
+    rev = edges.select(keyed_by, F.col("o").alias("s"), F.col("s").alias("o"))
+    ent = exits.select(keyed_by, F.col("exit").alias("entry"))
+    pdom = _dom_pairs_join(rev, ent, keyed_by).persist()
+    ipd = _idom_from_pairs(
+        pdom, ent.join(pdom.select(keyed_by).dropDuplicates(), keyed_by, "left_semi"),
+        keyed_by,
+    ).persist()
+    sz = pdom.groupBy(keyed_by, "n").agg(F.count("*").alias("sz")).persist()
+    e = edges.select(keyed_by, "s", "o").dropDuplicates()
+    # edges with both endpoints reachable (present in the ipdom map), plus
+    # the stop node ipdom(b)
+    ed = (
+        e.join(
+            ipd.select(keyed_by, F.col("node").alias("o"), F.col("idom").alias("stop")),
+            [keyed_by, "o"],
+        )
+        .join(
+            ipd.select(keyed_by, F.col("node").alias("s")),
+            [keyed_by, "s"],
+            "left_semi",
+        )
+    )
+    # runner candidates: a's whole reflexive pdom chain
+    cand = ed.join(
+        pdom.select(keyed_by, F.col("n").alias("s"), F.col("m").alias("runner")),
+        [keyed_by, "s"],
+    )
+    # is the stop node on a's chain? (left join membership flag)
+    stop_on_chain = pdom.select(
+        keyed_by,
+        F.col("n").alias("s"),
+        F.col("m").alias("stop"),
+        F.lit(True).alias("__stop_in"),
+    )
+    cand = cand.join(stop_on_chain, [keyed_by, "s", "stop"], "left")
+    cand = cand.join(
+        sz.select(keyed_by, F.col("n").alias("runner"), F.col("sz").alias("__szr")),
+        [keyed_by, "runner"],
+    ).join(
+        sz.select(keyed_by, F.col("n").alias("stop"), F.col("sz").alias("__szs")),
+        [keyed_by, "stop"],
+        "left",
+    )
+    out = (
+        cand.where(F.col("__stop_in").isNull() | (F.col("__szr") > F.col("__szs")))
+        .select(
+            keyed_by,
+            F.col("runner").alias("controller"),
+            F.col("o").alias("dependent"),
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    pdom.unpersist()
+    ipd.unpersist()
+    sz.unpersist()
+    return out
+
+
+def _route(
+    edges: DataFrame,
+    keyed_by: str,
+    group_edge_limit: int,
+    grouped_fn,
+    join_fn,
+) -> DataFrame:
+    small, big = _split_big_groups(edges, keyed_by, group_edge_limit)
+    if big is None:
+        return grouped_fn(edges)
+    return grouped_fn(small).unionByName(join_fn(big))
+
+
+def flow_witness_auto(
+    edges: DataFrame,
+    max_hops: int = 4,
+    keyed_by: str = "conv_id",
+    sources: DataFrame | None = None,
+    sinks: DataFrame | None = None,
+    group_edge_limit: int = GROUP_EDGE_LIMIT,
+) -> DataFrame:
+    """Size-routed :func:`flow_witness_grouped` — mega-groups take the
+    join-loop formulation; identical rows either way."""
+    return _route(
+        edges,
+        keyed_by,
+        group_edge_limit,
+        lambda e: flow_witness_grouped(e, max_hops, keyed_by, sources, sinks),
+        lambda e: flow_witness_join(e, max_hops, keyed_by, sources, sinks),
+    )
+
+
+def flow_paths_auto(
+    edges: DataFrame,
+    max_hops: int = 4,
+    keyed_by: str = "conv_id",
+    sources: DataFrame | None = None,
+    max_paths_per_group: int = 10_000_000,
+    group_edge_limit: int = GROUP_EDGE_LIMIT,
+) -> DataFrame:
+    """Size-routed :func:`flow_paths_grouped`; the output-size guard holds
+    on both branches."""
+    return _route(
+        edges,
+        keyed_by,
+        group_edge_limit,
+        lambda e: flow_paths_grouped(e, max_hops, keyed_by, sources, max_paths_per_group),
+        lambda e: flow_paths_join(e, max_hops, keyed_by, sources, max_paths_per_group),
+    )
+
+
+def dominators_auto(
+    edges: DataFrame,
+    entries: DataFrame,
+    keyed_by: str = "conv_id",
+    group_edge_limit: int = GROUP_EDGE_LIMIT,
+) -> DataFrame:
+    """Size-routed :func:`dominators_grouped` (CHK fixpoint per group) with
+    the removal-characterization join form for mega-groups."""
+    return _route(
+        edges,
+        keyed_by,
+        group_edge_limit,
+        lambda e: dominators_grouped(e, entries.join(e.select(keyed_by).dropDuplicates(), keyed_by, "left_semi")),
+        lambda e: dominators_join(e, entries.join(e.select(keyed_by).dropDuplicates(), keyed_by, "left_semi"), keyed_by),
+    )
+
+
+def control_dependence_auto(
+    edges: DataFrame,
+    exits: DataFrame,
+    keyed_by: str = "conv_id",
+    group_edge_limit: int = GROUP_EDGE_LIMIT,
+) -> DataFrame:
+    """Size-routed :func:`control_dependence_grouped` with the pdom-set
+    join form for mega-groups."""
+    return _route(
+        edges,
+        keyed_by,
+        group_edge_limit,
+        lambda e: control_dependence_grouped(e, exits.join(e.select(keyed_by).dropDuplicates(), keyed_by, "left_semi")),
+        lambda e: control_dependence_join(e, exits.join(e.select(keyed_by).dropDuplicates(), keyed_by, "left_semi"), keyed_by),
     )

@@ -164,10 +164,24 @@ def export_bundle(
         "nodes": _content_hash(_canonical(nodes, _NODE_COLS)),
         "edges": _content_hash(_canonical(edges, _EDGE_COLS)),
     }
-    tmp = os.path.join(out_dir, "manifest.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+    # the parquet payload goes through the Spark writer (any Hadoop-supported
+    # filesystem), so the manifest must too: write-tmp-then-rename through the
+    # Hadoop FileSystem resolved FROM out_dir's scheme — a local open()/
+    # os.replace here would silently drop the manifest on an HDFS/S3 out_dir.
+    spark = nodes.sparkSession
+    jvm = spark._jvm
+    payload = json.dumps(manifest, indent=1, sort_keys=True).encode()
+    hpath = jvm.org.apache.hadoop.fs.Path(os.path.join(out_dir, "manifest.json"))
+    tmp = jvm.org.apache.hadoop.fs.Path(os.path.join(out_dir, "manifest.json.tmp"))
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(payload)
+    finally:
+        stream.close()
+    fs.delete(hpath, False)  # rename is not overwrite-atomic on every FS
+    if not fs.rename(tmp, hpath):
+        raise IOError(f"manifest rename failed: {tmp} -> {hpath}")
     return manifest
 
 
@@ -178,8 +192,11 @@ def load_bundle(spark, out_dir: str) -> tuple[DataFrame, DataFrame, dict]:
     bundle fails loudly (the proto loader's zip CRC analog)."""
     import json
 
-    with open(f"{out_dir}/manifest.json") as fh:
-        manifest = json.load(fh)
+    # wholetext read through Spark: the manifest loads from whatever
+    # filesystem holds the bundle, mirroring the writer.
+    manifest = json.loads(
+        spark.read.text(f"{out_dir}/manifest.json", wholetext=True).collect()[0][0]
+    )
     if manifest["bundle_version"] != BUNDLE_VERSION:
         raise ValueError(f"unsupported bundle version {manifest['bundle_version']}")
     rn = spark.read.parquet(f"{out_dir}/nodes")

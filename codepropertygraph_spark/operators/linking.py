@@ -167,8 +167,15 @@ def link_source_files(
 
     key = F.col(file_key_col)
     stub_id = hash_id_col(S.CONVERSATION, natural_key(S.CONVERSATION, key))
+    # one candidate per name: the reference's linkToSingle logs and picks one
+    # when several file nodes share a name (Linker.scala:213-227); here the
+    # min-id candidate wins deterministically, and the dedup preserves the
+    # ZERO_OR_ONE SOURCE_FILE cardinality (schema.py) even on a corpus where
+    # two CONVERSATION nodes collide on name.
     fmap = F.broadcast(
-        files.select(F.col("name").alias("__fname"), F.col("id").alias("__fid"))
+        files.groupBy(F.col("name").alias("__fname")).agg(
+            F.min("id").alias("__fid")
+        )
     )
     joined = srcs.join(fmap, key == F.col("__fname"), "left")
     edges = joined.select(

@@ -60,10 +60,14 @@ def asof_join(
     rf = rf0.withColumn("__lrow", F.lit(None).cast(ltype))
     u = rf.unionByName(lf)
     # right rows (__side 0) sort before left rows at equal ts, so an
-    # equal-timestamp right row is visible to the left row — the >= contract
+    # equal-timestamp right row is visible to the left row — the >= contract.
+    # __payload (struct compare: matched ts, then right_cols in order) is the
+    # deterministic tie-break when several right rows share (keys, ts):
+    # last() then always selects the struct-max payload, not whichever row
+    # the partition happened to order last.
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", "__payload")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("__m", F.last("__payload", ignorenulls=True).over(w))

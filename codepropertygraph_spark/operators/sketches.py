@@ -86,3 +86,92 @@ def kmv_estimate(n_le_k: int, kth: int | None, k: int = 32) -> float:
     if kth is None or n_le_k < k:
         return float(n_le_k)
     return (k - 1) * HASH_DOMAIN / kth
+
+
+# ---------------------------------------------------------------------------
+# Rank/quantile sketch — the KMV discipline applied to ROW sampling
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch(
+    df: DataFrame, keys: list[str], col: str, row_key: list[str], s: int = 256
+) -> DataFrame:
+    """Per-group mergeable rank/quantile sketch: a bottom-s-by-row-hash
+    sample — every row hashes its unique ``row_key`` through the repo's
+    md5-derived 60-bit hash, and the sketch keeps the s rows with the
+    smallest hashes together with their ``col`` values (a uniform,
+    deterministic sample of the row multiset).
+
+    Design choice vs a KLL compactor hierarchy: KLL's merge output depends
+    on compaction order, so two partitionings of the same data give
+    different (both valid) sketches — that breaks both this repo's
+    value-hash oracle gate and the rollup-equals-rescan test. Bottom-s by a
+    GLOBAL row hash is order-free: merge = union + keep s smallest, and the
+    merged sketch is bit-identical to the sketch of the concatenated data
+    (tested exact). The price is the plain sampling error bound — rank
+    error O(n/sqrt(s)) w.h.p. — instead of KLL's optimal bound; at the s
+    values used here that tradeoff buys exact mergeability and full DuckDB
+    reproducibility (same md5 hash, same content).
+
+    Output: (keys..., qsketch: array<struct<h: long, v: long>> ascending by
+    h, n_rows: long). ``col`` must be integral (exact cross-engine compare;
+    scale floats to fixed-point first). Scale shape: one shuffle
+    (row-hash ranking window per group over at most the group's rows), same
+    envelope as the KMV sketch."""
+    h = df.select(
+        *keys,
+        hash60(F.concat_ws("|", *[F.col(c).cast("string") for c in row_key])).alias(
+            "__h"
+        ),
+        F.col(col).cast("long").alias("__v"),
+    )
+    w = Window.partitionBy(*keys).orderBy("__h")
+    topk = h.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") <= s)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    sk = topk.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
+        ).alias("qsketch")
+    )
+    return sk.join(counts, keys)
+
+
+def quantile_merge(
+    a: DataFrame, b: DataFrame, keys: list[str], s: int = 256
+) -> DataFrame:
+    """Merge two quantile-sketch tables (full outer on keys): union the
+    (h, v) samples, keep the s smallest hashes, add the row counts — the
+    rollup operation; output schema matches :func:`quantile_sketch` and is
+    bit-identical to sketching the concatenated inputs."""
+    empty = F.array().cast("array<struct<h: bigint, v: bigint>>")
+    aa = a.select(*keys, F.col("qsketch").alias("__qa"), F.col("n_rows").alias("__na"))
+    bb = b.select(*keys, F.col("qsketch").alias("__qb"), F.col("n_rows").alias("__nb"))
+    return (
+        aa.join(bb, keys, "full_outer")
+        .select(
+            *keys,
+            F.slice(
+                F.array_sort(
+                    F.concat(
+                        F.coalesce(F.col("__qa"), empty),
+                        F.coalesce(F.col("__qb"), empty),
+                    )
+                ),
+                1,
+                s,
+            ).alias("qsketch"),
+            (
+                F.coalesce(F.col("__na"), F.lit(0))
+                + F.coalesce(F.col("__nb"), F.lit(0))
+            ).cast("long").alias("n_rows"),
+        )
+    )
+
+
+def quantile_value(sketch_col, q: float):
+    """Column expression: the q-quantile estimate from a sketch column —
+    the element at floor(q * (size - 1)) of the sample's values sorted
+    ascending (deterministic nearest-rank rule, reproducible in SQL)."""
+    vs = F.array_sort(F.transform(sketch_col, lambda x: x.getField("v")))
+    idx = F.floor(F.lit(q) * (F.size(vs) - 1)).cast("int") + 1
+    return F.element_at(vs, idx)

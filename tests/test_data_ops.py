@@ -491,3 +491,48 @@ def test_kmv_sketch_merge_and_estimate(spark):
     }
     assert est["g2"] == 10.0                      # unsaturated → exact
     assert abs(est["g1"] - 500) / 500 < 0.35      # saturated → bounded error
+
+
+def test_quantile_sketch_merge_and_error_bound(spark):
+    """Quantile-sketch properties: (1) MERGE of two split sketches is
+    bit-identical to the whole-data sketch (the order-free bottom-s-by-hash
+    design — the KLL tradeoff note in sketches.py); (2) the nearest-rank
+    estimate from an s=256 sample of U[0, 10000) lands within ~3/sqrt(s) of
+    the true quantile; (3) a group smaller than s is sampled whole, so its
+    median is EXACT."""
+    from codepropertygraph_spark.operators import sketches
+
+    rows = [("g1", i, (i * 7919) % 10000) for i in range(5000)] + [
+        ("g2", 100000 + i, i) for i in range(21)
+    ]
+    df = spark.createDataFrame(rows, "grp string, rid long, v long")
+    s = 256
+    whole = sketches.quantile_sketch(df, ["grp"], "v", row_key=["rid"], s=s)
+    h1 = df.where(F.col("rid") % 2 == 0)
+    h2 = df.where(F.col("rid") % 2 == 1)
+    merged = sketches.quantile_merge(
+        sketches.quantile_sketch(h1, ["grp"], "v", row_key=["rid"], s=s),
+        sketches.quantile_sketch(h2, ["grp"], "v", row_key=["rid"], s=s),
+        ["grp"],
+        s=s,
+    )
+    as_map = lambda d: {
+        r.grp: (tuple((x.h, x.v) for x in r.qsketch), r.n_rows) for r in d.collect()
+    }
+    assert as_map(merged) == as_map(whole)
+    q = whole.select(
+        "grp",
+        sketches.quantile_value(F.col("qsketch"), 0.5).alias("p50"),
+        sketches.quantile_value(F.col("qsketch"), 0.9).alias("p90"),
+    )
+    got = {r.grp: (r.p50, r.p90) for r in q.collect()}
+    # g1: v is a permutation of 0..9999 restricted to 5000 rows — true
+    # quantiles of the multiset computed exactly for comparison
+    vals = sorted((i * 7919) % 10000 for i in range(5000))
+    true50 = vals[int(0.5 * (len(vals) - 1))]
+    true90 = vals[int(0.9 * (len(vals) - 1))]
+    tol = 3 / (s ** 0.5) * 10000  # ~187 + value-span slack
+    assert abs(got["g1"][0] - true50) < tol
+    assert abs(got["g1"][1] - true90) < tol
+    # g2: 21 rows < s — the sample IS the data, median exact
+    assert got["g2"][0] == 10

@@ -421,3 +421,43 @@ def test_range_join_binned_golden(spark):
             ).collect()
         )
         assert got == [1, 2, 3], f"bin_us={bin_us}: {got}"
+
+
+def test_link_source_files_duplicate_file_name_single_edge(spark):
+    """Two CONVERSATION nodes sharing a name must NOT fan each src row out
+    into duplicate SOURCE_FILE edges (ZERO_OR_ONE cardinality, schema.py);
+    the min-id candidate wins deterministically — the linkToSingle
+    multiple-candidate discipline (Linker.scala:213-227)."""
+    files = spark.createDataFrame(
+        [(101, "CONVERSATION", "c1", 1), (102, "CONVERSATION", "c1", 2)],
+        "id long, label string, name string, order int",
+    )
+    srcs = spark.createDataFrame([(1, "c1"), (2, "c1")], "id long, conv_id string")
+    edges, created = linking.link_source_files(srcs, files)
+    rows = edges.collect()
+    assert len(rows) == 2  # exactly one edge per src, not one per candidate
+    assert {r.dst for r in rows} == {101}  # min-id candidate
+    assert created.count() == 0
+
+
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    """Several right rows at the SAME (key, ts): the struct-max payload wins
+    deterministically regardless of partition order."""
+    from datetime import datetime
+
+    from codepropertygraph_spark.operators import relational
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, "u1", T(10))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", T(5), 100), ("u1", T(5), 300), ("u1", T(5), 200)],
+        "user_id string, ts timestamp, payload long",
+    )
+    for n_parts in (1, 3, 7):
+        got = relational.asof_join(
+            left, right.repartition(n_parts), on="user_id", ts="ts",
+            right_cols=["payload"],
+        ).collect()
+        assert len(got) == 1 and got[0].payload_asof == 300

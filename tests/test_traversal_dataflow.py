@@ -900,3 +900,109 @@ def test_reachable_within_auto_routes_and_agrees(spark):
         ).collect()
     }
     assert all_grouped == pure
+
+
+# -- mega-group size routing (join-loop formulations) -------------------------
+
+_MEGA_EDGES = [
+    # cBig: 8 edges — diamond + back edge + hub fan-out
+    ("cBig", "a", "b"), ("cBig", "a", "c"), ("cBig", "b", "d"),
+    ("cBig", "c", "d"), ("cBig", "d", "e"), ("cBig", "e", "b"),
+    ("cBig", "d", "f"), ("cBig", "f", "g"),
+    # cSmall: 3 edges — chain
+    ("cSmall", "x", "y"), ("cSmall", "y", "z"), ("cSmall", "z", "w"),
+]
+
+
+@pytest.fixture(scope="module")
+def mega_edges(spark):
+    return spark.createDataFrame(_MEGA_EDGES, "conv_id string, s string, o string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_flow_witness_auto_mega_group(mega_edges):
+    """One conversation over the edge limit routes through the join-loop
+    witness BFS; rows must be identical to the pure grouped path."""
+    pure = _rows(dataflow.flow_witness_grouped(mega_edges, max_hops=4))
+    routed = _rows(
+        dataflow.flow_witness_auto(mega_edges, max_hops=4, group_edge_limit=5)
+    )
+    assert routed == pure
+    # pure join path too (both groups big)
+    all_join = _rows(
+        dataflow.flow_witness_auto(mega_edges, max_hops=4, group_edge_limit=1)
+    )
+    assert all_join == pure
+
+
+def test_flow_witness_auto_sources_sinks(mega_edges, spark):
+    srcs = spark.createDataFrame([("a",), ("x",)], "src string")
+    sinks = spark.createDataFrame([("d",), ("z",)], "dst string")
+    pure = _rows(
+        dataflow.flow_witness_grouped(mega_edges, max_hops=3, sources=srcs, sinks=sinks)
+    )
+    routed = _rows(
+        dataflow.flow_witness_auto(
+            mega_edges, max_hops=3, sources=srcs, sinks=sinks, group_edge_limit=5
+        )
+    )
+    assert routed == pure and len(pure) > 0
+
+
+def test_flow_paths_auto_mega_group(mega_edges):
+    pure = _rows(dataflow.flow_paths_grouped(mega_edges, max_hops=4))
+    routed = _rows(
+        dataflow.flow_paths_auto(mega_edges, max_hops=4, group_edge_limit=5)
+    )
+    assert routed == pure
+
+
+def test_flow_paths_join_guard_raises(mega_edges):
+    with pytest.raises(ValueError, match="max_paths_per_group"):
+        dataflow.flow_paths_join(mega_edges, max_hops=4, max_paths_per_group=3)
+
+
+def test_dominators_auto_mega_group(mega_edges, spark):
+    entries = mega_edges.groupBy("conv_id").agg(F.min("s").alias("entry"))
+    pure = _rows(dataflow.dominators_grouped(mega_edges, entries))
+    routed = _rows(
+        dataflow.dominators_auto(mega_edges, entries, group_edge_limit=5)
+    )
+    assert routed == pure
+    all_join = _rows(dataflow.dominators_join(mega_edges, entries))
+    assert all_join == pure
+
+
+def test_control_dependence_auto_mega_group(mega_edges, spark):
+    nodes = mega_edges.select("conv_id", F.col("s").alias("n")).unionByName(
+        mega_edges.select("conv_id", F.col("o").alias("n"))
+    )
+    exits = nodes.groupBy("conv_id").agg(F.max("n").alias("exit"))
+    pure = _rows(dataflow.control_dependence_grouped(mega_edges, exits))
+    routed = _rows(
+        dataflow.control_dependence_auto(mega_edges, exits, group_edge_limit=5)
+    )
+    assert routed == pure
+    all_join = _rows(dataflow.control_dependence_join(mega_edges, exits))
+    assert all_join == pure
+
+
+def test_cross_conversation_salted_join_matches_broadcast(spark, monkeypatch):
+    """With the depart broadcast gate forced shut, the salted shuffle-join
+    fallback must produce row-identical crossings at every depth."""
+    edges = spark.createDataFrame(
+        [("A", "a", "x"), ("B", "x", "z"), ("B", "z", "y"),
+         ("C", "y", "q"), ("A", "q", "r"), ("C", "x", "y")],
+        "conv_id string, s string, o string",
+    )
+    want = _rows(
+        dataflow.reachable_cross_conversation(edges, max_hops=4, max_crossings=2)
+    )
+    monkeypatch.setattr(dataflow, "DEPART_BROADCAST_MAX_ROWS", 0)
+    got = _rows(
+        dataflow.reachable_cross_conversation(edges, max_hops=4, max_crossings=2)
+    )
+    assert got == want and len(want) > 0

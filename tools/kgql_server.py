@@ -1,0 +1,121 @@
+"""HTTP query endpoint over a knowledge graph — the CPGQLServer analog
+(``console/src/main/scala/io/shiftleft/console/cpgqlserver/CPGQLServer.scala``:
+the reference serves console queries over HTTP with a sync endpoint and JSON
+responses; entry point 3 of SURVEY.md §1.2, completing the ``tools/kgql.py``
+REPL/CLI pair with a long-lived queryable service).
+
+Endpoints (JSON in/out):
+  POST /query-sync   {"query": "<kgql line>"}
+                     -> {"success": true, "stdout": "<rendered result>"}
+                     |  {"success": false, "error": "<message>"}
+  GET  /help         -> {"success": true, "stdout": "<dsl help>"}
+  GET  /health       -> {"success": true}
+
+One Spark driver serves all requests; evaluation is serialized behind a lock
+(the reference's ambonite console is likewise single-user per session). The
+graph is loaded ONCE at startup — warehouse, corpus tier, or interchange
+bundle — and every query plans against the same cached GraphView frames, so
+serving cost is per-query Spark job time, not reload time.
+
+Usage:
+    python tools/kgql_server.py --sf-dir sf0.001 --port 8845
+    curl -s -XPOST localhost:8845/query-sync -d '{"query": "g.turns().count()"}'
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, "/root/repo")
+
+from tools import kgql  # noqa: E402
+
+
+def make_handler(g, lock: threading.Lock):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet: logs go nowhere in tests
+            pass
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"success": True})
+            elif self.path == "/help":
+                with lock:
+                    out = kgql.evaluate(g, ":help")
+                self._send(200, {"success": True, "stdout": out})
+            else:
+                self._send(404, {"success": False, "error": "unknown endpoint"})
+
+        def do_POST(self):
+            if self.path != "/query-sync":
+                self._send(404, {"success": False, "error": "unknown endpoint"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                query = req["query"]
+            except Exception as exc:
+                self._send(400, {"success": False, "error": f"bad request: {exc}"})
+                return
+            try:
+                with lock:
+                    out = kgql.evaluate(g, query)
+                self._send(200, {"success": True, "stdout": out})
+            except Exception as exc:  # query errors are responses, not crashes
+                self._send(200, {"success": False, "error": str(exc)})
+
+    return Handler
+
+
+def serve(g, host: str = "127.0.0.1", port: int = 8845) -> ThreadingHTTPServer:
+    """Build a server bound to (host, port); port 0 picks a free port.
+    Caller runs ``server.serve_forever()`` (or a thread does) and
+    ``server.shutdown()`` to stop."""
+    return ThreadingHTTPServer((host, port), make_handler(g, threading.Lock()))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--sf-dir", default=None)
+    ap.add_argument("--warehouse", default=None)
+    ap.add_argument("--bundle", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8845)
+    ap.add_argument("--master", default="local[8]")
+    args = ap.parse_args(argv)
+    if not args.sf_dir and not args.warehouse and not args.bundle:
+        ap.error("need --sf-dir, --warehouse or --bundle")
+
+    from codepropertygraph_spark.session import get_spark
+
+    spark = get_spark(app_name="kgql-server", master=args.master)
+    if args.bundle:
+        g = kgql.build_view_from_bundle(spark, args.bundle)
+    elif args.warehouse:
+        g = kgql.build_view_from_warehouse(spark, args.warehouse)
+    else:
+        g = kgql.build_view_from_corpus(spark, args.sf_dir)
+    server = serve(g, args.host, args.port)
+    print(f"kgql-server listening on {args.host}:{server.server_address[1]}",
+          file=sys.stderr)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
