@@ -153,9 +153,12 @@ def run_bench(master: str, replicate: int = 1, only: str | None = None) -> dict:
         .select("conv_id", F.col("subj").alias("s"), F.col("obj").alias("o"))
         .localCheckpoint(eager=True)
     )
+    # bench the SHIPPED size-routed operators (the *_auto variants the
+    # driver queries run): their cost includes the one per-group count
+    # aggregation that routes mega-conversations away from one-task BFS.
     timed(
         "kg_reachable_4hop",
-        lambda: _force(dataflow.reachable_within_grouped(follows_edges, max_hops=4)),
+        lambda: _force(dataflow.reachable_within_auto(follows_edges, max_hops=4)),
         runs=2,
     )
     # flows: the WITNESS variant (one shortest path per pair) is the scale
@@ -164,7 +167,7 @@ def run_bench(master: str, replicate: int = 1, only: str | None = None) -> dict:
     # sf0.1, exactly as the reference never enumerates all-pairs flows.
     timed(
         "kg_flows_witness",
-        lambda: _force(dataflow.flow_witness_grouped(follows_edges, max_hops=4)),
+        lambda: _force(dataflow.flow_witness_auto(follows_edges, max_hops=4)),
         runs=2,
     )
     timed(
