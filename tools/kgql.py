@@ -15,7 +15,8 @@ Expressions are Python over the bound names ``g`` (GraphView), ``F``
 (pyspark.sql.functions) and ``S`` (schema constants) — the moral equivalent
 of the reference's Scala REPL line evaluation. Results render as:
 Traversal → first rows of its frame; DataFrame → .show(); anything else →
-repr. Meta-commands: ``:help`` ``:labels`` ``:export <dir>`` ``:quit``.
+repr. Meta-commands: ``:help`` ``:labels`` ``:export <dir>``
+``:export-proto <file.zip>`` ``:quit``.
 
 Interchange: ``--bundle <dir>`` opens a full-graph bundle written by
 ``:export <dir>`` (or exports.export_bundle) — the console side of the
@@ -101,6 +102,20 @@ def export_bundle(g: GraphView, out_dir: str) -> str:
     )
 
 
+def export_proto(g: GraphView, path: str) -> str:
+    """:export-proto — write the graph as the proto wire-format zip (the
+    literal ``cpg.bin.zip`` layout, reference-tooling-parseable)."""
+    from codepropertygraph_spark.operators import proto_io
+    from codepropertygraph_spark.operators.exports import _NODE_COLS
+
+    missing = [c for c in _NODE_COLS + ["props"] if c not in g.nodes.columns]
+    missing += [c for c in ["src", "dst", "label", "props"] if c not in g.edges.columns]
+    if missing:
+        return f"error: graph is missing proto columns {sorted(set(missing))}"
+    proto_io.export_proto_zip(g.nodes, g.edges, path)
+    return f"proto zip written to {path}"
+
+
 def build_view_from_bundle(spark, bundle_dir: str) -> GraphView:
     from codepropertygraph_spark.operators import exports
 
@@ -140,6 +155,8 @@ def evaluate(g: GraphView, line: str) -> str:
         return "\n".join(f"{n:22s} {doc}" for n, doc in g.help())
     if line == ":labels":
         return render(g.all().group_count("label"))
+    if line.startswith(":export-proto "):
+        return export_proto(g, line.split(None, 1)[1].strip())
     if line.startswith(":export "):
         return export_bundle(g, line.split(None, 1)[1].strip())
     env = {"g": g, "F": F, "S": S, "__builtins__": __builtins__}
