@@ -1272,9 +1272,42 @@ def _q_events_quantiles(spark, sf_dir):
     )
 
 
+def _q_events_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters: top-3 users per event_type by ESTIMATED
+    frequency from a d=4 x w=64 counter matrix (sketches.cms_sketch). The
+    matrix is a pure sum of md5-bucketed indicator vectors — deterministic
+    under any partitioning and element-wise mergeable (rollup == rescan,
+    bit-identical, pytest) — so both the matrix fingerprint AND the
+    estimates reproduce in DuckDB; est >= true count always (one-sided CMS
+    guarantee, also pytest-checked). Plan: explode x4 -> ONE two-phase agg
+    (shuffle is sketch-sized), candidates probe the 5-row sketch via a
+    broadcast join."""
+    from pyspark.sql import Window
+
+    from codepropertygraph_spark.operators import sketches
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = sketches.cms_sketch(e, ["event_type"], "user_id", d=4, w=64)
+    cand = e.select("event_type", "user_id").distinct()
+    est = cand.join(F.broadcast(sk), "event_type").select(
+        "event_type",
+        "user_id",
+        "n_rows",
+        F.md5(F.concat_ws(",", F.col("cms").cast("array<string>"))).alias("cms_md5"),
+        sketches.cms_estimate(F.col("cms"), "user_id", d=4, w=64).alias("est"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("est"), "user_id")
+    return (
+        est.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("event_type", "user_id", "est", "rk", "cms_md5", "n_rows")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) new this round
     "kg_stub_removal": _q_kg_stub_removal,
+    "events_heavy_hitters": _q_events_heavy_hitters,
     "events_quantiles": _q_events_quantiles,
     "kg_props_decorated": _q_kg_props_decorated,
     "kg_reaching_defs_fields_ext": _q_kg_reaching_defs_fields_ext,
@@ -2586,6 +2619,55 @@ ORACLES["events_quantiles"] = """
            vs[CAST(floor(0.50 * (len(vs) - 1)) AS INT) + 1] AS q50_centi,
            vs[CAST(floor(0.75 * (len(vs) - 1)) AS INT) + 1] AS q75_centi
     FROM agg a JOIN n ON a.event_type = n.event_type
+"""
+
+ORACLES["events_heavy_hitters"] = """
+    WITH cells AS (
+      SELECT e.event_type, t.j,
+             cast(concat('0x', substr(md5(concat('cms', cast(t.j AS varchar), '|',
+                  cast(e.user_id AS varchar))), 1, 15)) AS BIGINT) % 64 AS b
+      FROM events e, range(0, 4) t(j)
+    ),
+    counters AS (
+      SELECT event_type, j, b, count(*) AS c FROM cells GROUP BY 1, 2, 3
+    ),
+    dense AS (
+      SELECT g.event_type, g.i, coalesce(c.c, 0) AS v
+      FROM (SELECT et.event_type, r.i
+            FROM (SELECT DISTINCT event_type FROM events) et, range(0, 256) r(i)) g
+      LEFT JOIN counters c
+        ON c.event_type = g.event_type AND c.j = g.i // 64 AND c.b = g.i % 64
+    ),
+    fp AS (
+      SELECT event_type,
+             md5(string_agg(cast(v AS varchar), ',' ORDER BY i)) AS cms_md5
+      FROM dense GROUP BY event_type
+    ),
+    n AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY 1),
+    cand_cells AS (
+      SELECT d.event_type, d.user_id, t.j,
+             cast(concat('0x', substr(md5(concat('cms', cast(t.j AS varchar), '|',
+                  cast(d.user_id AS varchar))), 1, 15)) AS BIGINT) % 64 AS b
+      FROM (SELECT DISTINCT event_type, user_id FROM events) d, range(0, 4) t(j)
+    ),
+    est AS (
+      SELECT cc.event_type, cc.user_id, min(c.c) AS est
+      FROM cand_cells cc
+      JOIN counters c
+        ON c.event_type = cc.event_type AND c.j = cc.j AND c.b = cc.b
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY event_type ORDER BY est DESC, user_id) AS rk
+      FROM est
+    )
+    SELECT r.event_type, r.user_id, r.est, CAST(r.rk AS BIGINT) AS rk,
+           fp.cms_md5, n.n_rows
+    FROM ranked r
+    JOIN fp ON fp.event_type = r.event_type
+    JOIN n ON n.event_type = r.event_type
+    WHERE r.rk <= 3
 """
 
 ORACLES["kg_stub_removal"] = f"""

@@ -1,5 +1,9 @@
-"""Mergeable distinct-count sketches — the "novel sketch" slot of the
-training-data operator set.
+"""Mergeable sketches — the "novel sketch" slot of the training-data
+operator set: KMV distinct-count, bottom-s rank/quantile, and Count-Min
+heavy-hitters. All three share one contract: deterministic md5-derived
+hashing (SQL-reproducible content → value-hash-checkable through the oracle
+gate), exact mergeability (rollup == rescan, tested bit-identical), and a
+separately-validated error bound.
 
 KMV (k minimum values): hash every element uniformly, keep the k smallest
 DISTINCT hashes per group. The k-th minimum estimates density: with hashes
@@ -164,6 +168,104 @@ def quantile_merge(
                 F.coalesce(F.col("__na"), F.lit(0))
                 + F.coalesce(F.col("__nb"), F.lit(0))
             ).cast("long").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy-hitters sketch — frequency estimation, same contract
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame, keys: list[str], col: str, d: int = 4, w: int = 64
+) -> DataFrame:
+    """Per-group Count-Min sketch: a d×w counter matrix where row j counts
+    occurrences hashed by the j-th md5-derived hash into w buckets.
+
+    Unlike space-saving/Misra-Gries (whose state depends on arrival order —
+    unusable under this repo's value-hash oracle gate), Count-Min is purely
+    a sum of per-row indicator matrices: DETERMINISTIC for any partitioning,
+    MERGEABLE by element-wise addition (merge == rescan, bit-identical,
+    tested), and SQL-REPRODUCIBLE (same md5 buckets in DuckDB). Estimates
+    carry the classic one-sided guarantee: est >= true always, and
+    P[est - true > e*N/w] <= exp(-d) per query.
+
+    Output: (keys..., cms: array<long> of length d*w laid out depth-major,
+    n_rows). Scale shape: explode ×d then ONE two-phase aggregation — the
+    map-side partial combine reduces each partition to at most d*w rows per
+    group before the shuffle, so the shuffle volume is sketch-sized, not
+    data-sized."""
+    cells = df.select(
+        *keys,
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("__j"),
+        F.col(col).cast("string").alias("__k"),
+    ).select(
+        *keys,
+        "__j",
+        F.pmod(
+            hash60(F.concat(F.lit("cms"), F.col("__j").cast("string"), F.lit("|"), F.col("__k"))),
+            F.lit(w),
+        ).alias("__b"),
+    )
+    counters = cells.groupBy(*keys, "__j", "__b").agg(F.count("*").alias("__c"))
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    mat = counters.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct((F.col("__j") * w + F.col("__b")).alias("k"), F.col("__c").alias("v"))
+            )
+        ).alias("__m")
+    )
+    dense = mat.select(
+        *keys,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d * w - 1)),
+            lambda i: F.coalesce(F.element_at("__m", i.cast("bigint")), F.lit(0)).cast("long"),
+        ).alias("cms"),
+    )
+    return dense.join(counts, keys)
+
+
+def cms_merge(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge two CMS tables (full outer on keys): element-wise counter sum +
+    row-count sum — bit-identical to sketching the concatenated inputs."""
+    aa = a.select(*keys, F.col("cms").alias("__ca"), F.col("n_rows").alias("__na"))
+    bb = b.select(*keys, F.col("cms").alias("__cb"), F.col("n_rows").alias("__nb"))
+    joined = aa.join(bb, keys, "full_outer")
+    width = F.greatest(F.size(F.coalesce("__ca", F.array())), F.size(F.coalesce("__cb", F.array())))
+    zeros = lambda c: F.coalesce(
+        F.col(c),
+        F.transform(F.sequence(F.lit(1), width), lambda _: F.lit(0).cast("long")),
+    )
+    return joined.select(
+        *keys,
+        F.zip_with(zeros("__ca"), zeros("__cb"), lambda x, y: x + y).alias("cms"),
+        (
+            F.coalesce(F.col("__na"), F.lit(0)) + F.coalesce(F.col("__nb"), F.lit(0))
+        ).cast("long").alias("n_rows"),
+    )
+
+
+def cms_estimate(cms_col, key_col, d: int = 4, w: int = 64):
+    """Column expression: the Count-Min frequency estimate of ``key_col`` —
+    min over the d rows of the counter each hash selects (deterministic,
+    reproducible in SQL)."""
+    ks = F.col(key_col).cast("string") if isinstance(key_col, str) else key_col.cast("string")
+    return F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda j: F.element_at(
+                cms_col,
+                (
+                    j * w
+                    + F.pmod(
+                        hash60(F.concat(F.lit("cms"), j.cast("string"), F.lit("|"), ks)),
+                        F.lit(w),
+                    )
+                ).cast("int")
+                + 1,
+            ),
         )
     )
 

@@ -536,3 +536,43 @@ def test_quantile_sketch_merge_and_error_bound(spark):
     assert abs(got["g1"][1] - true90) < tol
     # g2: 21 rows < s — the sample IS the data, median exact
     assert got["g2"][0] == 10
+
+
+def test_cms_sketch_merge_and_bounds(spark):
+    """Count-Min properties: (1) MERGE of two split-corpus sketches is
+    bit-identical to the whole-corpus sketch (pure counter sums — the
+    order-free design the space-saving family can't give); (2) est >= true
+    for EVERY key (one-sided guarantee); (3) the heavy key's estimate is
+    exact-or-near (collisions only add); (4) total overestimate over all
+    keys is bounded by d * n_rows (each row lands once per depth)."""
+    from codepropertygraph_spark.operators import sketches
+
+    rows = [("g1", f"user{i % 50}") for i in range(2000)] + [
+        ("g1", "whale")
+    ] * 500 + [("g2", f"u{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    d, w = 4, 64
+    whole = sketches.cms_sketch(df, ["grp"], "uid", d=d, w=w)
+    h1 = df.where(F.crc32(F.col("uid")) % 2 == 0)
+    h2 = df.where(F.crc32(F.col("uid")) % 2 == 1)
+    merged = sketches.cms_merge(
+        sketches.cms_sketch(h1, ["grp"], "uid", d=d, w=w),
+        sketches.cms_sketch(h2, ["grp"], "uid", d=d, w=w),
+        ["grp"],
+    )
+    as_map = lambda t: {r.grp: (tuple(r.cms), r.n_rows) for r in t.collect()}
+    assert as_map(merged) == as_map(whole)
+
+    exact = df.groupBy("grp", "uid").count()
+    est = exact.join(whole, "grp").select(
+        "grp", "uid", "count",
+        sketches.cms_estimate(F.col("cms"), "uid", d=d, w=w).alias("est"),
+    )
+    got = est.collect()
+    assert all(r.est >= r["count"] for r in got)          # one-sided
+    whale = next(r for r in got if r.uid == "whale")
+    assert whale.est - whale["count"] <= 2500 * 2.72 / w  # eps*N envelope
+    # matrix mass: every depth row sums to exactly n_rows
+    for r in whole.collect():
+        for j in range(d):
+            assert sum(r.cms[j * w : (j + 1) * w]) == r.n_rows
