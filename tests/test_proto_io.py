@@ -225,6 +225,15 @@ def test_diff_zip_roundtrip_and_apply(catalog, spark, tmp_path):
         tuple(r) for r in rm_edges.collect()
     }
 
+    # every entry is wire-valid DiffGraph: only field 1 (entries, LEN), and
+    # every entry body holds exactly one oneof member in 1..8
+    with zipfile.ZipFile(path) as zf:
+        for entry in zf.namelist():
+            for field, wt, msg in proto_io._iter_fields(zf.read(entry)):
+                assert (field, wt) == (1, 2)
+                kinds = [f for f, w, _ in proto_io._iter_fields(msg) if w == 2]
+                assert len(kinds) == 1 and 1 <= kinds[0] <= 8
+
     got_n, got_e = proto_io.apply_diff(nodes, edges, diff)
     exp_n, exp_e = proto_io.apply_diff(
         nodes, edges,
