@@ -285,3 +285,89 @@ def stream_dedup_keep_list(
     )
     q.awaitTermination()
     return q
+
+
+def stream_diff_zips(
+    spark: SparkSession,
+    input_dir: str,
+    alias_dict: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Each micro-batch of arriving transcripts becomes ONE numbered
+    DiffGraph proto zip — the streaming analog of the reference's numbered
+    overlay entries (``SerializedCpg.scala:45-60`` writes ``{index}_{name}``
+    zip entries; ``CpgOverlayLoader``/``ProtoCpgLoader.loadDiffGraphs``
+    re-applies them in int-prefix order). The delta per batch: the batch's
+    canonical ENTITY nodes + REL edges, serialized with
+    ``proto_io.export_diff_zip`` as ``<out_dir>/{batch_id:05d}_overlay.zip``.
+
+    Exactly-once: the zip write is idempotent per batch id (overwrite), and
+    the checkpoint guarantees each batch id is final once committed — a
+    replayed batch rewrites the same bytes (deterministic encoder)."""
+    import os
+
+    from ..operators import graph as G
+    from ..operators import proto_io
+
+    merge = canonicalize.merge_map(alias_dict).localCheckpoint(eager=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    stream = (
+        spark.readStream.schema(S.TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nodes = G.entity_nodes(batch_df, alias_dict, merge)
+        edges = G.rel_edges(batch_df, alias_dict, merge)
+        proto_io.export_diff_zip(
+            os.path.join(out_dir, f"{batch_id:05d}_overlay.zip"),
+            n_shards=2,
+            add_nodes=nodes,
+            add_edges=edges,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def apply_diff_zip_sequence(
+    spark: SparkSession, nodes: DataFrame, edges: DataFrame, out_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Re-apply a directory of numbered DiffGraph zips in int-prefix order
+    (``ProtoCpgLoader.compareOverlayPath`` semantics) on top of a base
+    graph; duplicate adds across batches collapse by full-row identity
+    (re-extraction of an already-seen entity is the same row)."""
+    import glob
+    import os
+
+    from ..operators import proto_io
+
+    paths = sorted(
+        glob.glob(os.path.join(out_dir, "*_overlay.zip")),
+        key=lambda p: int(os.path.basename(p).split("_", 1)[0]),
+    )
+    for p in paths:
+        diff, _ = proto_io.load_diff_zip(spark, p)
+        nodes, edges = proto_io.apply_diff(nodes, edges, diff)
+
+    # full-row dedup incl. the map column (maps are not comparable — dedup
+    # through a canonical key-sorted JSON rendering instead)
+    def _dedup(df: DataFrame) -> DataFrame:
+        plain = [c for c in df.columns if c != "props"]
+        key = F.to_json(
+            F.struct(*plain, F.array_sort(F.map_entries("props")).alias("__p"))
+        )
+        return (
+            df.withColumn("__k", key).dropDuplicates(["__k"]).drop("__k")
+        )
+
+    return _dedup(nodes), _dedup(edges)

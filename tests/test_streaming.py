@@ -207,3 +207,50 @@ def test_stream_dedup_keep_list_first_seen_wins(spark, tmp_path):
     n_before = len(rows)
     ingest.stream_dedup_keep_list(spark, f"{base}/in", f"{base}/out", f"{base}/ckpt")
     assert len(spark.read.parquet(f"{base}/out").collect()) == n_before
+
+
+def test_stream_diff_zips_rebuild_graph(spark, transcripts, alias_dict, tmp_path):
+    """Streaming overlay emission: each micro-batch writes one numbered
+    DiffGraph proto zip; re-applying the sequence in int-prefix order on an
+    empty graph reproduces the batch-built ENTITY/REL graph exactly (the
+    SerializedCpg numbered-overlay save/load loop, streaming-fed)."""
+    import glob
+
+    from codepropertygraph_spark.operators import canonicalize as C
+    from codepropertygraph_spark.operators import graph as G
+
+    base = str(tmp_path)
+    for i in range(3):
+        part = transcripts.where(F.pmod(F.xxhash64("conv_id"), F.lit(3)) == i)
+        part.coalesce(1).write.mode("overwrite").parquet(f"{base}/tmp{i}")
+    os.makedirs(f"{base}/in", exist_ok=True)
+    for i in range(3):
+        for f in os.listdir(f"{base}/tmp{i}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{base}/tmp{i}/{f}", f"{base}/in/file{i}.parquet")
+
+    ingest.stream_diff_zips(
+        spark, f"{base}/in", alias_dict, f"{base}/zips", f"{base}/ckpt_dz"
+    )
+    zips = glob.glob(f"{base}/zips/*_overlay.zip")
+    assert zips, "no overlay zips written"
+
+    empty_n = spark.createDataFrame([], G.conversation_nodes(transcripts).schema)
+    empty_e = spark.createDataFrame([], G.rel_edges(transcripts, alias_dict,
+        C.merge_map(alias_dict)).schema)
+    nodes, edges = ingest.apply_diff_zip_sequence(
+        spark, empty_n, empty_e, f"{base}/zips"
+    )
+
+    merge = C.merge_map(alias_dict)
+    want_n = G.entity_nodes(transcripts, alias_dict, merge)
+    want_e = G.rel_edges(transcripts, alias_dict, merge)
+    canon = lambda df: {
+        tuple(r)
+        for r in df.select(
+            *[c for c in df.columns if c != "props"],
+            F.array_sort(F.map_entries("props")).cast("string"),
+        ).collect()
+    }
+    assert canon(nodes) == canon(want_n)
+    assert canon(edges) == canon(want_e)
