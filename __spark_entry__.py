@@ -1272,6 +1272,33 @@ def _q_events_quantiles(spark, sf_dir):
     )
 
 
+def _q_kg_triples_streamed(spark, sf_dir):
+    """The Structured-Streaming ingestion path, externally hash-checked:
+    drain the transcripts directory through readStream -> foreachBatch
+    (streaming/ingest.stream_triples with availableNow and a fresh
+    checkpoint) into a parquet sink and return the sink contents. One batch
+    (max_files_per_trigger >= file count) so within-batch follows pairs are
+    complete regardless of how conversations split across part files; rows
+    must equal the batch kg_triples derivation — the oracle IS kg_triples'
+    recursive-CTE SQL. Converts the streaming surface from pytest-only to
+    driver-gate-checked."""
+    import tempfile
+
+    from codepropertygraph_spark.streaming import ingest
+
+    d = td.ensure_generated(td.tier_of_sf_dir(sf_dir))
+    base = tempfile.mkdtemp(prefix="kg_stream_gate_")
+    ingest.stream_triples(
+        spark,
+        f"{d}/transcripts.parquet",
+        _alias_dict(spark, sf_dir),
+        f"{base}/out",
+        f"{base}/ckpt",
+        max_files_per_trigger=1_000_000,
+    )
+    return spark.read.parquet(f"{base}/out").select("conv_id", "subj", "pred", "obj")
+
+
 def _q_events_heavy_hitters(spark, sf_dir):
     """Count-Min heavy hitters: top-3 users per event_type by ESTIMATED
     frequency from a d=4 x w=64 counter matrix (sketches.cms_sketch). The
@@ -1307,6 +1334,7 @@ def _q_events_heavy_hitters(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) new this round
     "kg_stub_removal": _q_kg_stub_removal,
+    "kg_triples_streamed": _q_kg_triples_streamed,
     "events_heavy_hitters": _q_events_heavy_hitters,
     "events_quantiles": _q_events_quantiles,
     "kg_props_decorated": _q_kg_props_decorated,
@@ -2619,6 +2647,11 @@ ORACLES["events_quantiles"] = """
            vs[CAST(floor(0.50 * (len(vs) - 1)) AS INT) + 1] AS q50_centi,
            vs[CAST(floor(0.75 * (len(vs) - 1)) AS INT) + 1] AS q75_centi
     FROM agg a JOIN n ON a.event_type = n.event_type
+"""
+
+ORACLES["kg_triples_streamed"] = f"""
+    WITH RECURSIVE {_TRIPLES_CTES}
+    SELECT conv_id, subj, pred, obj FROM triples
 """
 
 ORACLES["events_heavy_hitters"] = """

@@ -30,14 +30,20 @@ def stream_triples(
     output_dir: str,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    max_files_per_trigger: int = 4,
 ):
     """Start (and with trigger_once=True, run to completion) a streaming
-    query that turns arriving transcript parquet files into triples."""
+    query that turns arriving transcript parquet files into triples.
+
+    ``max_files_per_trigger`` controls batch granularity: the default drains
+    a growing directory incrementally; pass a value >= the file count to
+    drain in ONE batch when conversations may span files (``follows`` pairs
+    are computed within a batch — see the module docstring)."""
     merge = canonicalize.merge_map(alias_dict).localCheckpoint(eager=True)
 
     stream = (
         spark.readStream.schema(S.TRANSCRIPTS_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
