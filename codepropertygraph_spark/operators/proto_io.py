@@ -631,6 +631,115 @@ def apply_diff(
     return nodes, edges
 
 
+def invert_diff(
+    nodes: DataFrame, edges: DataFrame, diff: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Build the INVERSE change set of ``diff`` against base graph state —
+    the DiffGraph InverseBuilder analog (the reference records the undo
+    entry for every applied entry, ``passes/DiffGraph.scala`` InverseBuilder;
+    here the inverse is computed set-wise from the base tables BEFORE
+    application, so ``apply_diff(apply_diff(g, diff), invert_diff(g, diff))
+    == g`` — tested in test_proto_io).
+
+    Inversion rules (all plain joins, fully distributed):
+    - add_nodes / add_edges        → remove_nodes / remove_edges (by sha2 id)
+    - set_node_props (id,key,v)    → set back to the OLD value where the key
+                                     existed, remove_node_props where it
+                                     did not
+    - remove_node_props            → set back to the old value (rows whose
+                                     key was absent invert to nothing)
+    - remove_nodes                 → add back the node rows AND every
+                                     incident edge (the cascade's inverse)
+    - remove_edges (by edge_id)    → add back the matching edge rows
+
+    Limitation (documented): set_edge_props/remove_edge_props invert via the
+    same (src, dst, label) addressing the forward primitives use."""
+    from ..plans import diff as D
+
+    inv: dict[str, DataFrame] = {}
+    old_prop = F.element_at(
+        F.coalesce(F.col("props"), F.create_map().cast("map<string,string>")),
+        F.col("key"),
+    )
+
+    if "add_nodes" in diff:
+        inv["remove_nodes"] = diff["add_nodes"].select("id")
+    if "add_edges" in diff:
+        inv["remove_edges"] = D.edge_identity(diff["add_edges"]).select(
+            "src", "dst", "label", "edge_id"
+        )
+    if "set_node_props" in diff:
+        upd = diff["set_node_props"].alias("u").join(
+            nodes.select("id", "props").alias("n"), "id", "left"
+        ).select("id", "key", old_prop.alias("old"))
+        inv["set_node_props"] = upd.where(F.col("old").isNotNull()).select(
+            "id", "key", F.col("old").alias("value")
+        )
+        inv["remove_node_props"] = upd.where(F.col("old").isNull()).select("id", "key")
+    if "remove_node_props" in diff:
+        restore = diff["remove_node_props"].join(
+            nodes.select("id", "props"), "id", "left"
+        ).select("id", "key", old_prop.alias("old"))
+        prior = inv.get("set_node_props")
+        restored = restore.where(F.col("old").isNotNull()).select(
+            "id", "key", F.col("old").alias("value")
+        )
+        inv["set_node_props"] = (
+            prior.unionByName(restored) if prior is not None else restored
+        )
+    if "remove_nodes" in diff:
+        ids = diff["remove_nodes"].select("id")
+        inv["add_nodes"] = nodes.join(ids, "id", "left_semi")
+        incident = edges.join(
+            ids.withColumnRenamed("id", "src"), "src", "left_semi"
+        ).unionByName(
+            edges.join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        ).dropDuplicates(["src", "dst", "label"])
+        inv["add_edges"] = incident
+    if "remove_edges" in diff:
+        back = D.edge_identity(edges).join(
+            diff["remove_edges"].select("edge_id"), "edge_id", "left_semi"
+        ).drop("edge_id")
+        prior_e = inv.get("add_edges")
+        inv["add_edges"] = (
+            prior_e.unionByName(back) if prior_e is not None else back
+        )
+    if "set_edge_props" in diff:
+        eupd = diff["set_edge_props"].join(
+            edges.select("src", "dst", "label", "props"),
+            ["src", "dst", "label"],
+            "left",
+        ).select("src", "dst", "label", "key", old_prop.alias("old"))
+        inv["set_edge_props"] = eupd.where(F.col("old").isNotNull()).select(
+            "src", "dst", "label", "key", F.col("old").alias("value")
+        )
+        inv["remove_edge_props"] = eupd.where(F.col("old").isNull()).select(
+            "src", "dst", "label",
+            F.sha2(F.concat_ws("|", "src", "dst", "label"), 256).alias("edge_id"),
+            "key",
+        )
+    if "remove_edge_props" in diff:
+        erestore = diff["remove_edge_props"].select("src", "dst", "label", "key").join(
+            edges.select("src", "dst", "label", "props"),
+            ["src", "dst", "label"],
+            "left",
+        ).select("src", "dst", "label", "key", old_prop.alias("old"))
+        prior_s = inv.get("set_edge_props")
+        erestored = erestore.where(F.col("old").isNotNull()).select(
+            "src", "dst", "label", "key", F.col("old").alias("value")
+        )
+        inv["set_edge_props"] = (
+            prior_s.unionByName(erestored) if prior_s is not None else erestored
+        )
+    if "add_edges" in inv:
+        # the node-removal cascade and explicit edge removals can name the
+        # same edge — dedup by full content identity before re-adding
+        inv["add_edges"] = (
+            D.edge_identity(inv["add_edges"]).dropDuplicates(["edge_id"]).drop("edge_id")
+        )
+    return inv
+
+
 _NODE_OUT_SCHEMA = (
     "id long, label string, name string, full_name string, code string, "
     "order int, conv_id string, turn_idx int, props map<string,string>"

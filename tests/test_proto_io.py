@@ -185,11 +185,26 @@ def test_diff_zip_roundtrip_and_apply(catalog, spark, tmp_path):
     )
     rm_prop = some_turns.select("id", F.lit("tool").alias("key"))
     victims = nodes.filter(F.col("label") == "MENTION").limit(2).select("id")
-    rel = edges.filter(F.col("label") == "REL").limit(2)
-    rm_edges = D.edge_identity(rel).select("src", "dst", "label", "edge_id")
+    # prop mutations and content-addressed removals must target DISJOINT
+    # edges: a mutated edge's sha2 identity no longer matches an id computed
+    # from its pre-mutation props (the same constraint the reference's
+    # propertiesHash addressing imposes)
+    rel = (
+        edges.filter(F.col("label") == "REL")
+        .dropDuplicates(["src", "dst", "label"])
+        .limit(2)
+    )
+    rm_edges = D.edge_identity(edges.filter(F.col("label") == "AST").limit(2)).select(
+        "src", "dst", "label", "edge_id"
+    )
     new_node = spark.createDataFrame(
         [(999999, "ENTITY", "x", "x", None, None, None, None, {"entity_type": "TOOL"})],
         nodes.schema,
+    )
+    # a genuinely NEW edge (adding an already-existing edge and undoing it
+    # is ill-posed under content addressing: the undo removes both copies)
+    new_edge = spark.createDataFrame(
+        [(999999, 999999, "REL", {"pred": "self"})], edges.schema
     )
     eupd = rel.select(
         "src", "dst", "label", F.lit("score").alias("key"), F.lit("0.5").alias("value")
@@ -208,7 +223,7 @@ def test_diff_zip_roundtrip_and_apply(catalog, spark, tmp_path):
             "src", "dst", "label",
             F.sha2(F.lit("x"), 256).alias("edge_id"), F.lit("pred").alias("key"),
         ),
-        add_edges=edges.filter(F.col("label") == "NEXT").limit(1),
+        add_edges=new_edge,
     )
     assert set(m["kinds"]) == {
         "add_nodes", "add_edges", "set_node_props", "set_edge_props",
@@ -234,12 +249,28 @@ def test_diff_zip_roundtrip_and_apply(catalog, spark, tmp_path):
                 kinds = [f for f, w, _ in proto_io._iter_fields(msg) if w == 2]
                 assert len(kinds) == 1 and 1 <= kinds[0] <= 8
 
+    # InverseBuilder parity: apply(diff) then apply(invert(base, diff))
+    # restores the base graph exactly — including the node-removal cascade
+    # (removed nodes' incident edges come back) and props set/remove undo
+    inverse = proto_io.invert_diff(nodes, edges, diff)
+    fwd_n, fwd_e = proto_io.apply_diff(nodes, edges, diff)
+    und_n, und_e = proto_io.apply_diff(fwd_n, fwd_e, inverse)
+    assert _rowset(und_n) == _rowset(nodes)
+    assert _rowset(und_e) == _rowset(edges)
+    # ...and the inverse itself survives a proto roundtrip
+    ipath = str(tmp_path / "inverse.diff.zip")
+    proto_io.export_diff_zip(ipath, n_shards=2, **inverse)
+    inv2, _ = proto_io.load_diff_zip(spark, ipath)
+    und2_n, und2_e = proto_io.apply_diff(fwd_n, fwd_e, inv2)
+    assert _rowset(und2_n) == _rowset(nodes)
+    assert _rowset(und2_e) == _rowset(edges)
+
     got_n, got_e = proto_io.apply_diff(nodes, edges, diff)
     exp_n, exp_e = proto_io.apply_diff(
         nodes, edges,
         {
             "add_nodes": new_node,
-            "add_edges": edges.filter(F.col("label") == "NEXT").limit(1),
+            "add_edges": new_edge,
             "set_node_props": upd,
             "set_edge_props": eupd,
             "remove_node_props": rm_prop,
