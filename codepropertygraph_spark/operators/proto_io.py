@@ -165,6 +165,14 @@ def encode_node(row: dict) -> bytes:
     for k in sorted(props):
         if props[k] is None:
             continue
+        if k in _NODE_COLS:
+            # the wire format has ONE property namespace (the reference's
+            # NodePropertyName enum); a props-tail key shadowing a hot
+            # column would silently migrate into the column on decode —
+            # reject instead (found by the hypothesis roundtrip property)
+            raise ValueError(
+                f"props key {k!r} shadows a hot node column; set the column"
+            )
         body += _fb(3, _property(_prop_enum(k), props[k], False))
     return body
 
@@ -432,15 +440,71 @@ def _encode_diff_entry(kind: str, row: dict) -> bytes:
     raise ValueError(f"unknown diff kind {kind!r}")
 
 
-def _encode_diff_partition(kind: str):
+def _encode_diff_partition(kind: str, wrap_entry: bool = True):
+    """Encode one partition's rows as a DiffGraph shard (each row a
+    ``DiffGraph.Entry``, field 1) or — with ``wrap_entry=False`` — as a
+    ``CpgOverlay`` shard, whose node/edge/node_property/edge_property fields
+    (1..4, ``cpg.proto.tpl`` CpgOverlay) are DIRECT repeated fields carrying
+    the same messages as the Entry oneof's first four members."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks: list[bytes] = []
         for pdf in batches:
             for row in pdf.to_dict("records"):
-                chunks.append(_fb(1, _encode_diff_entry(kind, row)))
+                entry = _encode_diff_entry(kind, row)
+                chunks.append(_fb(1, entry) if wrap_entry else entry)
         if chunks:
             yield pd.DataFrame({"shard": [b"".join(chunks)]})
     return fn
+
+
+#: the four CpgOverlay field kinds (additive-only — overlays stack, they
+#: never remove; removal requires the DiffGraph form)
+OVERLAY_KINDS = ("add_nodes", "add_edges", "set_node_props", "set_edge_props")
+
+
+def export_overlay_zip(path: str, n_shards: int = 4, **frames: DataFrame) -> dict:
+    """Serialize an ADDITIVE change set as a zip of ``CpgOverlay`` messages
+    (``cpg.proto.tpl`` CpgOverlay; applied in int-prefix order by
+    ``CpgOverlayLoader``/``ProtoCpgLoader.loadOverlays``,
+    ProtoCpgLoader.scala:52-66). Overlays are the additive subset — pass
+    removal kinds and this raises; use :func:`export_diff_zip`."""
+    bad = set(frames) - set(OVERLAY_KINDS)
+    if bad:
+        raise ValueError(
+            f"CpgOverlay is additive-only; {sorted(bad)} need export_diff_zip"
+        )
+    manifest = {
+        "proto_bundle_version": PROTO_BUNDLE_VERSION,
+        "overlay": True,
+        "node_types": NODE_TYPE_ENUM,
+        "edge_types": EDGE_TYPE_ENUM,
+        "property_names": PROPERTY_NAME_ENUM,
+        "kinds": sorted(frames),
+    }
+    order = [k for k in OVERLAY_KINDS if k in frames]
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        i = 0
+        for kind in order:
+            df = frames[kind]
+            cols = DIFF_KINDS[kind]
+            if cols is not None:
+                df = df.select(*cols)
+            shards = df.repartition(n_shards).mapInPandas(
+                _encode_diff_partition(kind, wrap_entry=False), schema=_SHARD_SCHEMA
+            )
+            for row in shards.toLocalIterator():
+                zf.writestr(f"{i}_overlay.bin", bytes(row.shard))
+                i += 1
+        zf.comment = json.dumps(manifest, sort_keys=True).encode()
+    return manifest
+
+
+def load_overlay_zip(spark, path: str) -> tuple[dict[str, DataFrame], dict]:
+    """Load a CpgOverlay zip back as {kind: DataFrame}; apply with
+    :func:`apply_diff` (overlay application is the additive prefix of the
+    diff applier)."""
+    diff, manifest = _load_change_zip(spark, path, "overlay")
+    return diff, manifest
 
 
 def export_diff_zip(path: str, n_shards: int = 4, **frames: DataFrame) -> dict:
@@ -554,12 +618,16 @@ def load_diff_zip(spark, path: str) -> tuple[dict[str, DataFrame], dict]:
     parallel (one task per zip entry), sorted by the int prefix exactly as
     ``ProtoCpgLoader.compareOverlayPath`` prescribes (order matters for
     overlay stacks)."""
+    return _load_change_zip(spark, path, "diff")
+
+
+def _load_change_zip(spark, path: str, flavor: str) -> tuple[dict[str, DataFrame], dict]:
     with zipfile.ZipFile(path) as zf:
         manifest = json.loads(zf.comment.decode()) if zf.comment else {}
         names = sorted(zf.namelist(), key=lambda n: int(n.split("_", 1)[0]))
         entries = [(n, zf.read(n)) for n in names]
-    if not manifest.get("diff"):
-        raise ValueError("not a DiffGraph zip (manifest lacks diff=true)")
+    if not manifest.get(flavor):
+        raise ValueError(f"not a {flavor} zip (manifest lacks {flavor}=true)")
     prop_names = {v: k for k, v in manifest["property_names"].items()}
     node_types = {v: k for k, v in manifest["node_types"].items()}
     edge_types = {v: k for k, v in manifest["edge_types"].items()}
@@ -585,10 +653,19 @@ def load_diff_zip(spark, path: str) -> tuple[dict[str, DataFrame], dict]:
                 rows: list[dict] = []
                 for buf in pdf["data"]:
                     for field, wt, msg in _iter_fields(bytes(buf)):
-                        if field != 1 or wt != 2:
+                        if wt != 2:
                             continue
+                        if flavor == "diff":
+                            if field != 1:
+                                continue
+                            body = msg  # DiffGraph.Entry body
+                        else:
+                            if not 1 <= field <= 4:
+                                continue
+                            # CpgOverlay direct field -> synthetic Entry body
+                            body = _fb(field, msg)
                         decoded = _decode_diff_entry(
-                            msg, prop_names, node_types, edge_types
+                            body, prop_names, node_types, edge_types
                         )
                         if decoded and decoded[0] == kind:
                             rows.append(decoded[1])

@@ -169,6 +169,90 @@ def test_proto_zip_roundtrip_identical(catalog, spark, tmp_path):
                 assert (field, wt) in {(1, 2), (2, 2)}
 
 
+def test_codec_roundtrip_property():
+    """Property-based: any schema-conforming node/edge row round-trips
+    through the wire codec bit-exactly (hypothesis over unicode text,
+    int boundaries, null patterns, and the declared prop vocabulary)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # props-tail keys exclude the hot columns: the wire format has one
+    # property namespace, so a shadowing key is rejected at encode (see
+    # encode_node) — this property test is what surfaced that ambiguity
+    prop_keys = sorted(set(proto_io.PROPERTY_NAME_ENUM) - set(proto_io._NODE_COLS))
+    text = st.text(min_size=0, max_size=40)
+    maybe_text = st.none() | text
+    node_rows = st.fixed_dictionaries(
+        {
+            "id": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "label": st.sampled_from(list(proto_io.S.NODE_LABELS)),
+            "name": maybe_text,
+            "full_name": maybe_text,
+            "code": maybe_text,
+            "order": st.none() | st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            "conv_id": maybe_text,
+            "turn_idx": st.none() | st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            "props": st.dictionaries(st.sampled_from(prop_keys), text, max_size=4),
+        }
+    )
+    pn = {v: k for k, v in proto_io.PROPERTY_NAME_ENUM.items()}
+    nt = {v: k for k, v in proto_io.NODE_TYPE_ENUM.items()}
+    et = {v: k for k, v in proto_io.EDGE_TYPE_ENUM.items()}
+
+    @settings(max_examples=200, deadline=None)
+    @given(node_rows)
+    def check(row):
+        body = proto_io.encode_node(row)
+        struct = b"\x0a" + proto_io._uvarint(len(body)) + body
+        nodes, _ = proto_io.decode_struct(struct, pn, nt, et)
+        got = nodes[0]
+        assert got["id"] == row["id"] and got["label"] == row["label"]
+        for c in ("name", "full_name", "code", "conv_id"):
+            assert got[c] == row[c]
+        for c in ("order", "turn_idx"):
+            assert got[c] == row[c]
+        assert got["props"] == row["props"]
+
+    check()
+
+
+def test_overlay_zip_roundtrip_additive(catalog, spark, tmp_path):
+    """CpgOverlay form: additive-only zip (direct repeated fields, no Entry
+    wrapper) roundtrips and applies; removal kinds are rejected."""
+    nodes, edges = catalog.nodes(), catalog.edges()
+    new_node = spark.createDataFrame(
+        [(777777, "ENTITY", "y", "y", None, None, None, None, {"entity_type": "TOOL"})],
+        nodes.schema,
+    )
+    upd = (
+        nodes.filter(F.col("label") == "TURN").limit(2)
+        .select("id", F.lit("role").alias("key"), F.lit("tool").alias("value"))
+    )
+    path = str(tmp_path / "0_overlay.zip")
+    m = proto_io.export_overlay_zip(path, add_nodes=new_node, set_node_props=upd)
+    assert m["overlay"] is True
+
+    # wire shape: every entry is a CpgOverlay — direct LEN fields 1..4 only
+    with zipfile.ZipFile(path) as zf:
+        for entry in zf.namelist():
+            for field, wt, _ in proto_io._iter_fields(zf.read(entry)):
+                assert wt == 2 and 1 <= field <= 4
+
+    ov, m2 = proto_io.load_overlay_zip(spark, path)
+    assert m2 == m
+    got_n, got_e = proto_io.apply_diff(nodes, edges, ov)
+    exp_n, exp_e = proto_io.apply_diff(
+        nodes, edges, {"add_nodes": new_node, "set_node_props": upd}
+    )
+    assert _rowset(got_n) == _rowset(exp_n)
+    assert _rowset(got_e) == _rowset(exp_e)
+
+    with pytest.raises(ValueError, match="additive-only"):
+        proto_io.export_overlay_zip(
+            str(tmp_path / "bad.zip"), remove_nodes=nodes.limit(1).select("id")
+        )
+
+
 # -- DiffGraph serialization --------------------------------------------------
 
 
