@@ -1299,6 +1299,44 @@ def _q_kg_triples_streamed(spark, sf_dir):
     return spark.read.parquet(f"{base}/out").select("conv_id", "subj", "pred", "obj")
 
 
+def _q_documents_split(spark, sf_dir):
+    """Deterministic train/val/test split (sampling.hash_split): membership
+    is a pure function of the md5 row hash — stable under any partitioning
+    or cluster size (unlike randomSplit, whose per-task streams re-deal on
+    repartition) and therefore SQL-reproducible. Output: per-split count +
+    order-free doc_id fingerprint; map-only plan, one tiny agg."""
+    from codepropertygraph_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.hash_split(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.md5(
+            F.concat_ws(",", F.array_sort(F.collect_list(F.col("doc_id").cast("string"))))
+        ).alias("ids_md5"),
+    )
+
+
+def _q_documents_stratified(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample at 20% (sampling.
+    stratified_sample): the stratum is folded into the hash salt so each
+    language draws independently; membership stability and the binomial
+    rate bound are pytest-verified, content is value-hash-checked here."""
+    from codepropertygraph_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    picked = sampling.stratified_sample(docs, ["lang"], 0.2, ["doc_id"])
+    return picked.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.md5(
+            F.concat_ws(",", F.array_sort(F.collect_list(F.col("doc_id").cast("string"))))
+        ).alias("ids_md5"),
+    )
+
+
 def _q_events_heavy_hitters(spark, sf_dir):
     """Count-Min heavy hitters: top-3 users per event_type by ESTIMATED
     frequency from a d=4 x w=64 counter matrix (sketches.cms_sketch). The
@@ -1336,6 +1374,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_stub_removal": _q_kg_stub_removal,
     "kg_triples_streamed": _q_kg_triples_streamed,
     "events_heavy_hitters": _q_events_heavy_hitters,
+    "documents_split": _q_documents_split,
+    "documents_stratified": _q_documents_stratified,
     "events_quantiles": _q_events_quantiles,
     "kg_props_decorated": _q_kg_props_decorated,
     "kg_reaching_defs_fields_ext": _q_kg_reaching_defs_fields_ext,
@@ -2652,6 +2692,50 @@ ORACLES["events_quantiles"] = """
 ORACLES["kg_triples_streamed"] = f"""
     WITH RECURSIVE {_TRIPLES_CTES}
     SELECT conv_id, subj, pred, obj FROM triples
+"""
+
+# split bounds: EXACTLY the accumulation hash_split performs (same float
+# path), injected as integer literals into the SQL so both engines compare
+# against identical bounds
+_ACC = 0.0
+_ACC += 0.8
+_SPLIT_B1 = int(_ACC * (1 << 60))
+_ACC += 0.1
+_SPLIT_B2 = int(_ACC * (1 << 60))
+_STRAT_B = int(0.2 * (1 << 60))
+
+ORACLES["documents_split"] = f"""
+    WITH h AS (
+      SELECT doc_id,
+             cast(concat('0x', substr(md5(concat('split', '|',
+                  cast(doc_id AS varchar))), 1, 15)) AS BIGINT) AS hh
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id,
+             CASE WHEN hh < {_SPLIT_B1} THEN 'train'
+                  WHEN hh < {_SPLIT_B2} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+    )
+    SELECT split, count(*) AS n_docs, sum(doc_id) AS sum_ids,
+           md5(string_agg(cast(doc_id AS varchar), ','
+               ORDER BY cast(doc_id AS varchar))) AS ids_md5
+    FROM assigned GROUP BY split
+"""
+
+ORACLES["documents_stratified"] = f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             cast(concat('0x', substr(md5(concat('sample', '|', lang, '|',
+                  cast(doc_id AS varchar))), 1, 15)) AS BIGINT) AS hh
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_sampled,
+           md5(string_agg(cast(doc_id AS varchar), ','
+               ORDER BY cast(doc_id AS varchar))) AS ids_md5
+    FROM h WHERE hh < {_STRAT_B}
+    GROUP BY lang
 """
 
 ORACLES["events_heavy_hitters"] = """

@@ -576,3 +576,62 @@ def test_cms_sketch_merge_and_bounds(spark):
     for r in whole.collect():
         for j in range(d):
             assert sum(r.cms[j * w : (j + 1) * w]) == r.n_rows
+
+
+def test_hash_split_invariants(spark):
+    """hash_split: total coverage (every row gets exactly one split),
+    membership invariant under repartitioning (the randomSplit failure
+    mode), same-key co-assignment, and fractions realized within binomial
+    tolerance. stratified_sample: membership stability + rate bound.
+    bottom_k: merge property (union of group reservoirs == reservoir of
+    the union)."""
+    from codepropertygraph_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(3000)], "k long, g string"
+    )
+    fr = {"train": 0.7, "val": 0.2, "test": 0.1}
+    s1 = sampling.hash_split(df.repartition(1), ["k"], fr)
+    s8 = sampling.hash_split(df.repartition(8), ["k"], fr)
+    m1 = {r.k: r.split for r in s1.collect()}
+    m8 = {r.k: r.split for r in s8.collect()}
+    assert m1 == m8                      # partitioning-independent
+    assert len(m1) == 3000               # total, exactly once
+    counts = {s: list(m1.values()).count(s) for s in fr}
+    for s, f in fr.items():              # ~4 sigma binomial tolerance
+        sigma = (3000 * f * (1 - f)) ** 0.5
+        assert abs(counts[s] - 3000 * f) < 4 * sigma + 1, (s, counts)
+
+    # duplicate keys co-assign (document shards travel together)
+    dup = spark.createDataFrame([(7, "a"), (7, "b")], "k long, part string")
+    got = {r.split for r in sampling.hash_split(dup, ["k"], fr).collect()}
+    assert len(got) == 1
+
+    samp1 = sampling.stratified_sample(df.repartition(1), ["g"], 0.25, ["k"])
+    samp8 = sampling.stratified_sample(df.repartition(8), ["g"], 0.25, ["k"])
+    assert {r.k for r in samp1.collect()} == {r.k for r in samp8.collect()}
+    per_g = {r.g: r.n for r in samp1.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    for g, n in per_g.items():
+        sigma = (1000 * 0.25 * 0.75) ** 0.5
+        assert abs(n - 250) < 4 * sigma + 1, (g, n)
+
+    # bottom_k merge: reservoir of the union == k smallest of the
+    # concatenated per-half reservoirs
+    whole = sampling.bottom_k(df, ["g"], 20, ["k"])
+    h1 = sampling.bottom_k(df.where(F.col("k") % 2 == 0), ["g"], 20, ["k"])
+    h2 = sampling.bottom_k(df.where(F.col("k") % 2 == 1), ["g"], 20, ["k"])
+    from pyspark.sql import Window as W
+    merged = (
+        h1.unionByName(h2)
+        .withColumn("__rk", F.row_number().over(
+            W.partitionBy("g").orderBy("sample_hash")))
+        .where(F.col("__rk") <= 20).drop("__rk")
+    )
+    key = lambda d: {(r.g, r.k) for r in d.collect()}
+    assert key(merged) == key(whole)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="sum to"):
+        sampling.hash_split(df, ["k"], {"a": 0.9, "b": 0.2})
+    with _pt.raises(ValueError, match="positive"):
+        sampling.hash_split(df, ["k"], {"a": 0.9, "b": -0.1})
