@@ -1299,6 +1299,35 @@ def _q_kg_triples_streamed(spark, sf_dir):
     return spark.read.parquet(f"{base}/out").select("conv_id", "subj", "pred", "obj")
 
 
+def _q_kg_pipeline_counts(spark, sf_dir):
+    """Full Scpg orchestration (A22) + TrimPass compaction (A20), externally
+    checked: run the COMPLETE ordered pass pipeline (meta, base layer,
+    extraction, file links, decorate overlay, canonicalize, linking, REL
+    triples, validator) into a fresh warehouse, COMPACT it into another
+    (read-union-rewrite — content must be invariant), and return per-label
+    node/edge counts from the compacted store. The oracle derives every
+    count independently from the transcripts CTE chain — a wiring error in
+    any pass (or a row lost/duplicated by compaction) shifts a count."""
+    import tempfile
+
+    from codepropertygraph_spark.plans import pipeline as P
+
+    cat = P.run_pipeline(
+        spark,
+        _transcripts(spark, sf_dir),
+        _alias_dict(spark, sf_dir),
+        tempfile.mkdtemp(prefix="kg_gate_wh_"),
+    )
+    cat = cat.compact(tempfile.mkdtemp(prefix="kg_gate_whc_"))
+    n = cat.nodes().groupBy("label").agg(F.count("*").alias("n")).withColumn(
+        "kind", F.lit("node")
+    )
+    e = cat.edges().groupBy("label").agg(F.count("*").alias("n")).withColumn(
+        "kind", F.lit("edge")
+    )
+    return n.unionByName(e).select("kind", "label", "n")
+
+
 def _q_documents_split(spark, sf_dir):
     """Deterministic train/val/test split (sampling.hash_split): membership
     is a pure function of the md5 row hash — stable under any partitioning
@@ -1376,6 +1405,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_heavy_hitters": _q_events_heavy_hitters,
     "documents_split": _q_documents_split,
     "documents_stratified": _q_documents_stratified,
+    "kg_pipeline_counts": _q_kg_pipeline_counts,
     "events_quantiles": _q_events_quantiles,
     "kg_props_decorated": _q_kg_props_decorated,
     "kg_reaching_defs_fields_ext": _q_kg_reaching_defs_fields_ext,
@@ -2703,6 +2733,42 @@ _SPLIT_B1 = int(_ACC * (1 << 60))
 _ACC += 0.1
 _SPLIT_B2 = int(_ACC * (1 << 60))
 _STRAT_B = int(0.2 * (1 << 60))
+
+ORACLES["kg_pipeline_counts"] = f"""
+    WITH RECURSIVE {_TRIPLES_CTES}, {_MENTION_CTE},
+    base AS (
+      SELECT count(DISTINCT conv_id) AS n_conv,
+             count(*) AS n_turn,
+             count(tool) AS n_tool
+      FROM tr
+    ),
+    n_mention AS (SELECT count(*) AS n FROM mention),
+    n_entity AS (
+      SELECT count(DISTINCT coalesce(mm.merged_name,
+                 coalesce(b.canonical_name, 'external:' || m.surface))) AS n
+      FROM (SELECT surface FROM mention
+            UNION ALL SELECT tool AS surface FROM tr WHERE tool IS NOT NULL) m
+      LEFT JOIN best b ON m.surface = b.alias
+      LEFT JOIN mm
+             ON coalesce(b.canonical_name, 'external:' || m.surface) = mm.canonical_name
+    ),
+    n_rel AS (SELECT count(*) AS n FROM triples)
+    SELECT kind, label, CAST(n AS BIGINT) AS n FROM (
+      SELECT 'node' AS kind, 'CONVERSATION' AS label, n_conv AS n FROM base
+      UNION ALL SELECT 'node', 'TURN', n_turn FROM base
+      UNION ALL SELECT 'node', 'MENTION', n FROM n_mention
+      UNION ALL SELECT 'node', 'TOOLCALL', n_tool FROM base
+      UNION ALL SELECT 'node', 'ENTITY', n FROM n_entity
+      UNION ALL SELECT 'node', 'META_DATA', 1
+      UNION ALL SELECT 'edge', 'AST', b.n_turn + m.n + b.n_tool FROM base b, n_mention m
+      UNION ALL SELECT 'edge', 'NEXT', n_turn - n_conv FROM base
+      UNION ALL SELECT 'edge', 'CONTAINS', b.n_turn + m.n + b.n_tool FROM base b, n_mention m
+      UNION ALL SELECT 'edge', 'REF', n FROM n_mention
+      UNION ALL SELECT 'edge', 'REL', n FROM n_rel
+      UNION ALL SELECT 'edge', 'CALL', n_tool FROM base
+      UNION ALL SELECT 'edge', 'SOURCE_FILE', b.n_turn + m.n + b.n_tool FROM base b, n_mention m
+    )
+"""
 
 ORACLES["documents_split"] = f"""
     WITH h AS (
