@@ -33,3 +33,6 @@ def test_kgql_export_proto_roundtrip(spark, warehouse, tmp_path):
         (r.label, r.n) for r in gv.all().group_count("label").collect()
     }
     assert counts(g2) == counts(g)
+    # the console's --proto-zip open path (reference loadCpg analog)
+    g3 = kgql.build_view_from_proto_zip(spark, path)
+    assert counts(g3) == counts(g)

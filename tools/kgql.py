@@ -116,6 +116,15 @@ def export_proto(g: GraphView, path: str) -> str:
     return f"proto zip written to {path}"
 
 
+def build_view_from_proto_zip(spark, path: str) -> GraphView:
+    """Open a proto wire-format zip (the reference console's loadCpg on a
+    cpg.bin.zip) as a queryable GraphView."""
+    from codepropertygraph_spark.operators import proto_io
+
+    nodes, edges, _ = proto_io.load_proto_zip(spark, path)
+    return GraphView(nodes, edges)
+
+
 def build_view_from_bundle(spark, bundle_dir: str) -> GraphView:
     from codepropertygraph_spark.operators import exports
 
@@ -169,16 +178,19 @@ def main(argv=None) -> int:
     ap.add_argument("--sf-dir", default=None, help="build the graph from the generated corpus for this tier")
     ap.add_argument("--warehouse", default=None, help="open a committed pipeline warehouse")
     ap.add_argument("--bundle", default=None, help="open a full-graph interchange bundle (:export output)")
+    ap.add_argument("--proto-zip", default=None, help="open a proto wire-format graph zip (:export-proto output / cpg.bin.zip layout)")
     ap.add_argument("-c", "--command", default=None, help="evaluate one expression and exit")
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args(argv)
-    if not args.sf_dir and not args.warehouse and not args.bundle:
-        ap.error("need --sf-dir, --warehouse or --bundle")
+    if not args.sf_dir and not args.warehouse and not args.bundle and not args.proto_zip:
+        ap.error("need --sf-dir, --warehouse, --bundle or --proto-zip")
 
     from codepropertygraph_spark.session import get_spark
 
     spark = get_spark(app_name="kgql", master=args.master)
-    if args.bundle:
+    if args.proto_zip:
+        g = build_view_from_proto_zip(spark, args.proto_zip)
+    elif args.bundle:
         g = build_view_from_bundle(spark, args.bundle)
     elif args.warehouse:
         g = build_view_from_warehouse(spark, args.warehouse)
