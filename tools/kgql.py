@@ -19,8 +19,9 @@ repr. Meta-commands: ``:help`` ``:labels`` ``:export <dir>``
 ``:export-proto <file.zip>`` ``:quit``.
 
 Interchange: ``--bundle <dir>`` opens a full-graph bundle written by
-``:export <dir>`` (or exports.export_bundle) — the console side of the
-``cpg.bin.zip`` load path (``ProtoCpgLoader.scala:23``): export on the
+``:export <dir>`` (or exports.export_bundle); ``--proto-zip <file>`` opens
+a proto wire-format zip written by ``:export-proto`` — the console side of
+the ``cpg.bin.zip`` load path (``ProtoCpgLoader.scala:23``): export on the
 cluster that built the graph, explore it anywhere.
 """
 
