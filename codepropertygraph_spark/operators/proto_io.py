@@ -41,7 +41,6 @@ Differences from the reference, by design:
 
 from __future__ import annotations
 
-import io
 import json
 import zipfile
 from typing import Iterator
