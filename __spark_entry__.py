@@ -1328,6 +1328,33 @@ def _q_kg_pipeline_counts(spark, sf_dir):
     return n.unionByName(e).select("kind", "label", "n")
 
 
+def _q_events_gapfill(spark, sf_dir):
+    """time_bucket_gapfill analog (relational.gapfill_time_buckets): dense
+    hourly buckets per user with missing hours MATERIALIZED and locf-filled.
+    Integer centi-units end to end so the fill is exact cross-engine; the
+    oracle reproduces locf portably via the gap-group trick (running count
+    of non-nulls -> max per group). Spine generation is sequence()+explode
+    JVM-side — output-proportional, no driver loop."""
+    from codepropertygraph_spark.operators import relational
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("user_id") < 20)
+        .withColumn("value_centi", F.round(F.col("value") * 100).cast("long"))
+    )
+    out = relational.gapfill_time_buckets(
+        e, ["user_id"], "ts", "value_centi", bucket="hour", fill="locf"
+    )
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:00:00").alias("hour"),
+        "n_events",
+        "value_sum",
+        "filled",
+        "is_gap",
+    )
+
+
 def _q_documents_split(spark, sf_dir):
     """Deterministic train/val/test split (sampling.hash_split): membership
     is a pure function of the md5 row hash — stable under any partitioning
@@ -1406,6 +1433,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "documents_split": _q_documents_split,
     "documents_stratified": _q_documents_stratified,
     "kg_pipeline_counts": _q_kg_pipeline_counts,
+    "events_gapfill": _q_events_gapfill,
     "events_quantiles": _q_events_quantiles,
     "kg_props_decorated": _q_kg_props_decorated,
     "kg_reaching_defs_fields_ext": _q_kg_reaching_defs_fields_ext,
@@ -2768,6 +2796,39 @@ ORACLES["kg_pipeline_counts"] = f"""
       UNION ALL SELECT 'edge', 'CALL', n_tool FROM base
       UNION ALL SELECT 'edge', 'SOURCE_FILE', b.n_turn + m.n + b.n_tool FROM base b, n_mention m
     )
+"""
+
+ORACLES["events_gapfill"] = """
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS b,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE user_id < 20
+    ),
+    agg AS (
+      SELECT user_id, b, count(*) AS n_events,
+             CAST(sum(vc) AS BIGINT) AS value_sum
+      FROM e GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+      FROM span
+    ),
+    dense AS (
+      SELECT s.user_id, s.b, coalesce(a.n_events, 0) AS n_events, a.value_sum
+      FROM spine s LEFT JOIN agg a ON a.user_id = s.user_id AND a.b = s.b
+    ),
+    g AS (
+      SELECT *, count(value_sum) OVER (
+          PARTITION BY user_id ORDER BY b) AS grp
+      FROM dense
+    )
+    SELECT user_id, strftime(b, '%Y-%m-%d %H:00:00') AS hour, n_events,
+           value_sum,
+           CAST(max(value_sum) OVER (PARTITION BY user_id, grp) AS BIGINT)
+             AS filled,
+           value_sum IS NULL AS is_gap
+    FROM g
 """
 
 ORACLES["documents_split"] = f"""

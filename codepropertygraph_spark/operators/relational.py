@@ -129,3 +129,98 @@ def range_join_binned(
         .where(us(pt_ts).between(us(start), us(end)))
         .drop("__bin")
     )
+
+
+def gapfill_time_buckets(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour",
+    fill: str = "locf",
+) -> DataFrame:
+    """Time-bucket gap-fill — the hypertable ``time_bucket_gapfill``
+    continuous-aggregate shape (the reference has no time-series layer;
+    SURVEY.md §2.F notes these as Spark-native extensions): aggregate
+    ``value_col`` into dense per-key time buckets, MATERIALIZING the missing
+    buckets, and fill their value by carry-forward, linear interpolation,
+    or zero.
+
+    Scale shape: one two-phase hash aggregate (bucketed sums), one tiny
+    per-key min/max agg, a ``sequence()`` + ``explode`` to generate the
+    dense bucket spine JVM-side (no driver loop, no Python), a left join
+    spine<-agg on (keys, bucket) and one window pass for the fill — the
+    spine explode is proportional to the OUTPUT, not the input.
+
+    ``fill``:
+    - ``'locf'``  — last observation carried forward (NULL before the first
+      observation); exact integer arithmetic end to end.
+    - ``'linear'``— interpolate between the previous and next observed
+      buckets, ``round(..., 6)``; endpoints carry forward/backward.
+    - ``'zero'``  — missing buckets get 0.
+
+    Output: (keys..., bucket_ts, n_events, value_sum, filled, is_gap)."""
+    if fill not in ("locf", "linear", "zero"):
+        raise ValueError(f"unknown fill mode {fill!r}")
+    b = F.date_trunc(bucket, F.col(ts_col))
+    agg = (
+        df.groupBy(*keys, b.alias("bucket_ts"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("value_sum"),
+        )
+    )
+    step = F.expr(f"interval 1 {bucket}")
+    spine = (
+        agg.groupBy(*keys)
+        .agg(F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi"))
+        .select(
+            *keys,
+            F.explode(F.sequence("__lo", "__hi", step)).alias("bucket_ts"),
+        )
+    )
+    dense = spine.join(agg, [*keys, "bucket_ts"], "left").select(
+        *keys,
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "value_sum",
+    )
+    w = Window.partitionBy(*keys).orderBy("bucket_ts")
+    if fill == "zero":
+        filled = F.coalesce("value_sum", F.lit(0))
+    elif fill == "locf":
+        filled = F.last("value_sum", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:  # linear
+        prev_v = F.last("value_sum", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        prev_t = F.last(
+            F.when(F.col("value_sum").isNotNull(), F.col("bucket_ts")), ignorenulls=True
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        next_v = F.first("value_sum", ignorenulls=True).over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        next_t = F.first(
+            F.when(F.col("value_sum").isNotNull(), F.col("bucket_ts")), ignorenulls=True
+        ).over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        span = F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)
+        pos = F.unix_timestamp("bucket_ts") - F.unix_timestamp(prev_t)
+        interp = F.round(
+            prev_v + (next_v - prev_v) * pos / F.nullif(span, F.lit(0)), 6
+        )
+        filled = (
+            F.when(F.col("value_sum").isNotNull(), F.col("value_sum"))
+            .when(prev_v.isNull(), next_v)       # before first obs
+            .when(next_v.isNull(), prev_v)       # after last obs
+            .otherwise(interp)
+        )
+    return dense.select(
+        *keys,
+        "bucket_ts",
+        "n_events",
+        "value_sum",
+        filled.alias("filled"),
+        (F.col("value_sum").isNull()).alias("is_gap"),
+    )

@@ -635,3 +635,44 @@ def test_hash_split_invariants(spark):
         sampling.hash_split(df, ["k"], {"a": 0.9, "b": 0.2})
     with _pt.raises(ValueError, match="positive"):
         sampling.hash_split(df, ["k"], {"a": 0.9, "b": -0.1})
+
+
+def test_gapfill_linear_and_modes(spark):
+    """gapfill_time_buckets goldens on an exact fixture: hours 0,3,4 are
+    observed (sums 100, 400, 700); hours 1-2 are materialized gaps.
+    linear: interp 200/300; locf: carry 100; zero: 0. Endpoint behavior:
+    before-first carries backward (linear), after-last carries forward."""
+    from datetime import datetime
+
+    from codepropertygraph_spark.operators import relational
+
+    rows = [
+        ("u", datetime(2024, 1, 1, 0, 30), 100),
+        ("u", datetime(2024, 1, 1, 3, 10), 150),
+        ("u", datetime(2024, 1, 1, 3, 40), 250),
+        ("u", datetime(2024, 1, 1, 4, 5), 700),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+
+    def got(fill):
+        out = relational.gapfill_time_buckets(df, ["k"], "ts", "v", "hour", fill)
+        return {
+            r.bucket_ts.hour: (r.n_events, r.value_sum, r.filled, r.is_gap)
+            for r in out.collect()
+        }
+
+    lin = got("linear")
+    assert lin[0] == (1, 100, 100, False)
+    assert lin[1] == (0, None, 200.0, True)   # 100 + (400-100)*1/3
+    assert lin[2] == (0, None, 300.0, True)
+    assert lin[3] == (2, 400, 400, False)
+    assert lin[4] == (1, 700, 700, False)
+
+    locf = got("locf")
+    assert locf[1] == (0, None, 100, True) and locf[2] == (0, None, 100, True)
+    zero = got("zero")
+    assert zero[1] == (0, None, 0, True)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown fill"):
+        relational.gapfill_time_buckets(df, ["k"], "ts", "v", "hour", "nope")
