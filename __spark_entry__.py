@@ -686,6 +686,28 @@ def _q_tpch_q1(spark, sf_dir):
     )
 
 
+def _q_tpch_q6(spark, sf_dir):
+    """TPC-H q6 (forecast revenue change): the selective filter-aggregate
+    baseline — all predicates must reach the parquet scan as PushedFilters
+    and the projection prunes to the 4 referenced columns."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
 def _q_tpch_q3(spark, sf_dir):
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1453,6 +1475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": _q_events_hourly,
     "tpch_q1": _q_tpch_q1,
     "tpch_q3": _q_tpch_q3,
+    "tpch_q6": _q_tpch_q6,
     # (c) oracle rewritten onto the _TRIPLES_CTES derivation (r4) or Spark
     # implementation changed (size routing, linking dedup, asof tie-break,
     # densified range join)
@@ -1824,6 +1847,15 @@ ORACLES: dict[str, str] = {
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                count(*) AS count_order
         FROM lineitem GROUP BY 1, 2
+    """,
+    "tpch_q6": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1994-01-01'
+          AND l_shipdate < DATE '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
     """,
     "tpch_q3": """
         SELECT l_orderkey, o_orderpriority,
