@@ -1377,6 +1377,24 @@ def _q_events_gapfill(spark, sf_dir):
     )
 
 
+def _q_documents_pii_mask(spark, sf_dir):
+    """PII scrub (textstats.mask_pii): sequential regexp_replace chain with
+    per-kind audit counts, patterns deliberately RE2-compatible so the SAME
+    strings drive Spark's Java regex and DuckDB's RE2 — the oracle applies
+    the identical staged chain. Map-only; behavioral goldens (crafted PII
+    strings) live in pytest, this query proves cross-engine parity on the
+    real corpus."""
+    from codepropertygraph_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textstats.mask_pii(docs, "text")
+    return out.select(
+        "doc_id",
+        *[f"n_{kind}" for kind, _, _ in textstats.PII_PATTERNS],
+        F.md5("masked_text").alias("masked_md5"),
+    )
+
+
 def _q_documents_split(spark, sf_dir):
     """Deterministic train/val/test split (sampling.hash_split): membership
     is a pure function of the md5 row hash — stable under any partitioning
@@ -1456,6 +1474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "documents_stratified": _q_documents_stratified,
     "kg_pipeline_counts": _q_kg_pipeline_counts,
     "events_gapfill": _q_events_gapfill,
+    "documents_pii_mask": _q_documents_pii_mask,
     "events_quantiles": _q_events_quantiles,
     "kg_props_decorated": _q_kg_props_decorated,
     "kg_reaching_defs_fields_ext": _q_kg_reaching_defs_fields_ext,
@@ -2829,6 +2848,31 @@ ORACLES["kg_pipeline_counts"] = f"""
       UNION ALL SELECT 'edge', 'SOURCE_FILE', b.n_turn + m.n + b.n_tool FROM base b, n_mention m
     )
 """
+
+# staged PII chain generated from the SAME pattern tuples the operator uses
+def _pii_oracle_sql() -> str:
+    from codepropertygraph_spark.operators.textstats import PII_PATTERNS
+
+    stages = ["s0 AS (SELECT doc_id, text AS t FROM documents)"]
+    carried: list[str] = []
+    for i, (kind, pat, repl) in enumerate(PII_PATTERNS, start=1):
+        prev = f"s{i - 1}"
+        carry = ", ".join(f"n_{k}" for k in carried)
+        carry = carry + ", " if carry else ""
+        stages.append(
+            f"s{i} AS (SELECT doc_id, {carry}"
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{kind}, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t FROM {prev})"
+        )
+        carried.append(kind)
+    cols = ", ".join(f"CAST(n_{k} AS BIGINT) AS n_{k}" for k in carried)
+    return (
+        "WITH " + ",\n".join(stages)
+        + f"\nSELECT doc_id, {cols}, md5(t) AS masked_md5 FROM s{len(carried)}"
+    )
+
+
+ORACLES["documents_pii_mask"] = _pii_oracle_sql()
 
 ORACLES["events_gapfill"] = """
     WITH e AS (

@@ -98,3 +98,35 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.expr(f"array_min(transform(sh, t -> {h}))").alias("fingerprint"),
     )
+
+
+# PII masking patterns — deliberately RE2-compatible (no lookarounds, no
+# backreferences) so the SAME pattern string behaves identically under
+# Spark's Java regex and DuckDB's RE2, making the masking cross-engine
+# verifiable. Order matters: emails before phone-ish digit runs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("card", r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b", "<CARD>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def mask_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-corpus PII scrub: replace emails / IPv4s / card-number
+    shapes / phone-number shapes with typed placeholder tokens, keeping a
+    per-kind match count for audit. Map-only (a chain of regexp_replace +
+    regexp_count, all JVM-side); the pattern set is the minimal
+    high-precision core — a production scrubber extends PII_PATTERNS, and
+    every added pattern stays cross-engine checkable as long as it remains
+    RE2-compatible."""
+    masked = F.col(text_col)
+    counts = []
+    for kind, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(masked, F.lit(pat)).alias(f"n_{kind}"))
+        masked = F.regexp_replace(masked, pat, repl)
+    return documents.select(
+        *documents.columns,
+        *counts,
+        masked.alias("masked_text"),
+    )

@@ -676,3 +676,34 @@ def test_gapfill_linear_and_modes(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="unknown fill"):
         relational.gapfill_time_buckets(df, ["k"], "ts", "v", "hour", "nope")
+
+
+def test_mask_pii_goldens(spark):
+    """Crafted-string behavior of the PII scrub: each kind masks to its
+    placeholder, counts audit per kind, clean text passes through, and the
+    sequential chain composes (email inside a sentence with a phone)."""
+    from codepropertygraph_spark.operators import textstats
+
+    rows = [
+        (1, "contact bob.smith+x@corp-mail.co.uk today"),
+        (2, "server at 192.168.1.250 port 80"),
+        (3, "card 4111 1111 1111 1111 expires"),
+        (4, "call +1 555-123-4567 or 020 7946 0958 now"),
+        (5, "mail a@b.io, then dial 555-867-5309."),
+        (6, "no pii here, just words and 42"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textstats.mask_pii(df).collect()}
+
+    assert out[1].masked_text == "contact <EMAIL> today"
+    assert out[1].n_email == 1
+    assert out[2].masked_text == "server at <IP> port 80"
+    assert out[2].n_ipv4 == 1
+    assert out[3].masked_text == "card <CARD> expires"
+    assert out[3].n_card == 1
+    assert out[4].n_phone == 2
+    assert out[4].masked_text == "call <PHONE> or <PHONE> now"
+    assert out[5].masked_text == "mail <EMAIL>, then dial <PHONE>."
+    assert out[5].n_email == 1 and out[5].n_phone == 1
+    assert out[6].masked_text == rows[5][1]
+    assert (out[6].n_email, out[6].n_ipv4, out[6].n_card, out[6].n_phone) == (0, 0, 0, 0)
