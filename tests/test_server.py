@@ -63,3 +63,56 @@ def test_unknown_endpoint_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 404
+
+
+def test_async_query_and_result(server):
+    """The reference's async pair (/query -> uuid, /result/<uuid>): submit,
+    poll until done, fetch once (result is then dropped), unknown uuid 404,
+    async errors come back as structured results."""
+    import time
+    import urllib.error
+
+    def post_async(query):
+        req = urllib.request.Request(
+            f"{server}/query",
+            data=json.dumps({"query": query}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return json.loads(resp.read())
+
+    def fetch(qid):
+        try:
+            with urllib.request.urlopen(f"{server}/result/{qid}", timeout=120) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    sub = post_async("g.turns().count()")
+    assert sub["success"] and "uuid" in sub
+    deadline = time.time() + 120
+    while True:
+        code, payload = fetch(sub["uuid"])
+        if code != 202:
+            break
+        assert payload.get("pending") is True
+        assert time.time() < deadline, "async query never completed"
+        time.sleep(0.2)
+    assert code == 200 and payload["success"]
+    assert int(payload["stdout"]) > 0
+    # single-read: the result was dropped after the fetch
+    code2, _ = fetch(sub["uuid"])
+    assert code2 == 404
+    # unknown uuid
+    code3, _ = fetch("no-such-uuid")
+    assert code3 == 404
+    # async evaluation errors are structured results, not 5xx
+    sub2 = post_async("definitely_not_defined()")
+    while True:
+        code4, payload4 = fetch(sub2["uuid"])
+        if code4 != 202:
+            break
+        time.sleep(0.2)
+    assert code4 == 200 and payload4["success"] is False
+    assert "error" in payload4

@@ -4,10 +4,19 @@ the reference serves console queries over HTTP with a sync endpoint and JSON
 responses; entry point 3 of SURVEY.md §1.2, completing the ``tools/kgql.py``
 REPL/CLI pair with a long-lived queryable service).
 
-Endpoints (JSON in/out):
+Endpoints (JSON in/out — the reference's API shape:
+``CPGQLServer.scala`` ``@cask.postJson("/query")`` returning a uuid and
+``@cask.get("/result/:uuidParam")`` fetching it; the websocket push channel
+is replaced by polling, the stdlib-http tradeoff):
   POST /query-sync   {"query": "<kgql line>"}
                      -> {"success": true, "stdout": "<rendered result>"}
                      |  {"success": false, "error": "<message>"}
+  POST /query        {"query": "<kgql line>"} -> {"success": true, "uuid": "..."}
+                     (evaluation runs on a worker thread)
+  GET  /result/<uuid> -> 200 {"success": ..., "stdout"|"error": ...} when done
+                      | 202 {"success": false, "pending": true} while running
+                      | 404 for an unknown uuid; results are single-read
+                        (fetched once then dropped, bounding memory)
   GET  /help         -> {"success": true, "stdout": "<dsl help>"}
   GET  /health       -> {"success": true}
 
@@ -36,6 +45,21 @@ from tools import kgql  # noqa: E402
 
 
 def make_handler(g, lock: threading.Lock):
+    results: dict[str, dict] = {}          # uuid -> finished payload
+    pending: set[str] = set()
+    state_lock = threading.Lock()
+
+    def run_async(qid: str, query: str) -> None:
+        try:
+            with lock:
+                out = kgql.evaluate(g, query)
+            payload = {"success": True, "stdout": out}
+        except Exception as exc:
+            payload = {"success": False, "error": str(exc)}
+        with state_lock:
+            pending.discard(qid)
+            results[qid] = payload
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode()
@@ -55,19 +79,44 @@ def make_handler(g, lock: threading.Lock):
                 with lock:
                     out = kgql.evaluate(g, ":help")
                 self._send(200, {"success": True, "stdout": out})
+            elif self.path.startswith("/result/"):
+                qid = self.path.rsplit("/", 1)[1]
+                with state_lock:
+                    if qid in pending:
+                        self._send(202, {"success": False, "pending": True})
+                        return
+                    payload = results.pop(qid, None)
+                if payload is None:
+                    self._send(404, {"success": False, "error": "unknown uuid"})
+                else:
+                    self._send(200, payload)
             else:
                 self._send(404, {"success": False, "error": "unknown endpoint"})
 
+        def _read_query(self):
+            n = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            return req["query"]
+
         def do_POST(self):
-            if self.path != "/query-sync":
+            if self.path not in ("/query-sync", "/query"):
                 self._send(404, {"success": False, "error": "unknown endpoint"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(n) or b"{}")
-                query = req["query"]
+                query = self._read_query()
             except Exception as exc:
                 self._send(400, {"success": False, "error": f"bad request: {exc}"})
+                return
+            if self.path == "/query":
+                import uuid as _uuid
+
+                qid = str(_uuid.uuid4())
+                with state_lock:
+                    pending.add(qid)
+                threading.Thread(
+                    target=run_async, args=(qid, query), daemon=True
+                ).start()
+                self._send(200, {"success": True, "uuid": qid})
                 return
             try:
                 with lock:
