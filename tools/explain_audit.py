@@ -73,7 +73,14 @@ def main() -> None:
         "events_range_join",
         "events_rollup",
         "events_kmv_users",
+        "events_quantiles",
+        "events_heavy_hitters",
+        "events_gapfill",
+        "documents_split",
+        "documents_stratified",
+        "documents_pii_mask",
         "tpch_q1",
+        "tpch_q6",
     ):
         audit(name, qs[name](spark, SF_DIR))
 
