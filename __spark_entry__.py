@@ -708,6 +708,35 @@ def _q_tpch_q6(spark, sf_dir):
     )
 
 
+def _q_tpch_q5(spark, sf_dir):
+    """TPC-H q5 (local supplier volume): the 6-table join baseline — the
+    three small dimensions (region, nation, supplier) auto-broadcast under
+    Catalyst; lineitem<->orders is the only shuffle join pair."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == "ASIA")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
 def _q_tpch_q3(spark, sf_dir):
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -1495,6 +1524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": _q_tpch_q1,
     "tpch_q3": _q_tpch_q3,
     "tpch_q6": _q_tpch_q6,
+    "tpch_q5": _q_tpch_q5,
     # (c) oracle rewritten onto the _TRIPLES_CTES derivation (r4) or Spark
     # implementation changed (size routing, linking dedup, asof tie-break,
     # densified range join)
@@ -1866,6 +1896,21 @@ ORACLES: dict[str, str] = {
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                count(*) AS count_order
         FROM lineitem GROUP BY 1, 2
+    """,
+    "tpch_q5": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_rows
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name
     """,
     "tpch_q6": """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

@@ -81,6 +81,7 @@ def main() -> None:
         "documents_pii_mask",
         "tpch_q1",
         "tpch_q6",
+        "tpch_q5",
     ):
         audit(name, qs[name](spark, SF_DIR))
 
