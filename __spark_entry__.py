@@ -2966,7 +2966,8 @@ ORACLES["documents_split"] = f"""
                   ELSE 'test' END AS split
       FROM h
     )
-    SELECT split, count(*) AS n_docs, sum(doc_id) AS sum_ids,
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
            md5(string_agg(cast(doc_id AS varchar), ','
                ORDER BY cast(doc_id AS varchar))) AS ids_md5
     FROM assigned GROUP BY split
