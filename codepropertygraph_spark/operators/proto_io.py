@@ -766,11 +766,16 @@ def invert_diff(
     if "remove_nodes" in diff:
         ids = diff["remove_nodes"].select("id")
         inv["add_nodes"] = nodes.join(ids, "id", "left_semi")
+        # No (src,dst,label)-level dedup here: REL edges between the same
+        # entity pair legitimately differ only in props (graph.rel_edges),
+        # and a coarse dedup would restore only one of them.  The src-side /
+        # dst-side union overlap (an edge whose two endpoints are both
+        # removed) is handled by the full-content edge_identity dedup below.
         incident = edges.join(
             ids.withColumnRenamed("id", "src"), "src", "left_semi"
         ).unionByName(
             edges.join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
-        ).dropDuplicates(["src", "dst", "label"])
+        )
         inv["add_edges"] = incident
     if "remove_edges" in diff:
         back = D.edge_identity(edges).join(
@@ -785,15 +790,16 @@ def invert_diff(
             edges.select("src", "dst", "label", "props"),
             ["src", "dst", "label"],
             "left",
-        ).select("src", "dst", "label", "key", old_prop.alias("old"))
+        ).select("src", "dst", "label", "props", "key", old_prop.alias("old"))
         inv["set_edge_props"] = eupd.where(F.col("old").isNotNull()).select(
             "src", "dst", "label", "key", F.col("old").alias("value")
         )
-        inv["remove_edge_props"] = eupd.where(F.col("old").isNull()).select(
-            "src", "dst", "label",
-            F.sha2(F.concat_ws("|", "src", "dst", "label"), 256).alias("edge_id"),
-            "key",
-        )
+        # edge_id via the module-wide content identity (src|dst|label|props),
+        # not an ad-hoc sha2 — keeps the serialized propertiesHash in the
+        # inverse zip consistent with every other edge_id this module writes.
+        inv["remove_edge_props"] = D.edge_identity(
+            eupd.where(F.col("old").isNull())
+        ).select("src", "dst", "label", "edge_id", "key")
     if "remove_edge_props" in diff:
         erestore = diff["remove_edge_props"].select("src", "dst", "label", "key").join(
             edges.select("src", "dst", "label", "props"),

@@ -368,3 +368,59 @@ def test_diff_zip_roundtrip_and_apply(catalog, spark, tmp_path):
     )
     assert _rowset(got_n) == _rowset(exp_n)
     assert _rowset(got_e) == _rowset(exp_e)
+
+
+def test_invert_restores_parallel_rel_edges(spark):
+    """Regression (ADVICE r4, high): removing a node that carries TWO REL
+    edges to the same neighbor — same (src, dst, label), different props,
+    exactly the shape graph.rel_edges produces per (pred, conv_id) — must
+    restore BOTH edges on undo.  The old cascade dedup'd incident edges on
+    (src, dst, label) and silently dropped one."""
+    nodes = spark.createDataFrame(
+        [
+            (1, "ENTITY", "a", "a", None, None, None, None, {}),
+            (2, "ENTITY", "b", "b", None, None, None, None, {}),
+        ],
+        proto_io._NODE_OUT_SCHEMA,
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, 2, "REL", {"pred": "uses", "conv_id": "c1"}),
+            (1, 2, "REL", {"pred": "calls", "conv_id": "c2"}),
+            (2, 1, "REL", {"pred": "uses", "conv_id": "c1"}),
+        ],
+        proto_io._EDGE_OUT_SCHEMA,
+    )
+    diff = {"remove_nodes": spark.createDataFrame([(1,)], "id long")}
+    inverse = proto_io.invert_diff(nodes, edges, diff)
+    fwd_n, fwd_e = proto_io.apply_diff(nodes, edges, diff)
+    assert fwd_e.count() == 0
+    und_n, und_e = proto_io.apply_diff(fwd_n, fwd_e, inverse)
+    assert _rowset(und_n) == _rowset(nodes)
+    assert _rowset(und_e) == _rowset(edges)
+
+
+def test_invert_remove_edge_props_uses_content_edge_id(spark):
+    """Regression (ADVICE r4, low): the remove_edge_props rows emitted by
+    invert_diff must carry the module-wide content identity
+    (plans.diff.edge_identity over src|dst|label|props-json), not an ad-hoc
+    sha2(src|dst|label) — so content-addressed consumers of the inverse zip
+    resolve the same edge every other writer names."""
+    from codepropertygraph_spark.plans import diff as D
+
+    nodes = spark.createDataFrame(
+        [(1, "ENTITY", "a", "a", None, None, None, None, {})],
+        proto_io._NODE_OUT_SCHEMA,
+    )
+    edges = spark.createDataFrame(
+        [(1, 1, "REL", {"pred": "self"})], proto_io._EDGE_OUT_SCHEMA
+    )
+    # setting a key that does NOT exist on the edge inverts to a removal
+    setp = spark.createDataFrame(
+        [(1, 1, "REL", "score", "0.5")], "src long, dst long, label string, key string, value string"
+    )
+    inverse = proto_io.invert_diff(nodes, edges, {"set_edge_props": setp})
+    [row] = inverse["remove_edge_props"].collect()
+    [expected] = D.edge_identity(edges).select("edge_id").collect()
+    assert row["edge_id"] == expected["edge_id"]
+    assert row["key"] == "score"
