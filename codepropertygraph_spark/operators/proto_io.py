@@ -309,6 +309,18 @@ def decode_struct(buf: bytes, prop_names: dict[int, str],
 
 _SHARD_SCHEMA = "shard binary"
 
+# Pinned entry timestamp (the zip epoch): zipfile.writestr stamps wall-clock
+# time into each entry header, which would break the byte-identical-replay
+# contract of the exporters even with canonical shard contents.
+_ZIP_EPOCH = (1980, 1, 1, 0, 0, 0)
+
+
+def _zip_writestr(zf: zipfile.ZipFile, name: str, data: bytes) -> None:
+    info = zipfile.ZipInfo(name, date_time=_ZIP_EPOCH)
+    info.compress_type = zipfile.ZIP_DEFLATED
+    info.external_attr = 0o600 << 16
+    zf.writestr(info, data)
+
 
 def _encode_partition(kind: str):
     enc = encode_node if kind == "nodes" else encode_edge
@@ -353,7 +365,7 @@ def export_proto_zip(
         for kind, df in (("nodes", nodes), ("edges", edges)):
             # toLocalIterator: one encoded shard in driver memory at a time
             for row in _canonical_shards(df, kind, n_shards).toLocalIterator():
-                zf.writestr(f"{i}_{kind}.bin", bytes(row.shard))
+                _zip_writestr(zf, f"{i}_{kind}.bin", bytes(row.shard))
                 i += 1
         zf.comment = json.dumps(manifest, sort_keys=True).encode()
     return manifest
@@ -394,6 +406,39 @@ DIFF_KINDS = {
     "remove_edges": ("src", "dst", "label", "edge_id"),
     "remove_edge_props": ("src", "dst", "label", "edge_id", "key"),
 }
+
+
+# per-kind row-identity columns used to canonicalize shard assignment and
+# in-shard order, so a replayed export writes byte-identical entries (the
+# exactly-once contract stream_diff_zips documents); props-bearing kinds get
+# the props JSON folded in so parallel edges land deterministically too
+_DIFF_SORT_KEYS = {
+    "add_nodes": ("id",),
+    "add_edges": ("src", "dst", "label"),
+    "set_node_props": ("id", "key"),
+    "set_edge_props": ("src", "dst", "label", "key"),
+    "remove_nodes": ("id",),
+    "remove_node_props": ("id", "key"),
+    "remove_edges": ("edge_id",),
+    "remove_edge_props": ("edge_id", "key"),
+}
+
+
+def _canonical_change_shards(df: DataFrame, kind: str, n_shards: int,
+                             wrap_entry: bool = True) -> DataFrame:
+    parts = [F.col(c).cast("string") for c in _DIFF_SORT_KEYS[kind]]
+    if "props" in df.columns:
+        parts.append(F.coalesce(F.to_json("props"), F.lit("")))
+    key = F.concat_ws("\x1f", *parts)
+    keyed = (
+        df.withColumn("__ck", key)
+        .repartition(n_shards, F.pmod(F.xxhash64("__ck"), F.lit(n_shards)))
+        .sortWithinPartitions("__ck")
+        .drop("__ck")
+    )
+    return keyed.mapInPandas(
+        _encode_diff_partition(kind, wrap_entry=wrap_entry), schema=_SHARD_SCHEMA
+    )
 
 
 def _encode_diff_entry(kind: str, row: dict) -> bytes:
@@ -488,11 +533,9 @@ def export_overlay_zip(path: str, n_shards: int = 4, **frames: DataFrame) -> dic
             cols = DIFF_KINDS[kind]
             if cols is not None:
                 df = df.select(*cols)
-            shards = df.repartition(n_shards).mapInPandas(
-                _encode_diff_partition(kind, wrap_entry=False), schema=_SHARD_SCHEMA
-            )
+            shards = _canonical_change_shards(df, kind, n_shards, wrap_entry=False)
             for row in shards.toLocalIterator():
-                zf.writestr(f"{i}_overlay.bin", bytes(row.shard))
+                _zip_writestr(zf, f"{i}_overlay.bin", bytes(row.shard))
                 i += 1
         zf.comment = json.dumps(manifest, sort_keys=True).encode()
     return manifest
@@ -532,11 +575,9 @@ def export_diff_zip(path: str, n_shards: int = 4, **frames: DataFrame) -> dict:
             cols = DIFF_KINDS[kind]
             if cols is not None:
                 df = df.select(*cols)
-            shards = df.repartition(n_shards).mapInPandas(
-                _encode_diff_partition(kind), schema=_SHARD_SCHEMA
-            )
+            shards = _canonical_change_shards(df, kind, n_shards)
             for row in shards.toLocalIterator():
-                zf.writestr(f"{i}_diff.bin", bytes(row.shard))
+                _zip_writestr(zf, f"{i}_diff.bin", bytes(row.shard))
                 i += 1
         zf.comment = json.dumps(manifest, sort_keys=True).encode()
     return manifest

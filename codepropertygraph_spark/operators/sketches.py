@@ -195,7 +195,14 @@ def cms_sketch(
     n_rows). Scale shape: explode ×d then ONE two-phase aggregation — the
     map-side partial combine reduces each partition to at most d*w rows per
     group before the shuffle, so the shuffle volume is sketch-sized, not
-    data-sized."""
+    data-sized.
+
+    NULL handling: rows where ``col`` IS NULL are excluded entirely — from
+    the counters AND from n_rows — matching SQL aggregate semantics (NULL is
+    the absence of a value, not a countable value). Without the filter,
+    F.concat propagates the NULL into a NULL bucket index, which becomes a
+    NULL map key in the d×w layout and fails the job."""
+    df = df.where(F.col(col).isNotNull())
     cells = df.select(
         *keys,
         F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("__j"),

@@ -310,7 +310,11 @@ def stream_diff_zips(
 
     Exactly-once: the zip write is idempotent per batch id (overwrite), and
     the checkpoint guarantees each batch id is final once committed — a
-    replayed batch rewrites the same bytes (deterministic encoder)."""
+    replayed batch rewrites the same bytes. That byte-identity holds because
+    export_diff_zip shards canonically (hash-bucket repartition on the
+    per-kind row identity + in-partition sort, proto_io._canonical_change_
+    shards) and pins zip entry timestamps — not merely content-equivalence
+    (ADVICE r4)."""
     import os
 
     from ..operators import graph as G

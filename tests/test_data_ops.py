@@ -707,3 +707,22 @@ def test_mask_pii_goldens(spark):
     assert out[5].n_email == 1 and out[5].n_phone == 1
     assert out[6].masked_text == rows[5][1]
     assert (out[6].n_email, out[6].n_ipv4, out[6].n_card, out[6].n_phone) == (0, 0, 0, 0)
+
+
+def test_cms_sketch_null_values_excluded(spark):
+    """Regression (ADVICE r4): NULLs in the sketched column must not feed a
+    NULL bucket into the d*w map layout (job failure / silent corruption).
+    They are excluded from counters AND n_rows — SQL aggregate semantics —
+    so a corpus with NULLs sketches identically to the same corpus with the
+    NULL rows dropped."""
+    from codepropertygraph_spark.operators import sketches
+
+    rows = [("g1", "a"), ("g1", None), ("g1", "b"), ("g1", None), ("g2", None)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    got = sketches.cms_sketch(df, ["grp"], "uid", d=2, w=8)
+    clean = sketches.cms_sketch(df.where(F.col("uid").isNotNull()), ["grp"], "uid", d=2, w=8)
+    as_map = lambda t: {r.grp: (tuple(r.cms), r.n_rows) for r in t.collect()}
+    assert as_map(got) == as_map(clean)
+    # the all-NULL group vanishes entirely (no countable values)
+    assert set(as_map(got)) == {"g1"}
+    assert as_map(got)["g1"][1] == 2

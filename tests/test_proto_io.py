@@ -424,3 +424,30 @@ def test_invert_remove_edge_props_uses_content_edge_id(spark):
     [expected] = D.edge_identity(edges).select("edge_id").collect()
     assert row["edge_id"] == expected["edge_id"]
     assert row["key"] == "score"
+
+
+def test_diff_zip_export_byte_deterministic(spark, tmp_path):
+    """Replay contract (ADVICE r4): exporting the SAME change set twice —
+    with different upstream partitioning — must produce byte-identical
+    archives (canonical hash-bucket sharding + in-partition sort + pinned
+    zip timestamps), not merely the same row set. stream_diff_zips'
+    exactly-once claim rests on this."""
+    nodes = spark.createDataFrame(
+        [(i, "ENTITY", f"n{i}", f"n{i}", None, None, None, None, {"entity_type": "TOOL"})
+         for i in range(200)],
+        proto_io._NODE_OUT_SCHEMA,
+    )
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 200, "REL", {"pred": "uses", "conv_id": f"c{i % 5}"})
+         for i in range(200)],
+        proto_io._EDGE_OUT_SCHEMA,
+    )
+    p1, p2 = str(tmp_path / "a.zip"), str(tmp_path / "b.zip")
+    proto_io.export_diff_zip(p1, n_shards=3, add_nodes=nodes, add_edges=edges)
+    proto_io.export_diff_zip(
+        p2, n_shards=3,
+        add_nodes=nodes.repartition(7).sortWithinPartitions("label"),
+        add_edges=edges.coalesce(1),
+    )
+    b1, b2 = open(p1, "rb").read(), open(p2, "rb").read()
+    assert b1 == b2
