@@ -116,3 +116,120 @@ def test_async_query_and_result(server):
         time.sleep(0.2)
     assert code4 == 200 and payload4["success"] is False
     assert "error" in payload4
+
+
+def _get(url: str) -> tuple[int, dict]:
+    import urllib.error
+
+    try:
+        with urllib.request.urlopen(url, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_token_auth_required_when_configured(spark, tier_dir):
+    """ADVICE r4 (medium): the endpoint evals queries — with a token
+    configured, every route but /health must 401 without it and work
+    with it (Bearer or X-Kgql-Token)."""
+    import urllib.error
+
+    g = kgql.build_view_from_corpus(spark, tier_dir)
+    srv = kgql_server.serve(g, port=0, token="s3cret")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, _ = _get(f"{base}/health")
+        assert code == 200  # health stays open (liveness probes)
+        code, out = _get(f"{base}/help")
+        assert code == 401 and not out["success"]
+        req = urllib.request.Request(
+            f"{base}/query-sync",
+            data=json.dumps({"query": "g.conversations().count()"}).encode(),
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        for hdr in ({"Authorization": "Bearer s3cret"}, {"X-Kgql-Token": "s3cret"}):
+            req = urllib.request.Request(
+                f"{base}/query-sync",
+                data=json.dumps({"query": "g.conversations().count()"}).encode(),
+                headers=hdr,
+                method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                assert json.loads(r.read())["success"] is True
+    finally:
+        srv.shutdown()
+
+
+def test_non_loopback_bind_refused():
+    with pytest.raises(ValueError, match="non-loopback"):
+        kgql_server.serve(object(), host="0.0.0.0", port=0)
+    with pytest.raises(ValueError, match="non-loopback"):
+        kgql_server.serve(object(), host="0.0.0.0", port=0, token="t")  # no flag
+
+
+def test_async_results_bounded(spark, tier_dir, monkeypatch):
+    """VERDICT r4 #8: a client that posts async queries and never polls
+    must not grow the server without bound — max-entries overflow evicts
+    oldest, and entries past RESULT_TTL_SEC expire (fake clock)."""
+    import time as _t
+
+    clock = {"t": 0.0}
+    monkeypatch.setattr(kgql_server, "MAX_RESULTS", 3)
+    g = kgql.build_view_from_corpus(spark, tier_dir)
+    srv = kgql_server.serve(g, port=0, clock=lambda: clock["t"])
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    def post_async(q):
+        req = urllib.request.Request(
+            f"{base}/query", data=json.dumps({"query": q}).encode(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())["uuid"]
+
+    def wait_done(qid):
+        for _ in range(600):
+            code, out = _get(f"{base}/result/{qid}")
+            if code != 202:
+                return code, out
+            _t.sleep(0.2)
+        raise TimeoutError(qid)
+
+    try:
+        uuids = [post_async("g.turns().count()") for _ in range(5)]
+        # wait until all five have finished (pending drained)
+        last_code, last_out = wait_done(uuids[-1])
+        assert last_code == 200 and last_out["success"]
+        # give the earlier worker threads time to store their payloads
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            codes = [_get(f"{base}/result/{u}")[0] for u in uuids[:1]]
+            if 202 not in codes:
+                break
+            _t.sleep(0.2)
+        # of the 4 remaining stored results, only MAX_RESULTS=3 survive;
+        # the oldest was evicted -> exactly one extra 404 beyond the fetched one
+        statuses = [_get(f"{base}/result/{u}")[0] for u in uuids[:4]]
+        assert statuses.count(404) >= 1
+        assert statuses.count(200) <= 3
+        # TTL: a fresh result expires once the clock advances past the TTL.
+        # Completion is confirmed via a LATER query (fetching qid would
+        # consume it — results are single-read).
+        qid = post_async("g.turns().count()")
+        code2, _ = wait_done(post_async("g.conversations().count()"))
+        assert code2 == 200
+        _t.sleep(2)  # evals are lock-serialized; let qid's worker store too
+        clock["t"] += kgql_server.RESULT_TTL_SEC + 1
+        # any mutation evicts; posting one more flushes expired entries
+        flush = post_async("g.conversations().count()")
+        wait_done(flush)
+        code3, _ = _get(f"{base}/result/{qid}")
+        assert code3 == 404
+    finally:
+        srv.shutdown()

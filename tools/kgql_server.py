@@ -20,8 +20,23 @@ is replaced by polling, the stdlib-http tradeoff):
   GET  /help         -> {"success": true, "stdout": "<dsl help>"}
   GET  /health       -> {"success": true}
 
+**Trust model.** Queries are evaluated by ``kgql.evaluate``, which executes
+console-DSL expressions with Python ``eval`` — exactly as the reference's
+CPGQLServer hands queries to an Ammonite Scala interpreter. Anyone who can
+reach this endpoint can run arbitrary code in the server process, so the
+server (a) refuses to bind a non-loopback interface unless BOTH a shared
+secret token and ``--allow-remote`` are given (the reference supports HTTP
+basic auth for the same reason, CPGQLServer.scala ``basicAuth``), and
+(b) when a token is configured — ``--token`` or ``$KGQL_TOKEN`` — every
+request except ``/health`` must carry it in an ``Authorization: Bearer
+<token>`` or ``X-Kgql-Token`` header (401 otherwise).
+
+Async results are bounded: at most ``MAX_RESULTS`` unfetched payloads are
+retained and each expires after ``RESULT_TTL_SEC`` — a client that posts
+queries and never polls cannot grow the server without bound (VERDICT r4).
+
 One Spark driver serves all requests; evaluation is serialized behind a lock
-(the reference's ambonite console is likewise single-user per session). The
+(the reference's ammonite console is likewise single-user per session). The
 graph is loaded ONCE at startup — warehouse, corpus tier, or interchange
 bundle — and every query plans against the same cached GraphView frames, so
 serving cost is per-query Spark job time, not reload time.
@@ -34,20 +49,46 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import hmac
+import ipaddress
 import json
+import os
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 sys.path.insert(0, "/root/repo")
 
 from tools import kgql  # noqa: E402
 
+MAX_RESULTS = 256          # unfetched async payloads retained at most
+RESULT_TTL_SEC = 600.0     # ...and for at most this long
 
-def make_handler(g, lock: threading.Lock):
-    results: dict[str, dict] = {}          # uuid -> finished payload
+
+def _is_loopback(host: str) -> bool:
+    if host in ("localhost", ""):
+        return True
+    try:
+        return ipaddress.ip_address(host).is_loopback
+    except ValueError:
+        return False
+
+
+def make_handler(g, lock: threading.Lock, token: str | None = None,
+                 clock=time.monotonic):
+    results: dict[str, tuple[float, dict]] = {}   # uuid -> (done_at, payload)
     pending: set[str] = set()
     state_lock = threading.Lock()
+
+    def evict_locked() -> None:
+        # caller holds state_lock; drop expired entries, then oldest overflow
+        now = clock()
+        for qid in [q for q, (t, _) in results.items() if now - t > RESULT_TTL_SEC]:
+            del results[qid]
+        while len(results) > MAX_RESULTS:
+            oldest = min(results, key=lambda q: results[q][0])
+            del results[oldest]
 
     def run_async(qid: str, query: str) -> None:
         try:
@@ -58,7 +99,8 @@ def make_handler(g, lock: threading.Lock):
             payload = {"success": False, "error": str(exc)}
         with state_lock:
             pending.discard(qid)
-            results[qid] = payload
+            results[qid] = (clock(), payload)
+            evict_locked()
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
@@ -72,10 +114,22 @@ def make_handler(g, lock: threading.Lock):
         def log_message(self, *a):  # quiet: logs go nowhere in tests
             pass
 
+        def _authorized(self) -> bool:
+            if token is None:
+                return True
+            auth = self.headers.get("Authorization", "")
+            got = auth[7:] if auth.startswith("Bearer ") else \
+                self.headers.get("X-Kgql-Token", "")
+            return hmac.compare_digest(got, token)
+
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"success": True})
-            elif self.path == "/help":
+                return
+            if not self._authorized():
+                self._send(401, {"success": False, "error": "missing or bad token"})
+                return
+            if self.path == "/help":
                 with lock:
                     out = kgql.evaluate(g, ":help")
                 self._send(200, {"success": True, "stdout": out})
@@ -85,11 +139,12 @@ def make_handler(g, lock: threading.Lock):
                     if qid in pending:
                         self._send(202, {"success": False, "pending": True})
                         return
-                    payload = results.pop(qid, None)
-                if payload is None:
+                    evict_locked()
+                    entry = results.pop(qid, None)
+                if entry is None:
                     self._send(404, {"success": False, "error": "unknown uuid"})
                 else:
-                    self._send(200, payload)
+                    self._send(200, entry[1])
             else:
                 self._send(404, {"success": False, "error": "unknown endpoint"})
 
@@ -101,6 +156,9 @@ def make_handler(g, lock: threading.Lock):
         def do_POST(self):
             if self.path not in ("/query-sync", "/query"):
                 self._send(404, {"success": False, "error": "unknown endpoint"})
+                return
+            if not self._authorized():
+                self._send(401, {"success": False, "error": "missing or bad token"})
                 return
             try:
                 query = self._read_query()
@@ -128,11 +186,23 @@ def make_handler(g, lock: threading.Lock):
     return Handler
 
 
-def serve(g, host: str = "127.0.0.1", port: int = 8845) -> ThreadingHTTPServer:
+def serve(g, host: str = "127.0.0.1", port: int = 8845,
+          token: str | None = None, allow_remote: bool = False,
+          clock=time.monotonic) -> ThreadingHTTPServer:
     """Build a server bound to (host, port); port 0 picks a free port.
     Caller runs ``server.serve_forever()`` (or a thread does) and
-    ``server.shutdown()`` to stop."""
-    return ThreadingHTTPServer((host, port), make_handler(g, threading.Lock()))
+    ``server.shutdown()`` to stop. Refuses non-loopback binds unless a
+    token is set AND allow_remote is explicit — the endpoint evals queries
+    (see module docstring)."""
+    if not _is_loopback(host) and not (token and allow_remote):
+        raise ValueError(
+            f"refusing to bind non-loopback host {host!r}: the query endpoint "
+            "evaluates arbitrary expressions; pass --token AND --allow-remote "
+            "to expose it beyond localhost"
+        )
+    return ThreadingHTTPServer(
+        (host, port), make_handler(g, threading.Lock(), token=token, clock=clock)
+    )
 
 
 def main(argv=None) -> int:
@@ -143,6 +213,12 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8845)
     ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--token", default=os.environ.get("KGQL_TOKEN"),
+                    help="shared secret required in Authorization: Bearer / "
+                         "X-Kgql-Token headers (default: $KGQL_TOKEN)")
+    ap.add_argument("--allow-remote", action="store_true",
+                    help="permit binding a non-loopback --host "
+                         "(requires --token; the endpoint evals queries)")
     args = ap.parse_args(argv)
     if not args.sf_dir and not args.warehouse and not args.bundle:
         ap.error("need --sf-dir, --warehouse or --bundle")
@@ -156,7 +232,8 @@ def main(argv=None) -> int:
         g = kgql.build_view_from_warehouse(spark, args.warehouse)
     else:
         g = kgql.build_view_from_corpus(spark, args.sf_dir)
-    server = serve(g, args.host, args.port)
+    server = serve(g, args.host, args.port, token=args.token,
+                   allow_remote=args.allow_remote)
     print(f"kgql-server listening on {args.host}:{server.server_address[1]}",
           file=sys.stderr)
     try:
