@@ -376,7 +376,9 @@ def _q_kg_reachable_4hop(spark, sf_dir):
     follows = triples.where(F.col("pred") == S.PRED_FOLLOWS).select(
         "conv_id", F.col("subj").alias("s"), F.col("obj").alias("o")
     )
-    return dataflow.reachable_within_grouped(follows, max_hops=4)
+    # size-routed (VERDICT r4 #3): mega-conversations fall back to the
+    # join-loop form instead of one applyInPandas task per group
+    return dataflow.reachable_within_auto(follows, max_hops=4)
 
 
 # ---------------------------------------------------------------------------
@@ -836,7 +838,7 @@ def _q_kg_reachable_semantics(spark, sf_dir):
 
     triples = kg.final_triples(_transcripts(spark, sf_dir), _alias_dict(spark, sf_dir))
     fe = semantics.flow_edges(triples, semantics.semantics_table(spark))
-    return dataflow.reachable_within_grouped(fe, max_hops=4)
+    return dataflow.reachable_within_auto(fe, max_hops=4)
 
 
 def _q_kg_reachable_cross_conv(spark, sf_dir):
