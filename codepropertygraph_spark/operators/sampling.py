@@ -106,12 +106,34 @@ def bottom_k(
     """Deterministic "reservoir": the k rows with the smallest salted key
     hashes per group — a uniform fixed-size sample with the KMV/quantile
     sketch's merge property (union two groups' reservoirs, keep the k
-    smallest == reservoir of the concatenation). One shuffle (per-group
-    top-k window), the same envelope as sketches.quantile_sketch."""
+    smallest == reservoir of the concatenation).
+
+    Two-phase plan (VERDICT r4 #2): instead of windowing the WHOLE rows
+    through one sort partition per group, (1) the 8-byte hash column alone
+    goes through a salted two-phase bottom-k aggregation — per
+    (keys, hash mod 32) partials, then a per-group merge-fold of the
+    sketch-sized arrays — yielding each group's k-th-smallest-hash
+    threshold; (2) rows survive via a threshold join on keys (a
+    groups-cardinality-sized table — AQE broadcasts it when small) plus a
+    residual row_number over the ~k survivors per group to trim
+    hash-boundary ties exactly as the windowed form did. Full-row data is
+    never sorted per group, and the per-group reducer state is ≤ 32·k
+    hashes."""
     h = _row_hash(key_cols, salt)
+    hdf = df.withColumn("__h", h)
+    partial = hdf.groupBy(
+        *keys, F.pmod("__h", F.lit(32)).alias("__salt")
+    ).agg(F.slice(F.array_sort(F.collect_list("__h")), 1, k).alias("__p"))
+    thresh = partial.groupBy(*keys).agg(
+        F.element_at(
+            F.slice(F.array_sort(F.flatten(F.collect_list("__p"))), 1, k), -1
+        ).alias("__kth")
+    )
     w = Window.partitionBy(*keys).orderBy("__h")
     return (
-        df.withColumn("__h", h)
+        hdf.join(thresh, keys)
+        .where(F.col("__h") <= F.col("__kth"))
+        .drop("__kth")
         .withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= k)
         .drop("__rk")

@@ -36,20 +36,35 @@ from ..ids import hash60
 HASH_DOMAIN = 1 << 60
 
 
-def kmv_sketch(df: DataFrame, keys: list[str], col: str, k: int = 32) -> DataFrame:
+def kmv_sketch(
+    df: DataFrame, keys: list[str], col: str, k: int = 32, n_salts: int = 32
+) -> DataFrame:
     """Per-group KMV sketch: (keys..., sketch array<long> of the k smallest
     distinct hashes ascending, n_le_k = saturation count, kth = the k-th
-    minimum or NULL while unsaturated)."""
-    h = (
-        df.select(*keys, hash60(F.col(col).cast("string")).alias("__h"))
-        .dropDuplicates(keys + ["__h"])
+    minimum or NULL while unsaturated).
+
+    Two-phase plan (VERDICT r4 #2 — no per-group global sort): phase 1
+    groups by (keys, hash mod n_salts) and keeps each salted slice's
+    bottom-k distinct hashes (collect_set both dedups and rides Spark's
+    map-side partial aggregation); phase 2 merge-folds the n_salts partial
+    arrays per group — the same union-and-keep-k operation kmv_merge
+    performs, proven exact by the merge tests. A group's work is spread
+    over n_salts reducers instead of one sort partition holding its entire
+    distinct set; the phase-2 shuffle is sketch-sized (≤ n_salts * k rows
+    per group). Salting by the hash VALUE keeps cross-salt duplicates
+    impossible, so the result is bit-identical to the one-phase form."""
+    h = df.select(*keys, hash60(F.col(col).cast("string")).alias("__h"))
+    partial = h.groupBy(
+        *keys, F.pmod("__h", F.lit(n_salts)).alias("__salt")
+    ).agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k).alias("__p"))
+    sk = partial.groupBy(*keys).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__p"))), 1, k).alias("sketch")
     )
-    w = Window.partitionBy(*keys).orderBy("__h")
-    topk = h.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") <= k)
-    return topk.groupBy(*keys).agg(
-        F.array_sort(F.collect_list("__h")).alias("sketch"),
-        F.count("*").alias("n_le_k"),
-        F.max(F.when(F.col("__rk") == k, F.col("__h"))).alias("kth"),
+    return sk.select(
+        *keys,
+        "sketch",
+        F.size("sketch").cast("long").alias("n_le_k"),
+        F.when(F.size("sketch") == k, F.element_at("sketch", k)).alias("kth"),
     )
 
 
@@ -119,9 +134,15 @@ def quantile_sketch(
 
     Output: (keys..., qsketch: array<struct<h: long, v: long>> ascending by
     h, n_rows: long). ``col`` must be integral (exact cross-engine compare;
-    scale floats to fixed-point first). Scale shape: one shuffle
-    (row-hash ranking window per group over at most the group's rows), same
-    envelope as the KMV sketch."""
+    scale floats to fixed-point first).
+
+    Two-phase plan (VERDICT r4 #2, same shape as :func:`kmv_sketch`):
+    per-(keys, hash mod n_salts) bottom-s partials, then a per-group
+    merge-fold of the n_salts sketch-sized arrays — exactly the
+    union-and-keep-s operation quantile_merge performs (merge == rescan,
+    tested bit-identical). No reducer ever sorts a whole group; ties on h
+    resolve by (h, v) struct order, deterministic either way."""
+    n_salts = 32
     h = df.select(
         *keys,
         hash60(F.concat_ws("|", *[F.col(c).cast("string") for c in row_key])).alias(
@@ -129,13 +150,22 @@ def quantile_sketch(
         ),
         F.col(col).cast("long").alias("__v"),
     )
-    w = Window.partitionBy(*keys).orderBy("__h")
-    topk = h.withColumn("__rk", F.row_number().over(w)).where(F.col("__rk") <= s)
+    partial = h.groupBy(
+        *keys, F.pmod("__h", F.lit(n_salts)).alias("__salt")
+    ).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__h").alias("h"), F.col("__v").alias("v"))
+                )
+            ),
+            1,
+            s,
+        ).alias("__p")
+    )
     counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
-    sk = topk.groupBy(*keys).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("__h").alias("h"), F.col("__v").alias("v")))
-        ).alias("qsketch")
+    sk = partial.groupBy(*keys).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("__p"))), 1, s).alias("qsketch")
     )
     return sk.join(counts, keys)
 
