@@ -1326,30 +1326,30 @@ def _q_events_quantiles(spark, sf_dir):
 
 
 def _q_kg_triples_streamed(spark, sf_dir):
-    """The Structured-Streaming ingestion path, externally hash-checked:
-    drain the transcripts directory through readStream -> foreachBatch
-    (streaming/ingest.stream_triples with availableNow and a fresh
-    checkpoint) into a parquet sink and return the sink contents. One batch
-    (max_files_per_trigger >= file count) so within-batch follows pairs are
-    complete regardless of how conversations split across part files; rows
-    must equal the batch kg_triples derivation — the oracle IS kg_triples'
-    recursive-CTE SQL. Converts the streaming surface from pytest-only to
-    driver-gate-checked."""
+    """The Structured-Streaming ingestion path, externally hash-checked, at
+    maxFilesPerTrigger=1 (VERDICT r4 #6): drain the transcripts directory
+    ONE FILE PER MICRO-BATCH through stream_triples_exact — stateless
+    JVM-side clause triples plus stream_follows_exact's versioned
+    applyInPandasWithState buffer — into parquet sinks and assemble with
+    read_triples_exact. The corpus's part files carry SHUFFLED rows
+    (testdata.py), so conversations span batches in arbitrary order; the
+    result must still equal the batch kg_triples derivation — the oracle IS
+    kg_triples' recursive-CTE SQL."""
     import tempfile
 
     from codepropertygraph_spark.streaming import ingest
 
     d = td.ensure_generated(td.tier_of_sf_dir(sf_dir))
     base = tempfile.mkdtemp(prefix="kg_stream_gate_")
-    ingest.stream_triples(
+    ingest.stream_triples_exact(
         spark,
         f"{d}/transcripts.parquet",
         _alias_dict(spark, sf_dir),
         f"{base}/out",
         f"{base}/ckpt",
-        max_files_per_trigger=1_000_000,
+        max_files_per_trigger=1,
     )
-    return spark.read.parquet(f"{base}/out").select("conv_id", "subj", "pred", "obj")
+    return ingest.read_triples_exact(spark, f"{base}/out")
 
 
 def _q_kg_pipeline_counts(spark, sf_dir):

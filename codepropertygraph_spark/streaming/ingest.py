@@ -10,8 +10,10 @@ overlay architecture makes free.
 directory → per-micro-batch extract→link→merge (the same
 ``kg.clause_triples`` / ``follows`` code) → append to an output directory,
 with checkpointing for exactly-once file-sink semantics. ``follows`` edges
-are computed *within* each micro-batch (cross-batch adjacency would need
-``applyInPandasWithState``; out of parity scope, noted not invented).
+are computed *within* each micro-batch there; ``stream_triples_exact``
+composes the stateless clause stream with ``stream_follows_exact``'s
+versioned ``applyInPandasWithState`` buffer so the drained result equals
+the batch triple set under ANY batch split and row arrival order.
 """
 
 from __future__ import annotations
@@ -66,34 +68,17 @@ def stream_triples(
     return writer.start()
 
 
-def stream_follows_stateful(
-    spark: SparkSession,
-    input_dir: str,
-    alias_dict: DataFrame,
-    output_dir: str,
-    checkpoint_dir: str,
-):
-    """Cross-micro-batch ``follows`` edges via ``applyInPandasWithState``:
-    per-conversation state carries the last seen turn's first-mention, so a
-    conversation split across arriving files still yields the boundary
-    follows pair (the limitation of the stateless foreachBatch path).
+def _first_mention_fn(spark: SparkSession, alias_dict: DataFrame):
+    """Driver-built per-turn first-mention closure, broadcast to executors.
 
-    State shape per conv_id: (last_turn_idx, last_ts_us, last_canonical).
-    Assumes per-conversation arrival in turn order (append-only transcript
-    logs), the same assumption the reference's single pass makes about its
-    input file. Emits (conv_id, subj, pred, obj) rows.
-    """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
+    Dictionary canonicals are rewritten through the canonicalization merge
+    map ONCE at broadcast-build time, so stateful paths emit exactly the
+    same post-merge names as the batch ``kg.follows_triples`` (and the
+    frozen extractor's link_surface). External stubs are never merge-map
+    keys (the map is dictionary-canonical-scoped), so the external fallback
+    below is already parity-correct."""
     from ..operators import linking
 
-    # Dictionary canonicals are rewritten through the canonicalization merge
-    # map ONCE at broadcast-build time, so the stateful path emits exactly
-    # the same post-merge names as the batch kg.follows_triples (and the
-    # frozen extractor's link_surface). External stubs are never merge-map
-    # keys (the map is dictionary-canonical-scoped), so the external
-    # fallback below is already parity-correct.
     merge = {
         r.canonical_name: r.merged_name
         for r in canonicalize.merge_map(alias_dict).collect()
@@ -115,6 +100,31 @@ def stream_follows_stateful(
                 s = toks[i - 1]
                 return d.get(s, S.EXTERNAL_PREFIX + s)
         return None
+
+    return first_mention
+
+
+def stream_follows_stateful(
+    spark: SparkSession,
+    input_dir: str,
+    alias_dict: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Cross-micro-batch ``follows`` edges via ``applyInPandasWithState``:
+    per-conversation state carries the last seen turn's first-mention, so a
+    conversation split across arriving files still yields the boundary
+    follows pair (the limitation of the stateless foreachBatch path).
+
+    State shape per conv_id: (last_turn_idx, last_ts_us, last_canonical).
+    Assumes per-conversation arrival in turn order (append-only transcript
+    logs), the same assumption the reference's single pass makes about its
+    input file. Emits (conv_id, subj, pred, obj) rows.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    first_mention = _first_mention_fn(spark, alias_dict)
 
     def update(key, pdfs, state: GroupState):
         (conv_id,) = key
@@ -177,6 +187,212 @@ def stream_follows_stateful(
     )
     q.awaitTermination()
     return q
+
+
+def stream_follows_exact(
+    spark: SparkSession,
+    input_dir: str,
+    alias_dict: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Cross-batch ``follows`` edges EXACT under arbitrary arrival order.
+
+    ``stream_follows_stateful`` carries only the last turn, so a turn that
+    arrives out of order (a real property of this corpus: the generator
+    shuffles rows across part files, testdata.py) is dropped by its
+    late-data policy and the pair set diverges from batch. This variant
+    makes the streamed result equal the batch ``kg.follows_triples`` set no
+    matter how conversations split across micro-batches:
+
+    - state buffers the conversation's full mention sequence
+      ``(turn_idx, ts_us, canonical-or-'')`` — the same session-window-style
+      state a watermarked sort would keep, bounded by conversation length;
+    - every batch that touches the conversation re-sorts the sequence under
+      the batch ordering key ``(turn_idx, ts)`` and re-derives the COMPLETE
+      pair set (a late turn can both create and break adjacent pairs, so
+      incremental append emission cannot retract stale pairs);
+    - emission is versioned: each re-derivation carries a per-conversation
+      monotone ``seq``; the append-only sink then holds every version and
+      ``read_triples_exact`` selects each conversation's latest — the
+      streaming analog of update-mode output over a file sink.
+
+    Scale shape: state is O(turns-per-conversation) — identical to what any
+    per-conversation window already shuffles — and emission is
+    O(pairs-per-touched-conversation) per batch, not O(corpus).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    first_mention = _first_mention_fn(spark, alias_dict)
+
+    def update(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        turns: list[tuple[int, int, str]] = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                turns.append(
+                    (
+                        int(row["turn_idx"]),
+                        row["ts"].value,
+                        first_mention(row["text"]) or "",
+                    )
+                )
+        if state.exists:
+            idxs, tss, cans, seq = state.get
+            turns.extend(
+                (int(i), int(t), c or "")
+                for i, t, c in zip(idxs, tss, cans)
+            )
+        else:
+            seq = 0
+        turns.sort(key=lambda t: (t[0], t[1]))
+        seq += 1
+        state.update(
+            (
+                [t[0] for t in turns],
+                [t[1] for t in turns],
+                [t[2] for t in turns],
+                int(seq),
+            )
+        )
+        out_subj, out_obj = [], []
+        for (_, _, prev_c), (_, _, cur_c) in zip(turns, turns[1:]):
+            if prev_c and cur_c:
+                out_subj.append(cur_c)
+                out_obj.append(prev_c)
+        if not out_subj:
+            # still version the (empty) pair set: a late mention-less turn
+            # can BREAK every pair a previous batch emitted, and the reader
+            # must see that the newest version is empty.
+            out_subj, out_obj = [None], [None]
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id] * len(out_subj),
+                "seq": [int(seq)] * len(out_subj),
+                "subj": out_subj,
+                "pred": [S.PRED_FOLLOWS if s is not None else None for s in out_subj],
+                "obj": out_obj,
+            }
+        )
+
+    stream = (
+        spark.readStream.schema(S.TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    follows = stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        outputStructType="conv_id string, seq int, subj string, pred string, obj string",
+        stateStructType=(
+            "turn_idxs array<int>, ts_us array<long>, "
+            "canonicals array<string>, seq int"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        follows.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_triples_exact(
+    spark: SparkSession,
+    input_dir: str,
+    alias_dict: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Full triple stream whose drained result equals the batch
+    ``kg.final_triples`` set even when conversations span micro-batches in
+    arbitrary row order — the exactness ``stream_triples`` only guarantees
+    for whole-conversation batches.
+
+    Two cooperating queries over the same file source (each with its own
+    checkpoint under ``checkpoint_dir``):
+
+    - clause triples are TURN-LOCAL (broadcast dictionary + merge map, no
+      cross-turn dependency), so the stateless JVM-side batch code runs
+      unchanged under ``foreachBatch`` — batch granularity cannot change
+      the result, and the hot path stays out of Python;
+    - ``follows`` adjacency is order-sensitive, so it runs through
+      ``stream_follows_exact``'s versioned buffered state at
+      ``max_files_per_trigger`` granularity.
+
+    Read the drained result with ``read_triples_exact(spark, output_dir)``.
+    """
+    import os
+
+    merge = canonicalize.merge_map(alias_dict).localCheckpoint(eager=True)
+    os.makedirs(output_dir, exist_ok=True)
+
+    # Turn-local ⇒ batch granularity cannot change the clause result, so
+    # drain in one availableNow batch regardless of max_files_per_trigger
+    # (the order-sensitive follows query below honors it).
+    stream = (
+        spark.readStream.schema(S.TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            kg.clause_triples(batch_df, alias_dict, merge)
+            .dropDuplicates(["conv_id", "subj", "pred", "obj"])
+            .write.mode("append")
+            .parquet(os.path.join(output_dir, "clauses"))
+        )
+
+    q1 = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "clauses"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+
+    stream_follows_exact(
+        spark,
+        input_dir,
+        alias_dict,
+        os.path.join(output_dir, "follows"),
+        os.path.join(checkpoint_dir, "follows"),
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def read_triples_exact(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Assemble the current triple set from a ``stream_triples_exact`` sink:
+    distinct clause triples ∪ each conversation's LATEST-version follows
+    pairs (max ``seq`` per conv_id — earlier versions are superseded, the
+    file-sink analog of update-mode output)."""
+    import os
+
+    from pyspark.sql import Window
+
+    clauses = spark.read.parquet(os.path.join(output_dir, "clauses"))
+    fol = spark.read.parquet(os.path.join(output_dir, "follows"))
+    w = Window.partitionBy("conv_id")
+    latest = (
+        fol.withColumn("__mx", F.max("seq").over(w))
+        .where(F.col("seq") == F.col("__mx"))
+        .where(F.col("subj").isNotNull())
+        .select("conv_id", "subj", "pred", "obj")
+    )
+    return (
+        clauses.select("conv_id", "subj", "pred", "obj")
+        .unionByName(latest)
+        .dropDuplicates(["conv_id", "subj", "pred", "obj"])
+    )
 
 
 def stream_hourly_event_counts(

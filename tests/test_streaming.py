@@ -106,6 +106,96 @@ def test_stateful_follows_applies_merge_map(spark, tmp_path):
     assert got == batch
 
 
+def _write_files(spark, base, row_groups, schema):
+    os.makedirs(f"{base}/in", exist_ok=True)
+    for i, rows in enumerate(row_groups):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/t{i}")
+        for f in os.listdir(f"{base}/t{i}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{base}/t{i}/{f}", f"{base}/in/file{i}.parquet")
+
+
+def test_stream_triples_exact_split_conversation(spark, tmp_path):
+    """VERDICT r4 #6: one conversation split across two files/batches must
+    yield the IDENTICAL triple set as the batch path at
+    maxFilesPerTrigger=1 — including the boundary follows pair."""
+    from datetime import datetime
+
+    base = str(tmp_path)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    rows1 = [
+        ("cS", 1, "user", "p1 mentions p2 x", None, datetime(2024, 1, 1, 0, 0, 0)),
+        ("cS", 2, "assistant", "p2 mentions p1 y", None, datetime(2024, 1, 1, 0, 0, 10)),
+    ]
+    rows2 = [
+        ("cS", 3, "user", "p1 calls p2 z", None, datetime(2024, 1, 1, 0, 0, 20)),
+        ("cT", 1, "user", "p2 mentions p1 w", None, datetime(2024, 1, 2, 0, 0, 0)),
+    ]
+    ad = spark.createDataFrame(
+        [("p1", "person_one", "PERSON", 0.9), ("p2", "person_two", "PERSON", 0.9)],
+        "alias string, canonical_name string, entity_type string, prior double",
+    )
+    _write_files(spark, base, [rows1, rows2], schema)
+
+    ingest.stream_triples_exact(
+        spark, f"{base}/in", ad, f"{base}/out", f"{base}/ckpt", max_files_per_trigger=1
+    )
+    got = {tuple(r) for r in ingest.read_triples_exact(spark, f"{base}/out").collect()}
+    tr = spark.createDataFrame(rows1 + rows2, schema)
+    batch = {tuple(r) for r in kg.final_triples(tr, ad).collect()}
+    assert got == batch
+    # the boundary pair (turn 3 follows turn 2) is present
+    assert ("cS", "person_one", "follows", "person_two") in got
+
+    # exactly-once: rerun with the same checkpoint adds nothing
+    ingest.stream_triples_exact(
+        spark, f"{base}/in", ad, f"{base}/out", f"{base}/ckpt", max_files_per_trigger=1
+    )
+    got2 = {tuple(r) for r in ingest.read_triples_exact(spark, f"{base}/out").collect()}
+    assert got2 == batch
+
+
+def test_stream_triples_exact_out_of_order_arrival(spark, tmp_path):
+    """The corpus generator SHUFFLES rows across part files, so a later file
+    can carry an EARLIER turn. The buffered-state path must re-derive the
+    pair set (creating AND breaking pairs) instead of dropping late turns:
+    here the late-arriving mention-less turn 2 breaks the (turn3, turn1)
+    pair batch 1 saw, and late turn 0 adds a new boundary pair."""
+    from datetime import datetime
+
+    base = str(tmp_path)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    # file 0: turns 1 and 3 (adjacent as far as batch 0 knows)
+    rows1 = [
+        ("cO", 1, "user", "p1 mentions p2 a", None, datetime(2024, 1, 1, 0, 0, 0)),
+        ("cO", 3, "user", "p2 mentions p1 c", None, datetime(2024, 1, 1, 0, 0, 20)),
+    ]
+    # file 1: turn 2 (mention-less, BREAKS the 3->1 pair) and turn 0 (new pair 1->0)
+    rows2 = [
+        ("cO", 2, "assistant", "no entities here", None, datetime(2024, 1, 1, 0, 0, 10)),
+        ("cO", 0, "user", "p2 greets x", None, datetime(2023, 12, 31, 0, 0, 0)),
+    ]
+    ad = spark.createDataFrame(
+        [("p1", "person_one", "PERSON", 0.9), ("p2", "person_two", "PERSON", 0.9)],
+        "alias string, canonical_name string, entity_type string, prior double",
+    )
+    _write_files(spark, base, [rows1, rows2], schema)
+
+    ingest.stream_triples_exact(
+        spark, f"{base}/in", ad, f"{base}/out", f"{base}/ckpt", max_files_per_trigger=1
+    )
+    got = {tuple(r) for r in ingest.read_triples_exact(spark, f"{base}/out").collect()}
+    tr = spark.createDataFrame(rows1 + rows2, schema)
+    batch = {tuple(r) for r in kg.final_triples(tr, ad).collect()}
+    assert got == batch
+    # the stale pair from batch 0 must NOT survive
+    follows = {t for t in got if t[2] == "follows"}
+    assert ("cO", "person_two", "follows", "person_one") not in follows
+    assert ("cO", "person_one", "follows", "person_two") in follows
+
+
 def test_stream_hourly_counts_match_batch(spark, tmp_path):
     import shutil, os
 
