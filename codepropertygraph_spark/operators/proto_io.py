@@ -53,38 +53,20 @@ from .. import schema as S
 PROTO_BUNDLE_VERSION = 1
 
 # ---------------------------------------------------------------------------
-# Enum tables (cpg.proto NodeType / EdgeType / NodePropertyName analogs).
-# Deterministic: declaration order of schema.py, 1-based (0 = UNKNOWN_*,
-# exactly as the reference template reserves 0 for the UNKNOWN members).
+# Enum tables (cpg.proto NodeType / EdgeType / NodePropertyName analogs) —
+# derived in schema.py from THE single declaration (schema_decl.json), so a
+# new label / edge prop / decorator-derived key is added in exactly one
+# place (r4 VERDICT #5 killed the two-places-to-edit hazard this module
+# used to carry as _DERIVED_PROP_KEYS).
 # ---------------------------------------------------------------------------
 
-NODE_TYPE_ENUM: dict[str, int] = {l: i + 1 for i, l in enumerate(S.NODE_LABELS)}
-EDGE_TYPE_ENUM: dict[str, int] = {l: i + 1 for i, l in enumerate(S.EDGE_LABELS)}
-
-# Closed property-name vocabulary: the hot node columns + every declared
-# per-label key + the edge-prop keys. Closed by design — the reference's
-# NodePropertyName enum admits only schema-declared keys; an undeclared key
-# raises at encode time rather than silently round-tripping wrong.
-_EDGE_PROP_KEYS = ("pred", "score", "kind")
-# derived properties written by the decorator pass (MethodDecoratorPass
-# analog, plans/pipeline.py _decorate_pass) — declared so decorated graphs
-# round-trip; any newly-invented derived key must be added here (closed enum)
-_DERIVED_PROP_KEYS = ("n_tokens", "n_preds")
-PROPERTY_NAME_ENUM: dict[str, int] = {
-    k: i + 1
-    for i, k in enumerate(
-        sorted(
-            {k for keys in S.NODE_KEYS.values() for k in keys}
-            | {"name", "full_name", "code", "order", "conv_id", "turn_idx"}
-            | set(_EDGE_PROP_KEYS)
-            | set(_DERIVED_PROP_KEYS)
-        )
-    )
-}
+NODE_TYPE_ENUM: dict[str, int] = S.NODE_TYPE_ENUM
+EDGE_TYPE_ENUM: dict[str, int] = S.EDGE_TYPE_ENUM
+PROPERTY_NAME_ENUM: dict[str, int] = S.PROPERTY_NAME_ENUM
 
 # Columns of the graph tables and how each encodes (PropertyValue oneof
 # field: 1 = string_value, 3 = int_value).
-_NODE_COLS = ("name", "full_name", "code", "order", "conv_id", "turn_idx")
+_NODE_COLS = S.HOT_NODE_COLUMNS
 _INT_COLS = frozenset({"order", "turn_idx"})
 
 # PropertyValue oneof field numbers (cpg.proto.tpl PropertyValue)
@@ -146,8 +128,9 @@ def _prop_enum(key: str) -> int:
     except KeyError:
         raise ValueError(
             f"property key {key!r} is not in the declared vocabulary "
-            f"(schema.py NODE_KEYS / proto_io._EDGE_PROP_KEYS) — the proto "
-            f"interchange format is a closed-enum format like the reference's"
+            f"(schema_decl.json node_types / edge_prop_keys / "
+            f"derived_prop_keys) — the proto interchange format is a "
+            f"closed-enum format like the reference's"
         ) from None
 
 

@@ -8,12 +8,16 @@ name vocabulary at ``schemas/operators.json:5-257``. Codegen turns that JSON
 into proto + domain classes (``codepropertygraph/codegen/src/main/python/
 generateProtobuf.py:8-24``).
 
-Here the single source of truth is this module: it declares labels, keys,
-cardinalities and traits for the transcript knowledge graph, derives the
-PySpark ``StructType`` for the node/edge tables, and derives the expectation
-facts used by the validator (the ``cpgvalidator`` analog,
-``cpgvalidator/src/main/scala/io/shiftleft/cpgvalidator/validators/
-CpgValidator.scala:8-14``).
+Here the single source of truth is ``schema_decl.json`` next to this module
+— the ``base.json`` analog — and this module is the generator
+(``generateProtobuf.py`` analog, run as an import-time loader rather than a
+text emitter): it derives the label/key constants, the PySpark
+``StructType`` for every table, the expectation facts used by the validator
+(the ``cpgvalidator`` analog, ``cpgvalidator/src/main/scala/io/shiftleft/
+cpgvalidator/validators/CpgValidator.scala:8-14``), and the proto enum
+tables ``operators/proto_io.py`` serializes with. Adding a node key, edge
+property, or decorator-derived property touches exactly one file:
+``schema_decl.json``.
 
 Domain mapping (SURVEY.md §1.3): CONVERSATION ≈ FILE, TURN ≈ METHOD/BLOCK,
 MENTION ≈ IDENTIFIER/CALL, ENTITY ≈ TYPE_DECL/METHOD, TOOLCALL ≈ CALL with
@@ -22,66 +26,58 @@ dispatch, META_DATA ≈ META_DATA.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import types as T
 
+with open(os.path.join(os.path.dirname(__file__), "schema_decl.json")) as _fh:
+    _DECL = json.load(_fh)
+
+SCHEMA_VERSION: int = _DECL["version"]
+
 # ---------------------------------------------------------------------------
-# Node labels (base.json:67-602 analog)
+# Node labels (base.json:67-602 analog). Declaration order is significant:
+# it fixes the 1-based proto enum numbering below. The tuple-unpacks tie the
+# convenience constants to the declaration — reordering or renaming in the
+# JSON fails loudly here at import.
 # ---------------------------------------------------------------------------
 
-CONVERSATION = "CONVERSATION"
-TURN = "TURN"
-MENTION = "MENTION"
-ENTITY = "ENTITY"
-TOOLCALL = "TOOLCALL"
-META_DATA = "META_DATA"
-
-NODE_LABELS = (CONVERSATION, TURN, MENTION, ENTITY, TOOLCALL, META_DATA)
+NODE_LABELS: tuple[str, ...] = tuple(_DECL["node_types"])
+(CONVERSATION, TURN, MENTION, ENTITY, TOOLCALL, META_DATA) = NODE_LABELS
+assert NODE_LABELS == (
+    "CONVERSATION", "TURN", "MENTION", "ENTITY", "TOOLCALL", "META_DATA"
+)
 
 # Allowed property keys per node label (base.json nodeKeys analog). Hot
 # properties are top-level typed columns of the nodes table; the long tail
 # lives in a map<string,string> column, mirroring how the reference keeps a
 # fixed per-type key set (base.json:7-56).
 NODE_KEYS: dict[str, tuple[str, ...]] = {
-    CONVERSATION: ("name", "conv_id", "n_turns"),
-    TURN: ("conv_id", "turn_idx", "order", "role", "tool", "code", "ts"),
-    MENTION: ("conv_id", "turn_idx", "order", "name", "code"),
-    ENTITY: ("name", "full_name", "entity_type", "is_external"),
-    TOOLCALL: ("conv_id", "turn_idx", "order", "name", "full_name"),
-    META_DATA: ("language", "version", "overlays"),
+    label: tuple(keys) for label, keys in _DECL["node_types"].items()
 }
 
 # ---------------------------------------------------------------------------
 # Edge labels (base.json:616-636 + enhancements.json:247-258 analog)
 # ---------------------------------------------------------------------------
 
-AST = "AST"  # containment: CONVERSATION -> TURN, TURN -> MENTION/TOOLCALL
-NEXT = "NEXT"  # per-conversation turn order (CFG analog)
-CONTAINS = "CONTAINS"  # transitive containment shortcut (ContainsEdgePass A15)
-REF = "REF"  # MENTION -> ENTITY (Linker.linkToSingle semantics, A10)
-REL = "REL"  # triple edge ENTITY -> ENTITY; props['pred'] = predicate
-CALL = "CALL"  # TOOLCALL -> ENTITY(TOOL) resolved call edge (CallLinker A13)
-SOURCE_FILE = "SOURCE_FILE"  # node -> CONVERSATION file-analog (FileLinker A11)
-
-EDGE_LABELS = (AST, NEXT, CONTAINS, REF, REL, CALL, SOURCE_FILE)
+EDGE_LABELS: tuple[str, ...] = tuple(_DECL["edge_types"])
+# AST containment: CONVERSATION -> TURN, TURN -> MENTION/TOOLCALL
+# NEXT per-conversation turn order (CFG analog)
+# CONTAINS transitive containment shortcut (ContainsEdgePass A15)
+# REF MENTION -> ENTITY (Linker.linkToSingle semantics, A10)
+# REL triple edge ENTITY -> ENTITY; props['pred'] = predicate
+# CALL TOOLCALL -> ENTITY(TOOL) resolved call edge (CallLinker A13)
+# SOURCE_FILE node -> CONVERSATION file-analog (FileLinker A11)
+(AST, NEXT, CONTAINS, REF, REL, CALL, SOURCE_FILE) = EDGE_LABELS
+assert EDGE_LABELS == (
+    "AST", "NEXT", "CONTAINS", "REF", "REL", "CALL", "SOURCE_FILE"
+)
 
 # Allowed (src_label, edge_label, dst_label) facts — the cpgvalidator
 # expectation table (CpgValidator.scala:8-14 analog).
 EDGE_FACTS: frozenset[tuple[str, str, str]] = frozenset(
-    {
-        (CONVERSATION, AST, TURN),
-        (TURN, AST, MENTION),
-        (TURN, AST, TOOLCALL),
-        (TURN, NEXT, TURN),
-        (CONVERSATION, CONTAINS, TURN),
-        (CONVERSATION, CONTAINS, MENTION),
-        (CONVERSATION, CONTAINS, TOOLCALL),
-        (MENTION, REF, ENTITY),
-        (ENTITY, REL, ENTITY),
-        (TOOLCALL, CALL, ENTITY),
-        (TURN, SOURCE_FILE, CONVERSATION),
-        (MENTION, SOURCE_FILE, CONVERSATION),
-        (TOOLCALL, SOURCE_FILE, CONVERSATION),
-    }
+    tuple(f) for f in _DECL["edge_facts"]
 )
 
 # Edge-cardinality facts — the reference schema's outEdges cardinality
@@ -90,24 +86,9 @@ EDGE_FACTS: frozenset[tuple[str, str, str]] = frozenset(
 # ZERO_OR_ONE / LIST). Each fact: a node of ``node_label`` must have between
 # ``min`` and ``max`` (None = unbounded) ``edge_label`` edges in
 # ``direction`` ('out' | 'in').
-CARDINALITY_FACTS: tuple[tuple[str, str, str, int, int | None], ...] = (
-    (MENTION, "out", REF, 1, 1),        # every mention resolves to exactly one entity
-    (TOOLCALL, "out", CALL, 1, 1),      # every toolcall dispatches to exactly one entity
-    (TURN, "out", NEXT, 0, 1),          # linear CFG: at most one successor
-    (TURN, "in", NEXT, 0, 1),           # ... and one predecessor
-    (TURN, "in", AST, 1, 1),            # every turn has exactly one AST parent
-    (MENTION, "in", AST, 1, 1),
-    (TOOLCALL, "in", AST, 1, 1),
-    (TURN, "in", CONTAINS, 1, 1),       # transitive-containment shortcut is 1:1 here
-    (MENTION, "in", CONTAINS, 1, 1),
-    (TOOLCALL, "in", CONTAINS, 1, 1),
-    (CONVERSATION, "in", AST, 0, 0),    # conversations are roots
-    # FileLinker edges are ZERO_OR_ONE (base.json SOURCE_FILE cardinality):
-    # graphs built without the link_files pass stay conformant; with it,
-    # every within-conversation node links to at most one file.
-    (TURN, "out", SOURCE_FILE, 0, 1),
-    (MENTION, "out", SOURCE_FILE, 0, 1),
-    (TOOLCALL, "out", SOURCE_FILE, 0, 1),
+CARDINALITY_FACTS: tuple[tuple[str, str, str, int, int | None], ...] = tuple(
+    (lbl, direction, edge, lo, hi)
+    for lbl, direction, edge, lo, hi in _DECL["cardinality_facts"]
 )
 
 # ---------------------------------------------------------------------------
@@ -117,13 +98,7 @@ CARDINALITY_FACTS: tuple[tuple[str, str, str, int, int | None], ...] = (
 # ---------------------------------------------------------------------------
 
 TRAITS: dict[str, frozenset[str]] = {
-    "AST_NODE": frozenset({CONVERSATION, TURN, MENTION, TOOLCALL}),
-    "CFG_NODE": frozenset({TURN}),
-    "TRACKING_POINT": frozenset({TURN, MENTION, TOOLCALL}),
-    "DECLARATION": frozenset({ENTITY}),
-    "EXPRESSION": frozenset({MENTION, TOOLCALL}),
-    "WITHIN_CONVERSATION": frozenset({TURN, MENTION, TOOLCALL}),
-    "CALL_REPR": frozenset({TOOLCALL}),
+    trait: frozenset(labels) for trait, labels in _DECL["traits"].items()
 }
 
 
@@ -135,78 +110,78 @@ def labels_of_trait(trait: str) -> list[str]:
 # Closed vocabularies (base.json:640-676 / operators.json analog)
 # ---------------------------------------------------------------------------
 
-ROLES = ("user", "assistant", "system", "tool")
+ROLES: tuple[str, ...] = tuple(_DECL["roles"])
 
-ENTITY_TYPES = ("PERSON", "ORG", "TOOL", "CONCEPT")
+ENTITY_TYPES: tuple[str, ...] = tuple(_DECL["entity_types"])
 
 # Predicate vocabulary — the <operator>.* closed name set analog
 # (schemas/operators.json:5-257). 'follows' is derived from turn order
 # (NEXT-edge projection); the rest appear literally in turn text.
-PRED_USES_TOOL = "uses_tool"
-PRED_MENTIONS = "mentions"
-PRED_ASKS_ABOUT = "asks_about"
-PRED_REFERS_TO = "refers_to"
-PRED_FOLLOWS = "follows"
-
-TEXT_PREDICATES = (PRED_USES_TOOL, PRED_MENTIONS, PRED_ASKS_ABOUT, PRED_REFERS_TO)
-ALL_PREDICATES = TEXT_PREDICATES + (PRED_FOLLOWS,)
+TEXT_PREDICATES: tuple[str, ...] = tuple(_DECL["text_predicates"])
+(PRED_USES_TOOL, PRED_MENTIONS, PRED_ASKS_ABOUT, PRED_REFERS_TO) = TEXT_PREDICATES
+(PRED_FOLLOWS,) = tuple(_DECL["derived_predicates"])
+ALL_PREDICATES: tuple[str, ...] = TEXT_PREDICATES + (PRED_FOLLOWS,)
 
 # Prefix for stub entities synthesized for unresolvable mentions
 # (MethodStubCreator analog, semanticcpg/.../fuzzyc/MethodStubCreator.scala:42-53).
-EXTERNAL_PREFIX = "external:"
+EXTERNAL_PREFIX: str = _DECL["external_prefix"]
 
 # ---------------------------------------------------------------------------
-# Table schemas
+# Proto enum tables (cpg.proto NodeType / EdgeType / NodePropertyName
+# analogs), serialized by operators/proto_io.py. Deterministic: declaration
+# order of schema_decl.json, 1-based (0 = UNKNOWN_*, exactly as the
+# reference template reserves 0 for the UNKNOWN members).
 # ---------------------------------------------------------------------------
 
-TRANSCRIPTS_SCHEMA = T.StructType(
-    [
-        T.StructField("conv_id", T.StringType(), False),
-        T.StructField("turn_idx", T.IntegerType(), False),
-        T.StructField("role", T.StringType(), False),
-        T.StructField("text", T.StringType(), False),
-        T.StructField("tool", T.StringType(), True),
-        T.StructField("ts", T.TimestampType(), False),
-    ]
-)
+NODE_TYPE_ENUM: dict[str, int] = {l: i + 1 for i, l in enumerate(NODE_LABELS)}
+EDGE_TYPE_ENUM: dict[str, int] = {l: i + 1 for i, l in enumerate(EDGE_LABELS)}
 
-ALIAS_DICT_SCHEMA = T.StructType(
-    [
-        T.StructField("alias", T.StringType(), False),
-        T.StructField("canonical_name", T.StringType(), False),
-        T.StructField("entity_type", T.StringType(), False),
-        T.StructField("prior", T.DoubleType(), False),
-    ]
-)
+# Hot node columns of the nodes table (each encodes as a typed top-level
+# property) and the closed edge-prop / decorator-derived key sets. Closed by
+# design — the reference's NodePropertyName enum admits only schema-declared
+# keys; an undeclared key raises at encode time rather than silently
+# round-tripping wrong.
+HOT_NODE_COLUMNS: tuple[str, ...] = tuple(_DECL["hot_node_columns"])
+EDGE_PROP_KEYS: tuple[str, ...] = tuple(_DECL["edge_prop_keys"])
+DERIVED_PROP_KEYS: tuple[str, ...] = tuple(_DECL["derived_prop_keys"])
 
-NODES_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.LongType(), False),
-        T.StructField("label", T.StringType(), False),
-        T.StructField("name", T.StringType(), True),
-        T.StructField("full_name", T.StringType(), True),
-        T.StructField("code", T.StringType(), True),
-        T.StructField("order", T.IntegerType(), True),
-        T.StructField("conv_id", T.StringType(), True),
-        T.StructField("turn_idx", T.IntegerType(), True),
-        T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
-    ]
-)
+PROPERTY_NAME_ENUM: dict[str, int] = {
+    k: i + 1
+    for i, k in enumerate(
+        sorted(
+            {k for keys in NODE_KEYS.values() for k in keys}
+            | set(HOT_NODE_COLUMNS)
+            | set(EDGE_PROP_KEYS)
+            | set(DERIVED_PROP_KEYS)
+        )
+    )
+}
 
-EDGES_SCHEMA = T.StructType(
-    [
-        T.StructField("src", T.LongType(), False),
-        T.StructField("dst", T.LongType(), False),
-        T.StructField("label", T.StringType(), False),
-        T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
-    ]
-)
+# ---------------------------------------------------------------------------
+# Table schemas (derived from the declaration's column lists)
+# ---------------------------------------------------------------------------
 
-TRIPLES_SCHEMA = T.StructType(
-    [
-        T.StructField("conv_id", T.StringType(), False),
-        T.StructField("subj", T.StringType(), False),
-        T.StructField("pred", T.StringType(), False),
-        T.StructField("obj", T.StringType(), False),
-    ]
-)
+_TYPES: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "timestamp": T.TimestampType(),
+    "map<string,string>": T.MapType(T.StringType(), T.StringType()),
+}
+
+
+def _struct(table: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(name, _TYPES[typ], nullable)
+            for name, typ, nullable in _DECL["tables"][table]
+        ]
+    )
+
+
+TRANSCRIPTS_SCHEMA = _struct("transcripts")
+ALIAS_DICT_SCHEMA = _struct("alias_dict")
+NODES_SCHEMA = _struct("nodes")
+EDGES_SCHEMA = _struct("edges")
+TRIPLES_SCHEMA = _struct("triples")
