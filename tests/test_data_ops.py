@@ -460,6 +460,38 @@ def test_ann_ivf_recall_floor(spark, emb):
     assert rp >= 0.8, f"planted-twin recall@1 with 4/16 probes: {rp:.3f}"
 
 
+def test_ann_ivf_kmeans_refinement_recall(spark):
+    """r4 VERDICT #9: the Lloyd-refined quantizer (ivf_centroids_kmeans,
+    deterministic md5-seeded init + driver-side spherical k-means over an
+    md5-selected sample) must reach recall >= the md5-seeding-only baseline
+    where cluster structure exists — the planted-twin corpus is the designed
+    regime (uniform-random corpora have no clusters for Lloyd to find, so
+    the seam's default stays the oracle-expressible md5 quantizer)."""
+    def recall(df_exact, df_ivf):
+        ex = {(r.query_id, r.neighbor_id) for r in df_exact.collect()}
+        got = {(r.query_id, r.neighbor_id) for r in df_ivf.collect()}
+        return len(ex & got) / len(ex)
+
+    planted = _planted_embeddings(spark)
+    exact = similarity.cosine_topk(planted, query_max_id=10, k=5)
+    base = recall(exact, similarity.cosine_topk_ivf(planted, 10, 5, 16, n_probe=4))
+    refined = recall(
+        exact,
+        similarity.cosine_topk_ivf(planted, 10, 5, 16, n_probe=4, refine_iters=5),
+    )
+    assert refined >= base, f"refined {refined:.3f} < md5 baseline {base:.3f}"
+    assert refined >= 0.8, f"refined recall@5: {refined:.3f}"  # measured 0.82
+
+    # the fit is deterministic: identical output across runs
+    a = sorted(
+        map(tuple, similarity.cosine_topk_ivf(planted, 10, 5, 16, 4, refine_iters=5).collect())
+    )
+    b = sorted(
+        map(tuple, similarity.cosine_topk_ivf(planted, 10, 5, 16, 4, refine_iters=5).collect())
+    )
+    assert a == b
+
+
 def test_kmv_sketch_merge_and_estimate(spark):
     """KMV properties: (1) MERGE of two split-corpus sketches equals the
     whole-corpus sketch row-for-row — the rollup contract; (2) the
