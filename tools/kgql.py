@@ -10,6 +10,14 @@ Usage:
     python tools/kgql.py --sf-dir /root/testdata/sf0.001 -c 'g.turns().count()'
     python tools/kgql.py --warehouse /tmp/wh            # REPL on stdin
     echo 'g.help()' | python tools/kgql.py --sf-dir ...
+    python tools/kgql.py --workspace /tmp/ws            # project management:
+        :projects / :import <input_dir> <name> / :open <name> / :close
+        <name> / :delete <name> / :active / :run-script <file> [k=v ...]
+        (console/.../workspacehandling/WorkspaceManager.scala analog,
+        plans/workspace.py)
+    python tools/kgql.py --warehouse /tmp/wh --script q.py --param k=v
+        # ScriptManager.runScript analog: bound names g/F/S/params; result
+        # = the script's run(g, params) return value or its `result` var
 
 Expressions are Python over the bound names ``g`` (GraphView), ``F``
 (pyspark.sql.functions) and ``S`` (schema constants) — the moral equivalent
@@ -174,36 +182,105 @@ def evaluate(g: GraphView, line: str) -> str:
     return render(value)
 
 
+def handle_workspace_command(spark, ws, state: dict, line: str) -> str | None:
+    """Workspace/project meta-commands (the console's project-management
+    verbs, ``WorkspaceManager.scala:30-410`` + ``ScriptManager.scala:125``).
+    Returns rendered output, or None when ``line`` is not a workspace
+    command (so the caller falls through to expression evaluation).
+    Opening/importing a project rebinds ``state['g']`` to a GraphView over
+    that project's warehouse — the active-project ``cpg`` root."""
+    from codepropertygraph_spark.plans import workspace as W
+
+    parts = line.split()
+    if not parts:
+        return None
+    cmd = parts[0]
+    if cmd == ":projects":
+        header = "name\toverlays\tinputPath\tloaded"
+        body = str(ws)
+        return header + ("\n" + body if body else "\n(empty workspace)")
+    if cmd == ":import" and len(parts) == 3:
+        p = ws.create_project(parts[1], parts[2])
+        state["g"] = build_view_from_warehouse(spark, p.warehouse)
+        return f"project {p.name!r} created from {p.input_path} ({len(p.available_overlays())} overlays)"
+    if cmd == ":open" and len(parts) == 2:
+        p = ws.open_project(parts[1])
+        if p is None:
+            return f"error: no project {parts[1]!r}"
+        state["g"] = build_view_from_warehouse(spark, p.warehouse)
+        return f"project {p.name!r} open (overlays: {','.join(p.applied_overlays())})"
+    if cmd == ":close" and len(parts) == 2:
+        p = ws.close_project(parts[1])
+        return f"project {parts[1]!r} closed" if p else f"error: no project {parts[1]!r}"
+    if cmd == ":delete" and len(parts) == 2:
+        ws.delete_project(parts[1])
+        return f"project {parts[1]!r} deleted"
+    if cmd == ":active":
+        p = ws.get_active_project()
+        return p.name if p else "(none)"
+    if cmd == ":run-script" and len(parts) >= 2:
+        params = dict(kv.split("=", 1) for kv in parts[2:])
+        return render(W.run_script(state["g"], parts[1], params))
+    return None
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--sf-dir", default=None, help="build the graph from the generated corpus for this tier")
     ap.add_argument("--warehouse", default=None, help="open a committed pipeline warehouse")
     ap.add_argument("--bundle", default=None, help="open a full-graph interchange bundle (:export output)")
     ap.add_argument("--proto-zip", default=None, help="open a proto wire-format graph zip (:export-proto output / cpg.bin.zip layout)")
+    ap.add_argument("--workspace", default=None, help="workspace dir of named projects (:projects :import :open :close :delete :run-script)")
     ap.add_argument("-c", "--command", default=None, help="evaluate one expression and exit")
+    ap.add_argument("--script", default=None, help="run a Python script file over the graph and exit (prints its result)")
+    ap.add_argument("--param", action="append", default=[], help="k=v script parameter (repeatable)")
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args(argv)
-    if not args.sf_dir and not args.warehouse and not args.bundle and not args.proto_zip:
-        ap.error("need --sf-dir, --warehouse, --bundle or --proto-zip")
+    if not args.sf_dir and not args.warehouse and not args.bundle and not args.proto_zip and not args.workspace:
+        ap.error("need --sf-dir, --warehouse, --bundle, --proto-zip or --workspace")
 
     from codepropertygraph_spark.session import get_spark
 
     spark = get_spark(app_name="kgql", master=args.master)
+    ws = None
+    if args.workspace:
+        from codepropertygraph_spark.plans.workspace import WorkspaceManager
+
+        ws = WorkspaceManager(spark, args.workspace)
     if args.proto_zip:
         g = build_view_from_proto_zip(spark, args.proto_zip)
     elif args.bundle:
         g = build_view_from_bundle(spark, args.bundle)
     elif args.warehouse:
         g = build_view_from_warehouse(spark, args.warehouse)
-    else:
+    elif args.sf_dir:
         g = build_view_from_corpus(spark, args.sf_dir)
+    else:
+        g = None  # workspace-only session: :import/:open binds the root
+    state = {"g": g}
+
+    def run_line(line: str) -> str:
+        if ws is not None:
+            out = handle_workspace_command(spark, ws, state, line.strip())
+            if out is not None:
+                return out
+        if state["g"] is None:
+            return "error: no graph bound — :import <input_dir> <name> or :open <name> first"
+        return evaluate(state["g"], line)
+
+    if args.script:
+        from codepropertygraph_spark.plans import workspace as W
+
+        params = dict(kv.split("=", 1) for kv in args.param)
+        print(render(W.run_script(state["g"], args.script, params)))
+        return 0
     if args.command:
-        print(evaluate(g, args.command))
+        print(run_line(args.command))
         return 0
     print("kgql> roots: g (GraphView), F, S — :help :labels :quit", file=sys.stderr)
     for line in sys.stdin:
         try:
-            out = evaluate(g, line)
+            out = run_line(line)
         except EOFError:
             break
         except Exception as exc:  # console discipline: errors don't kill the session
