@@ -678,11 +678,16 @@ def _q_tpch_q1(spark, sf_dir):
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            # DECIMAL-exact money/qty sums: double addition is shuffle-order
+            # dependent in the last ulp, so round(.,2) can flip a cent run
+            # to run (and vs the oracle) on .xx5 boundaries — see tpch_q10.
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))), 2
+            ).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -702,9 +707,13 @@ def _q_tpch_q6(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(18,2)")
+                ),
+                2,
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -731,9 +740,8 @@ def _q_tpch_q5(spark, sf_dir):
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))), 2)
+            .cast("double").alias("revenue"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -748,12 +756,91 @@ def _q_tpch_q3(spark, sf_dir):
         .join(F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))), 2)
+            .cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
+    )
+
+
+def _q_tpch_q10(spark, sf_dir):
+    """TPC-H q10 (returned-item reporting, adapted to the synthetic
+    column set): revenue lost to returns per customer over a quarter —
+    the fact-to-fact shuffle join baseline with two broadcast dims. Plan
+    shape: lineitem filter (returnflag pushed to the scan) ⋈ filtered
+    orders is the ONLY shuffle pair; customer and nation broadcast; the
+    top-20 is TakeOrderedAndProject, never a global sort."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            # exact DECIMAL arithmetic: double sums are order-dependent in
+            # the last ulp and round(.,2) amplifies that into a different
+            # cent on .xx5 boundaries (observed vs DuckDB at sf0.01) — and
+            # shuffle order would make even Spark-vs-Spark unstable.
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _q_tpch_q18(spark, sf_dir):
+    """TPC-H q18 (large-volume customers): the HAVING-subquery baseline.
+    Spark-first formulation: the correlated IN-subquery becomes ONE
+    aggregation over lineitem whose result is reused as both the filter
+    and the sum_qty payload (TPC-H's outer re-aggregation groups by the
+    same order key, so joining the aggregate back is value-identical and
+    saves the second lineitem scan the literal SQL shape pays)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .where(F.col("sum_qty") > 200)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
     )
 
 
@@ -1527,6 +1614,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": _q_tpch_q3,
     "tpch_q6": _q_tpch_q6,
     "tpch_q5": _q_tpch_q5,
+    "tpch_q10": _q_tpch_q10,
+    "tpch_q18": _q_tpch_q18,
     # (c) oracle rewritten onto the _TRIPLES_CTES derivation (r4) or Spark
     # implementation changed (size routing, linking dedup, asof tie-break,
     # densified range join)
@@ -1893,15 +1982,17 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
                count(*) AS count_order
         FROM lineitem GROUP BY 1, 2
     """,
     "tpch_q5": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_rows
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
@@ -1915,7 +2006,8 @@ ORACLES: dict[str, str] = {
         GROUP BY n_name
     """,
     "tpch_q6": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= DATE '1994-01-01'
@@ -1925,7 +2017,8 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_q3": """
         SELECT l_orderkey, o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -1933,6 +2026,36 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY revenue DESC, l_orderkey ASC
         LIMIT 10
+    """,
+    "tpch_q10": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "tpch_q18": """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY 1
+          HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) > 200
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        LIMIT 100
     """,
     "kg_ordered_turns": f"""
         SELECT conv_id,
