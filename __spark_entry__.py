@@ -1584,64 +1584,31 @@ def _q_events_heavy_hitters(spark, sf_dir):
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # (a) new this round
-    "kg_stub_removal": _q_kg_stub_removal,
-    "kg_triples_streamed": _q_kg_triples_streamed,
-    "events_heavy_hitters": _q_events_heavy_hitters,
+    # Round-5 rotation. Window invariant: every registry query must be
+    # driver-green in r4 or r5, so the first 50 are (a) new queries or the
+    # r4 red, (b) queries whose Spark impl or oracle text changed this
+    # round, (c) queries whose last external green was r3 (rotated in),
+    # (d) r4-greens whose upstream modules were refactored this round
+    # (schema single-sourcing, diff/proto edge identity). The 30-entry
+    # tail is exclusively r4-driver-green and untouched.
+    # (a) new this round / r4 red with the oracle aggregate now pinned
     "documents_split": _q_documents_split,
-    "documents_stratified": _q_documents_stratified,
-    "kg_pipeline_counts": _q_kg_pipeline_counts,
-    "events_gapfill": _q_events_gapfill,
-    "documents_pii_mask": _q_documents_pii_mask,
-    "events_quantiles": _q_events_quantiles,
-    "kg_props_decorated": _q_kg_props_decorated,
-    "kg_reaching_defs_fields_ext": _q_kg_reaching_defs_fields_ext,
-    # (b) not externally checked since r1/r2 — rotated into the window
-    "dedup_minhash_bands": _q_dedup_minhash_bands,
-    "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-    "dedup_embedding_cosine_exact": _q_dedup_embedding_cosine_exact,
-    "text_token_count": _q_text_token_count,
-    "text_quality": _q_text_quality,
-    "text_langid": _q_text_langid,
-    "text_fingerprint": _q_text_fingerprint,
-    "multimodal_meta": _q_multimodal_meta,
-    "multimodal_resize": _q_multimodal_resize,
-    "multimodal_decode": _q_multimodal_decode,
-    "dedup_clusters": _q_dedup_clusters,
-    "events_sessionize": _q_events_sessionize,
-    "events_hourly": _q_events_hourly,
-    "tpch_q1": _q_tpch_q1,
-    "tpch_q3": _q_tpch_q3,
-    "tpch_q6": _q_tpch_q6,
-    "tpch_q5": _q_tpch_q5,
     "tpch_q10": _q_tpch_q10,
     "tpch_q18": _q_tpch_q18,
-    # (c) oracle rewritten onto the _TRIPLES_CTES derivation (r4) or Spark
-    # implementation changed (size routing, linking dedup, asof tie-break,
-    # densified range join)
-    "kg_triples": _q_kg_triples,
+    # (b) impl or oracle changed this round: decimal-exact TPC-H money
+    # sums; exact cross-batch streaming follows; two-phased bottom-s
+    # sketches; size-routed reachability; CMS NULL handling
+    "tpch_q1": _q_tpch_q1,
+    "tpch_q3": _q_tpch_q3,
+    "tpch_q5": _q_tpch_q5,
+    "tpch_q6": _q_tpch_q6,
+    "kg_triples_streamed": _q_kg_triples_streamed,
+    "events_quantiles": _q_events_quantiles,
+    "events_kmv_users": _q_events_kmv_users,
     "kg_reachable_4hop": _q_kg_reachable_4hop,
-    "kg_graph_nodes": _q_kg_graph_nodes,
-    "kg_graph_edges": _q_kg_graph_edges,
-    "kg_entities": _q_kg_entities,
-    "kg_reaching_defs": _q_kg_reaching_defs,
-    "kg_dominators": _q_kg_dominators,
-    "kg_cdg": _q_kg_cdg,
-    "kg_traversal_dominates": _q_kg_traversal_dominates,
-    "kg_flows_witness": _q_kg_flows_witness,
-    "kg_flows_witness_from_stubs": _q_kg_flows_witness_from_stubs,
-    "kg_flows_4hop": _q_kg_flows_4hop,
-    "kg_flows_from_stubs": _q_kg_flows_from_stubs,
-    "kg_flow_edges_semantics": _q_kg_flow_edges_semantics,
     "kg_reachable_semantics": _q_kg_reachable_semantics,
-    "kg_reachable_cross_conv": _q_kg_reachable_cross_conv,
-    "kg_reachable_cross_conv2": _q_kg_reachable_cross_conv2,
-    "kg_source_file_edges": _q_kg_source_file_edges,
-    "events_asof": _q_events_asof,
-    "events_range_join": _q_events_range_join,
-    # r3-green headline stalwarts filling the window
-    "kg_ordered_turns": _q_kg_ordered_turns,
-    "kg_next_edges": _q_kg_next_edges,
+    "events_heavy_hitters": _q_events_heavy_hitters,
+    # (c) last external green r3 — rotated into the window
     "kg_raw_triples": _q_kg_raw_triples,
     "kg_mentions": _q_kg_mentions,
     "kg_best_alias": _q_kg_best_alias,
@@ -1650,7 +1617,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_merge_map": _q_kg_merge_map,
     "kg_conv_stats": _q_kg_conv_stats,
     "kg_ast_json_tree": _q_kg_ast_json_tree,
-    # ---- tail: r3 driver-green, unchanged this round ----
     "kg_toolcalls": _q_kg_toolcalls,
     "kg_raw_triples_udf": _q_kg_raw_triples_udf,
     "kg_merge_map_tokenblock": _q_kg_merge_map_tokenblock,
@@ -1662,7 +1628,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_mention_ast_link": _q_kg_mention_ast_link,
     "events_json_extract": _q_events_json_extract,
     "events_rollup": _q_events_rollup,
-    "events_kmv_users": _q_events_kmv_users,
     "dedup_keep_list": _q_dedup_keep_list,
     "dedup_exact": _q_dedup_exact,
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -1671,6 +1636,49 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _q_ann_cosine_topk,
     "ann_cosine_topk_lsh": _q_ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": _q_ann_cosine_topk_ivf,
+    # (d) r4-green but downstream of this round's schema single-sourcing /
+    # diff-primitive refactors — re-checked as regression canaries
+    "kg_graph_nodes": _q_kg_graph_nodes,
+    "kg_graph_edges": _q_kg_graph_edges,
+    "kg_entities": _q_kg_entities,
+    "kg_pipeline_counts": _q_kg_pipeline_counts,
+    "kg_props_decorated": _q_kg_props_decorated,
+    "kg_stub_removal": _q_kg_stub_removal,
+    "kg_triples": _q_kg_triples,
+    "kg_dominators": _q_kg_dominators,
+    "kg_cdg": _q_kg_cdg,
+    "kg_flows_4hop": _q_kg_flows_4hop,
+    # ---- tail: r4 driver-green, unchanged this round ----
+    "kg_reaching_defs": _q_kg_reaching_defs,
+    "kg_reaching_defs_fields_ext": _q_kg_reaching_defs_fields_ext,
+    "kg_traversal_dominates": _q_kg_traversal_dominates,
+    "kg_flows_witness": _q_kg_flows_witness,
+    "kg_flows_witness_from_stubs": _q_kg_flows_witness_from_stubs,
+    "kg_flows_from_stubs": _q_kg_flows_from_stubs,
+    "kg_flow_edges_semantics": _q_kg_flow_edges_semantics,
+    "kg_reachable_cross_conv": _q_kg_reachable_cross_conv,
+    "kg_reachable_cross_conv2": _q_kg_reachable_cross_conv2,
+    "kg_source_file_edges": _q_kg_source_file_edges,
+    "kg_ordered_turns": _q_kg_ordered_turns,
+    "kg_next_edges": _q_kg_next_edges,
+    "events_asof": _q_events_asof,
+    "events_range_join": _q_events_range_join,
+    "events_sessionize": _q_events_sessionize,
+    "events_hourly": _q_events_hourly,
+    "events_gapfill": _q_events_gapfill,
+    "documents_stratified": _q_documents_stratified,
+    "documents_pii_mask": _q_documents_pii_mask,
+    "dedup_minhash_bands": _q_dedup_minhash_bands,
+    "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine_exact": _q_dedup_embedding_cosine_exact,
+    "dedup_clusters": _q_dedup_clusters,
+    "text_token_count": _q_text_token_count,
+    "text_quality": _q_text_quality,
+    "text_langid": _q_text_langid,
+    "text_fingerprint": _q_text_fingerprint,
+    "multimodal_meta": _q_multimodal_meta,
+    "multimodal_resize": _q_multimodal_resize,
+    "multimodal_decode": _q_multimodal_decode,
 }
 
 
