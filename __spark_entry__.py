@@ -24,6 +24,7 @@ from codepropertygraph_spark import schema as S
 from codepropertygraph_spark import testdata as td
 from codepropertygraph_spark.operators import (
     canonicalize,
+    centrality,
     dataflow,
     extraction,
     kg,
@@ -309,6 +310,35 @@ def _q_kg_triples(spark, sf_dir):
     return kg.final_triples(
         _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
     ).select("conv_id", "subj", "pred", "obj")
+
+
+def _q_kg_entity_pagerank(spark, sf_dir):
+    """Integer-arithmetic PageRank (5 synchronous iterations, damping
+    0.85) over the distinct canonical-entity edge set — hub-entity
+    salience for the training pipeline. Micro-unit BIGINT scores make the
+    iterative result bit-identical across engines and shuffle orders, so
+    the whole fixpoint is value-hash-checkable against an unrolled DuckDB
+    CTE chain (see centrality.pagerank_int)."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    edges = centrality.entity_edges(triples)
+    return centrality.pagerank_int(edges, iters=5).select(
+        F.col("node").alias("entity"), "score_micro"
+    )
+
+
+def _q_kg_entity_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (3 rounds, min-label
+    tie-break) over the undirected canonical-entity graph — community
+    labels for stratified corpus sampling (centrality.lpa_communities)."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    edges = centrality.entity_edges(triples)
+    return centrality.lpa_communities(edges, iters=3).select(
+        F.col("node").alias("entity"), "community"
+    )
 
 
 def _q_kg_conv_stats(spark, sf_dir):
@@ -1595,6 +1625,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "documents_split": _q_documents_split,
     "tpch_q10": _q_tpch_q10,
     "tpch_q18": _q_tpch_q18,
+    "kg_entity_pagerank": _q_kg_entity_pagerank,
+    "kg_entity_communities": _q_kg_entity_communities,
     # (b) impl or oracle changed this round: decimal-exact TPC-H money
     # sums; exact cross-batch streaming follows; two-phased bottom-s
     # sketches; size-routed reachability; CMS NULL handling
@@ -1646,9 +1678,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_stub_removal": _q_kg_stub_removal,
     "kg_triples": _q_kg_triples,
     "kg_dominators": _q_kg_dominators,
+    # ---- tail: r4 driver-green, unchanged this round ----
     "kg_cdg": _q_kg_cdg,
     "kg_flows_4hop": _q_kg_flows_4hop,
-    # ---- tail: r4 driver-green, unchanged this round ----
     "kg_reaching_defs": _q_kg_reaching_defs,
     "kg_reaching_defs_fields_ext": _q_kg_reaching_defs_fields_ext,
     "kg_traversal_dominates": _q_kg_traversal_dominates,
@@ -1744,6 +1776,70 @@ _LANG_HITS = ", ".join(
     f"len(list_filter(toks, t -> t IN {s})) AS hits_{lang}"
     for lang, s in sorted(_LANG_SETS.items())
 )
+
+# Unrolled iteration chains for the centrality oracles. Both recurrences
+# are pure integer arithmetic (micro-unit scores, floor division, min-label
+# tie-break), so the unrolled DuckDB chain reproduces Spark's iterative
+# join-agg bit-for-bit — no tolerance, a straight value-hash match.
+
+
+def _pagerank_cte_chain(iters: int) -> str:
+    parts = [
+        "pe AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples"
+        " WHERE subj <> obj)",
+        # DISTINCT-over-UNION-ALL, not bare UNION: inside a WITH RECURSIVE
+        # block DuckDB 1.0 parses a CTE body of the form "A UNION B" as a
+        # recursive scaffold and drops the implicit dedup (verified).
+        "pn AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM pe UNION ALL SELECT dst FROM pe))",
+        "pdeg AS (SELECT src, count(*) AS out_deg FROM pe GROUP BY src)",
+        "ps0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM pn)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"pc{i} AS (SELECT pe.dst AS node, ps.score // pdeg.out_deg AS"
+            f" contrib FROM pe JOIN ps{i} ps ON pe.src = ps.node"
+            f" JOIN pdeg ON pdeg.src = pe.src)"
+        )
+        parts.append(
+            f"ps{i + 1} AS (SELECT pn.node,"
+            f" CAST(150000 + (850 * CAST(coalesce(agg.s, 0) AS BIGINT))"
+            f" // 1000 AS BIGINT) AS score"
+            f" FROM pn LEFT JOIN (SELECT node, sum(contrib) AS s FROM pc{i}"
+            f" GROUP BY node) agg ON pn.node = agg.node)"
+        )
+    return ",\n".join(parts)
+
+
+def _lpa_cte_chain(iters: int) -> str:
+    parts = [
+        "le AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples"
+        " WHERE subj <> obj)",
+        # See _pagerank_cte_chain: bare UNION loses dedup under RECURSIVE.
+        "ln AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM le UNION ALL SELECT dst FROM le))",
+        "lnb AS (SELECT DISTINCT node, nbr FROM"
+        " (SELECT src AS node, dst AS nbr FROM le"
+        " UNION ALL SELECT dst, src FROM le))",
+        "ll0 AS (SELECT node, node AS label FROM ln)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"lc{i} AS (SELECT lnb.node, ll.label, count(*) AS c"
+            f" FROM lnb JOIN ll{i} ll ON lnb.nbr = ll.node GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"lw{i} AS (SELECT node, label FROM (SELECT node, label,"
+            f" row_number() OVER (PARTITION BY node ORDER BY c DESC,"
+            f" label ASC) AS rn FROM lc{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"ll{i + 1} AS (SELECT ll.node, coalesce(lw.label, ll.label)"
+            f" AS label FROM ll{i} ll LEFT JOIN lw{i} lw"
+            f" ON ll.node = lw.node)"
+        )
+    return ",\n".join(parts)
+
 
 ORACLES: dict[str, str] = {
     "dedup_exact": """
@@ -2128,6 +2224,16 @@ ORACLES: dict[str, str] = {
     "kg_triples": f"""
         WITH RECURSIVE {_TRIPLES_CTES}
         SELECT conv_id, subj, pred, obj FROM triples
+    """,
+    "kg_entity_pagerank": f"""
+        WITH RECURSIVE {_TRIPLES_CTES},
+        {_pagerank_cte_chain(5)}
+        SELECT node AS entity, score AS score_micro FROM ps5
+    """,
+    "kg_entity_communities": f"""
+        WITH RECURSIVE {_TRIPLES_CTES},
+        {_lpa_cte_chain(3)}
+        SELECT node AS entity, label AS community FROM ll3
     """,
     "kg_conv_stats": f"""
         SELECT conv_id,

@@ -1,0 +1,167 @@
+"""Graph centrality over the canonical entity graph: PageRank salience and
+label-propagation communities.
+
+Training-data pipelines rank entities by structural importance (hub
+entities get special skew handling, salience feeds curriculum/filter
+decisions) and group them into communities for stratified sampling. The
+reference's property graph stops at connected components
+(``NamespaceCreator.scala:20-33`` canonicalization; our
+``canonicalize.merge_map``); these operators extend the same entity graph
+with the two standard iterative algorithms, kept Spark-first:
+
+- Each iteration is ONE equi-join (edge src → score/label) plus ONE
+  aggregation — the GraphFrames/Pregel shape expressed directly in the
+  DataFrame API, so Catalyst plans partial (map-side) aggregation and AQE
+  splits skewed hub keys. No per-row Python anywhere.
+- The iteration count is a fixed small constant (synchronous updates), so
+  the whole computation is a static plan chain; intermediate frames are
+  localCheckpoint()ed every few rounds to cut lineage at scale.
+
+**Integer arithmetic, deliberately.** Scores are micro-units (BIGINT) and
+every divide is floor division, so results are bit-identical across
+engines, run order, and partitioning — the same determinism discipline as
+the repo's centi-unit sketches. Floating-point PageRank sums differ in the
+last ulp under shuffle reordering, which would make the value-hash gate
+flaky; integer PageRank trades ≤1 micro-unit of per-edge mass (dropped by
+flooring, plus dangling-node mass, both documented) for exact
+reproducibility. Recurrence (damping 0.85):
+
+    score_0(u)   = 1_000_000
+    contrib_t(u) = score_t(u) div out_deg(u)
+    score_{t+1}(v) = 150_000 + (850 * sum_{u->v} contrib_t(u)) div 1000
+
+Label propagation (synchronous, deterministic): every node starts as its
+own label; each round it adopts the most frequent label among its
+undirected neighbors, ties broken by the lexicographically smallest label,
+isolated nodes keep their label. Fixed rounds, no convergence test — the
+output is a reproducible function of (graph, iters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+PAGERANK_INIT_MICRO = 1_000_000
+PAGERANK_BASE_MICRO = 150_000  # (1 - d) * 1e6 with d = 0.85
+PAGERANK_DAMP_MILLI = 850
+
+
+def entity_edges(triples: DataFrame) -> DataFrame:
+    """Distinct directed (src, dst) entity pairs from the triple set,
+    self-loops dropped (a self-edge changes no ranking and no community)."""
+    return (
+        triples.where(F.col("subj") != F.col("obj"))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _nodes(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates(["node"])
+    )
+
+
+def pagerank_int(
+    edges: DataFrame, iters: int = 5, checkpoint_every: int = 4
+) -> DataFrame:
+    """Integer-arithmetic PageRank → (node, score_micro BIGINT).
+
+    Scale shape: ``deg`` is edge-count-proportional but computed once;
+    each iteration shuffles (src-join, dst-groupBy) with automatic partial
+    aggregation on the hub side. Dangling-node mass is dropped (not
+    redistributed) — documented, and identical in the SQL oracle.
+    """
+    # Iteration-invariant frames are EAGERLY checkpointed: a lazy
+    # checkpoint leaves the full upstream lineage in every iteration's
+    # analyzed plan (the triple derivation would be replanned per round —
+    # observed as 24 redundant broadcast subtrees in the audit); eager
+    # materialization collapses each to a LogicalRDD leaf.
+    nodes = _nodes(edges).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    scores = nodes.withColumn(
+        "score", F.lit(PAGERANK_INIT_MICRO).cast("long")
+    )
+    for i in range(iters):
+        contribs = ed.join(scores, ed.src == scores.node).select(
+            F.col("dst").alias("node"),
+            F.expr("score div out_deg").alias("contrib"),
+        )
+        incoming = contribs.groupBy("node").agg(
+            F.sum("contrib").alias("in_sum")
+        )
+        scores = (
+            nodes.join(incoming, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(PAGERANK_BASE_MICRO)
+                    + F.expr(
+                        f"{PAGERANK_DAMP_MILLI} * coalesce(in_sum, 0L) div 1000"
+                    )
+                )
+                .cast("long")
+                .alias("score"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            scores = scores.localCheckpoint(eager=True)
+    return scores.select("node", F.col("score").alias("score_micro"))
+
+
+def undirected_neighbors(edges: DataFrame) -> DataFrame:
+    """Distinct symmetric (node, nbr) pairs from the directed edge set."""
+    return (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionByName(
+            edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
+        .dropDuplicates(["node", "nbr"])
+    )
+
+
+def lpa_communities(
+    edges: DataFrame, iters: int = 3, checkpoint_every: int = 4
+) -> DataFrame:
+    """Deterministic synchronous label propagation → (node, community).
+
+    Per round: neighbor-label histogram (join + count agg) and an argmax
+    window partitioned by node — each node's candidate set is bounded by
+    its degree, so the window never concentrates a group larger than the
+    hub fan-in AQE already splits on the count agg.
+    """
+    # Eager for the same reason as pagerank_int: keep the per-round plan a
+    # join of two checkpoint leaves, not a replanned extraction subtree.
+    nodes = _nodes(edges).localCheckpoint(eager=True)
+    nb = undirected_neighbors(edges).localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for i in range(iters):
+        counts = (
+            nb.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label")
+                ),
+                "nbr",
+            )
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        winner = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(winner, "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))

@@ -1,0 +1,128 @@
+"""Centrality operators: integer PageRank + deterministic LPA.
+
+Checks the structural properties a reviewer can verify by hand (hub beats
+spokes, cliques become communities), bit-exact parity with a pure-Python
+mirror of the integer recurrences, and determinism across runs.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pytest
+
+from codepropertygraph_spark.operators import centrality
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from codepropertygraph_spark.session import get_spark
+
+    return get_spark(master="local[4]")
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _pagerank_py(pairs, iters):
+    """Pure-Python mirror of centrality.pagerank_int's recurrence."""
+    edges = sorted(set(pairs))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out_deg = Counter(s for s, _ in edges)
+    score = {n: centrality.PAGERANK_INIT_MICRO for n in nodes}
+    for _ in range(iters):
+        in_sum = defaultdict(int)
+        for s, d in edges:
+            in_sum[d] += score[s] // out_deg[s]
+        score = {
+            n: centrality.PAGERANK_BASE_MICRO
+            + centrality.PAGERANK_DAMP_MILLI * in_sum[n] // 1000
+            for n in nodes
+        }
+    return score
+
+
+def _lpa_py(pairs, iters):
+    """Pure-Python mirror of centrality.lpa_communities."""
+    und = set()
+    for s, d in pairs:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    nodes = sorted({n for e in und for n in e})
+    label = {n: n for n in nodes}
+    for _ in range(iters):
+        counts = defaultdict(Counter)
+        for n, nbr in und:
+            counts[n][label[nbr]] += 1
+        new = {}
+        for n in nodes:
+            if counts[n]:
+                # max count, then lexicographically smallest label
+                new[n] = min(counts[n], key=lambda l: (-counts[n][l], l))
+            else:
+                new[n] = label[n]
+        label = new
+    return label
+
+
+STAR = [("hub", f"s{i}") for i in range(6)] + [(f"s{i}", "hub") for i in range(6)]
+TWO_CLIQUES = (
+    [(a, b) for a in "abc" for b in "abc" if a != b]
+    + [(a, b) for a in "xyz" for b in "xyz" if a != b]
+    + [("c", "x")]
+)
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    got = dict(
+        centrality.pagerank_int(_edges_df(spark, STAR), iters=5)
+        .rdd.map(tuple)
+        .collect()
+    )
+    assert max(got, key=got.get) == "hub"
+    spoke_scores = {got[f"s{i}"] for i in range(6)}
+    assert len(spoke_scores) == 1, "symmetric spokes must tie exactly"
+
+
+@pytest.mark.parametrize("pairs", [STAR, TWO_CLIQUES], ids=["star", "cliques"])
+def test_pagerank_matches_python_mirror(spark, pairs):
+    got = dict(
+        centrality.pagerank_int(_edges_df(spark, pairs), iters=5)
+        .rdd.map(tuple)
+        .collect()
+    )
+    assert got == _pagerank_py(pairs, 5)
+
+
+def test_lpa_two_cliques_two_communities(spark):
+    got = dict(
+        centrality.lpa_communities(_edges_df(spark, TWO_CLIQUES), iters=3)
+        .rdd.map(tuple)
+        .collect()
+    )
+    assert got == _lpa_py(TWO_CLIQUES, 3)
+    communities = defaultdict(set)
+    for n, c in got.items():
+        communities[c].add(n)
+    groups = sorted(map(frozenset, communities.values()), key=sorted)
+    assert groups == [frozenset("abc"), frozenset("xyz")]
+
+
+def test_determinism_across_runs(spark):
+    mk = lambda: sorted(
+        centrality.pagerank_int(_edges_df(spark, TWO_CLIQUES), iters=5)
+        .rdd.map(tuple)
+        .collect()
+    )
+    assert mk() == mk()
+
+
+def test_self_loops_dropped(spark):
+    triples = spark.createDataFrame(
+        [("c1", "a", "p", "a"), ("c1", "a", "p", "b")],
+        "conv_id string, subj string, pred string, obj string",
+    )
+    got = centrality.entity_edges(triples).collect()
+    assert [(r.src, r.dst) for r in got] == [("a", "b")]

@@ -82,6 +82,10 @@ def main() -> None:
         "tpch_q1",
         "tpch_q6",
         "tpch_q5",
+        "tpch_q10",
+        "tpch_q18",
+        "kg_entity_pagerank",
+        "kg_entity_communities",
     ):
         audit(name, qs[name](spark, SF_DIR))
 
