@@ -505,6 +505,15 @@ def _q_text_token_count(spark, sf_dir):
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
+def _q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality filter (textstats.repetition_stats):
+    all-integer duplicate-bigram / top-token-dominance signals, flag by
+    integer cross-multiplication — no float rounding seam, map-only."""
+    from codepropertygraph_spark.operators import textstats
+
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_text_quality(spark, sf_dir):
     from codepropertygraph_spark.operators import textstats
 
@@ -1627,6 +1636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18": _q_tpch_q18,
     "kg_entity_pagerank": _q_kg_entity_pagerank,
     "kg_entity_communities": _q_kg_entity_communities,
+    "text_repetition": _q_text_repetition,
     # (b) impl or oracle changed this round: decimal-exact TPC-H money
     # sums; exact cross-batch streaming follows; two-phased bottom-s
     # sketches; size-routed reachability; CMS NULL handling
@@ -1951,6 +1961,29 @@ ORACLES: dict[str, str] = {
                     '([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])', concat('\\1', chr(31)), 'g'),
                     chr(31))) - 1 AS BIGINT) AS n_bpe_ish_tokens
         FROM documents
+    """,
+    "text_repetition": """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        u AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        topc AS (SELECT doc_id, max(c) AS top_c FROM
+                 (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2)
+                 GROUP BY 1),
+        b AS (SELECT doc_id,
+                     CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(1, len(toks)),
+                            i -> concat(toks[i], ' ', toks[i + 1]))
+                       ELSE [] END AS bi
+              FROM d)
+        SELECT d.doc_id,
+               CAST(len(d.toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(d.toks)) AS BIGINT) AS n_distinct,
+               CAST(topc.top_c AS BIGINT) AS top_token_count,
+               CAST(len(b.bi) AS BIGINT) AS n_bigrams,
+               CAST(len(list_distinct(b.bi)) AS BIGINT) AS n_distinct_bigrams,
+               (topc.top_c * 5 > len(d.toks))
+                 OR ((len(b.bi) - len(list_distinct(b.bi))) * 2 > len(b.bi))
+                 AS repetitive
+        FROM d JOIN topc USING (doc_id) JOIN b USING (doc_id)
     """,
     "text_quality": f"""
         WITH q AS (

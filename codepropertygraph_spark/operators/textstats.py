@@ -130,3 +130,48 @@ def mask_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
         *counts,
         masked.alias("masked_text"),
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals, all-integer.
+
+    (doc_id, n_tokens, n_distinct, top_token_count, n_bigrams,
+    n_distinct_bigrams, repetitive) — the duplicate-n-gram family of
+    quality filters (Rae et al. 2021 "Scaling Language Models" §A1.1:
+    drop docs whose top unigram or duplicate bigram mass is too high).
+    Counts stay BIGINT and the flag is decided by integer
+    cross-multiplication (top_count * 5 > n  ⇔  top-token fraction > 0.2;
+    dup-bigram occurrences * 2 > n_bigrams  ⇔  fraction > 0.5), so the
+    result is bit-identical across engines with no float rounding seam.
+
+    Map-only: top_token_count is computed per row as a higher-order
+    expression over the distinct-token array (O(distinct·n) per doc,
+    JVM-side) instead of an explode → groupBy — at corpus scale a wider
+    map beats a token-count-sized shuffle, and document token counts are
+    bounded.
+    """
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    bigrams = F.when(n >= 2, F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), i ->"
+        " concat(element_at(split(text, ' '), i), ' ',"
+        " element_at(split(text, ' '), i + 1)))"
+    )).otherwise(F.expr("array()"))
+    n_bi = F.size(bigrams)
+    n_bi_distinct = F.size(F.array_distinct(bigrams))
+    repetitive = (top * 5 > n) | ((n_bi - n_bi_distinct) * 2 > n_bi)
+    return documents.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        top.cast("long").alias("top_token_count"),
+        n_bi.cast("long").alias("n_bigrams"),
+        n_bi_distinct.cast("long").alias("n_distinct_bigrams"),
+        repetitive.alias("repetitive"),
+    )

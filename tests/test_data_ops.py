@@ -758,3 +758,25 @@ def test_cms_sketch_null_values_excluded(spark):
     # the all-NULL group vanishes entirely (no countable values)
     assert set(as_map(got)) == {"g1"}
     assert as_map(got)["g1"][1] == 2
+
+
+def test_repetition_stats_goldens(spark):
+    from codepropertygraph_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a b"),          # top token 4/5 > 0.2 -> repetitive
+            (2, "x y x y x y"),        # dup bigrams 3/5 > 0.5 -> repetitive
+            (3, "one two three four five six"),  # diverse -> clean
+            (4, "solo"),               # 1-token doc: top fraction is 1 by
+                                       # definition -> flagged (Gopher
+                                       # applies a min-length gate upstream)
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in textstats.repetition_stats(docs).collect()}
+    assert got[1]["top_token_count"] == 4 and got[1]["repetitive"]
+    assert (got[2]["n_bigrams"], got[2]["n_distinct_bigrams"]) == (5, 2)
+    assert got[2]["repetitive"]
+    assert not got[3]["repetitive"]
+    assert got[4]["n_bigrams"] == 0 and got[4]["repetitive"]
