@@ -180,6 +180,21 @@ def run_bench(master: str, replicate: int = 1, only: str | None = None) -> dict:
         runs=2,
     )
 
+    # iterative centrality on the entity graph derived from the same
+    # corpus (edges precomputed and resident — kg_pipeline already bills
+    # triple production); times 5 synchronous integer-PageRank rounds
+    # including their eager inter-round checkpoints.
+    from codepropertygraph_spark.operators import centrality
+
+    entity_edges_df = centrality.entity_edges(
+        kg.final_triples(tr, ad, merge=merge)
+    ).localCheckpoint(eager=True)
+    timed(
+        "kg_entity_pagerank",
+        lambda: _force(centrality.pagerank_int(entity_edges_df, iters=5)),
+        runs=2,
+    )
+
     # training-data operators over the driver tables at the same sf
     from codepropertygraph_spark.operators import dedup, similarity, textstats
 

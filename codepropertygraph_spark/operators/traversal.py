@@ -460,3 +460,27 @@ class GraphView:
 
     def toolcalls(self) -> Traversal:
         return self.label(S.TOOLCALL)
+
+    # derived-analytics macro-steps over the REL entity graph (console
+    # sugar over operators/centrality.py; see that module for the exact
+    # integer recurrences and scale notes)
+    def _rel_pairs(self) -> DataFrame:
+        return (
+            self.edges.where(F.col("label") == S.REL)
+            .where(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .dropDuplicates(["src", "dst"])
+        )
+
+    def entity_pagerank(self, iters: int = 5) -> DataFrame:
+        """Integer PageRank over REL edges → (node, score_micro)."""
+        from codepropertygraph_spark.operators import centrality
+
+        return centrality.pagerank_int(self._rel_pairs(), iters=iters)
+
+    def entity_communities(self, iters: int = 3) -> DataFrame:
+        """Deterministic label-propagation communities over REL edges →
+        (node, community)."""
+        from codepropertygraph_spark.operators import centrality
+
+        return centrality.lpa_communities(self._rel_pairs(), iters=iters)

