@@ -883,6 +883,52 @@ def _q_tpch_q18(spark, sf_dir):
     )
 
 
+def _q_tpch_q4(spark, sf_dir):
+    """TPC-H q4 (order-priority checking, adapted: the synthetic lineitem
+    has no commit/receipt dates, so the EXISTS predicate is 'some line
+    shipped after the order date'). The point is the plan shape: the
+    correlated EXISTS becomes ONE left-semi shuffle join (no dedup pass,
+    no row explosion — semi stops at first match), then a tiny agg."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q_tpch_q12(spark, sf_dir):
+    """TPC-H q12 (shipping-mode priority, adapted to l_linestatus): the
+    conditional-aggregation baseline — one fact-to-fact equi-join, the
+    CASE arithmetic folded into the aggregate so the whole query is one
+    shuffle + one two-phase agg."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
 def _q_kg_reaching_defs(spark, sf_dir):
     """REACHING_DEF edges (A19): per-(conversation, entity) def→use chains
     on the linear turn CFG."""
@@ -1637,6 +1683,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_pagerank": _q_kg_entity_pagerank,
     "kg_entity_communities": _q_kg_entity_communities,
     "text_repetition": _q_text_repetition,
+    "tpch_q4": _q_tpch_q4,
+    "tpch_q12": _q_tpch_q12,
     # (b) impl or oracle changed this round: decimal-exact TPC-H money
     # sums; exact cross-batch streaming follows; two-phased bottom-s
     # sketches; size-routed reachability; CMS NULL handling
@@ -2193,6 +2241,27 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
         LIMIT 100
+    """,
+    "tpch_q4": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY 1 ORDER BY 1
+    """,
+    "tpch_q12": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        GROUP BY 1 ORDER BY 1
     """,
     "kg_ordered_turns": f"""
         SELECT conv_id,
