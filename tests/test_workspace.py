@@ -122,3 +122,33 @@ def test_run_script_bindings_and_result(spark, tmp_path, corpus_dir):
     # run_scripts preserves order
     both = W.run_scripts(g, [str(s2), str(s3)])
     assert both == [g.all().count(), None]
+
+
+def test_bundled_script_library(spark, transcripts, alias_dict, tmp_path):
+    """Every script under scripts/ runs against a pipeline-built graph via
+    the ScriptManager analog and returns a non-empty result."""
+    import os
+
+    from codepropertygraph_spark.operators import traversal
+    from codepropertygraph_spark.plans import pipeline as P
+    from codepropertygraph_spark.plans.workspace import run_script
+
+    cat = P.run_pipeline(spark, transcripts, alias_dict, str(tmp_path / "wh"))
+    g = traversal.GraphView(cat.nodes(), cat.edges())
+    sdir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    results = {}
+    for fn in sorted(os.listdir(sdir)):
+        if fn.endswith(".py"):
+            results[fn] = run_script(
+                g, os.path.join(sdir, fn), {"k": 3, "top": 3}
+            )
+    assert set(results) == {
+        "community-sizes.py",
+        "entity-salience.py",
+        "graph-summary.py",
+        "tool-usage.py",
+    }
+    assert results["graph-summary.py"]["nodes"].get("ENTITY", 0) > 0
+    assert 0 < len(results["entity-salience.py"]) <= 3
+    assert all(n >= 1 for _, n in results["community-sizes.py"])
+    assert results["tool-usage.py"]
