@@ -328,6 +328,22 @@ def _q_kg_entity_pagerank(spark, sf_dir):
     )
 
 
+def _q_kg_entity_ppr(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) seeded on the
+    tool entities: restart mass goes only to nodes named tool_*, so
+    scores rank every entity by salience RELATIVE to the tool subgraph —
+    the 'which entities matter for tool use' curriculum signal. Same
+    integer recurrence, same unrolled-CTE oracle with a seed indicator."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    edges = centrality.entity_edges(triples)
+    seeds = centrality._nodes(edges).where(F.col("node").startswith("tool_"))
+    return centrality.pagerank_int(edges, iters=5, seeds=seeds).select(
+        F.col("node").alias("entity"), "score_micro"
+    )
+
+
 def _q_kg_entity_communities(spark, sf_dir):
     """Deterministic synchronous label propagation (3 rounds, min-label
     tie-break) over the undirected canonical-entity graph — community
@@ -1681,6 +1697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q10": _q_tpch_q10,
     "tpch_q18": _q_tpch_q18,
     "kg_entity_pagerank": _q_kg_entity_pagerank,
+    "kg_entity_ppr": _q_kg_entity_ppr,
     "kg_entity_communities": _q_kg_entity_communities,
     "text_repetition": _q_text_repetition,
     "tpch_q4": _q_tpch_q4,
@@ -1841,17 +1858,21 @@ _LANG_HITS = ", ".join(
 # join-agg bit-for-bit — no tolerance, a straight value-hash match.
 
 
-def _pagerank_cte_chain(iters: int) -> str:
+def _pagerank_cte_chain(iters: int, seed_pred: str | None = None) -> str:
+    """seed_pred (a SQL predicate over ``node``) makes it personalized:
+    restart mass (init + per-round base term) goes only to seed nodes."""
+    seed = f"CASE WHEN {seed_pred} THEN 1 ELSE 0 END" if seed_pred else "1"
     parts = [
         "pe AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples"
         " WHERE subj <> obj)",
         # DISTINCT-over-UNION-ALL, not bare UNION: inside a WITH RECURSIVE
         # block DuckDB 1.0 parses a CTE body of the form "A UNION B" as a
         # recursive scaffold and drops the implicit dedup (verified).
-        "pn AS (SELECT DISTINCT node FROM"
+        f"pn AS (SELECT DISTINCT node, {seed} AS is_seed FROM"
         " (SELECT src AS node FROM pe UNION ALL SELECT dst FROM pe))",
         "pdeg AS (SELECT src, count(*) AS out_deg FROM pe GROUP BY src)",
-        "ps0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM pn)",
+        "ps0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS score"
+        " FROM pn)",
     ]
     for i in range(iters):
         parts.append(
@@ -1861,7 +1882,8 @@ def _pagerank_cte_chain(iters: int) -> str:
         )
         parts.append(
             f"ps{i + 1} AS (SELECT pn.node,"
-            f" CAST(150000 + (850 * CAST(coalesce(agg.s, 0) AS BIGINT))"
+            f" CAST(pn.is_seed * 150000"
+            f" + (850 * CAST(coalesce(agg.s, 0) AS BIGINT))"
             f" // 1000 AS BIGINT) AS score"
             f" FROM pn LEFT JOIN (SELECT node, sum(contrib) AS s FROM pc{i}"
             f" GROUP BY node) agg ON pn.node = agg.node)"
@@ -2330,6 +2352,11 @@ ORACLES: dict[str, str] = {
     "kg_entity_pagerank": f"""
         WITH RECURSIVE {_TRIPLES_CTES},
         {_pagerank_cte_chain(5)}
+        SELECT node AS entity, score AS score_micro FROM ps5
+    """,
+    "kg_entity_ppr": f"""
+        WITH RECURSIVE {_TRIPLES_CTES},
+        {_pagerank_cte_chain(5, seed_pred="starts_with(node, 'tool_')")}
         SELECT node AS entity, score AS score_micro FROM ps5
     """,
     "kg_entity_communities": f"""

@@ -67,9 +67,19 @@ def _nodes(edges: DataFrame) -> DataFrame:
 
 
 def pagerank_int(
-    edges: DataFrame, iters: int = 5, checkpoint_every: int = 4
+    edges: DataFrame,
+    iters: int = 5,
+    checkpoint_every: int = 4,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Integer-arithmetic PageRank → (node, score_micro BIGINT).
+
+    With ``seeds`` (a one-column ``node`` frame) this is personalized
+    PageRank: the restart mass (initial score and the per-iteration base
+    term) goes only to seed nodes, so scores measure salience RELATIVE to
+    the seed set (random walk with restart). Seeds are joined once into a
+    0/1 indicator column on the node frame — the per-iteration plan is
+    unchanged.
 
     Scale shape: ``deg`` is edge-count-proportional but computed once;
     each iteration shuffles (src-join, dst-groupBy) with automatic partial
@@ -81,11 +91,23 @@ def pagerank_int(
     # analyzed plan (the triple derivation would be replanned per round —
     # observed as 24 redundant broadcast subtrees in the audit); eager
     # materialization collapses each to a LogicalRDD leaf.
-    nodes = _nodes(edges).localCheckpoint(eager=True)
+    nodes = _nodes(edges)
+    if seeds is not None:
+        nodes = nodes.join(
+            seeds.select(F.col("node"), F.lit(1).alias("is_seed")).dropDuplicates(
+                ["node"]
+            ),
+            "node",
+            "left",
+        ).select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+    else:
+        nodes = nodes.withColumn("is_seed", F.lit(1))
+    nodes = nodes.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     ed = edges.join(deg, "src").localCheckpoint(eager=True)
-    scores = nodes.withColumn(
-        "score", F.lit(PAGERANK_INIT_MICRO).cast("long")
+    scores = nodes.select(
+        "node",
+        (F.col("is_seed") * PAGERANK_INIT_MICRO).cast("long").alias("score"),
     )
     for i in range(iters):
         contribs = ed.join(scores, ed.src == scores.node).select(
@@ -100,7 +122,7 @@ def pagerank_int(
             .select(
                 "node",
                 (
-                    F.lit(PAGERANK_BASE_MICRO)
+                    F.col("is_seed") * PAGERANK_BASE_MICRO
                     + F.expr(
                         f"{PAGERANK_DAMP_MILLI} * coalesce(in_sum, 0L) div 1000"
                     )

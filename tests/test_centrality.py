@@ -126,3 +126,38 @@ def test_self_loops_dropped(spark):
     )
     got = centrality.entity_edges(triples).collect()
     assert [(r.src, r.dst) for r in got] == [("a", "b")]
+
+
+def test_personalized_pagerank_seeded(spark):
+    """Restart mass restricted to seeds: non-seed nodes score only via
+    inflow; a node unreachable from the seed set converges to 0; the
+    seeded run matches the pure-Python recurrence with is_seed applied."""
+    # seed component a->b->c, plus an isolated pair u->v (unreachable)
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("u", "v")]
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = dict(
+        centrality.pagerank_int(_edges_df(spark, pairs), iters=5, seeds=seeds)
+        .rdd.map(tuple)
+        .collect()
+    )
+
+    def mirror():
+        edges = sorted(set(pairs))
+        nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+        out_deg = Counter(s for s, _ in edges)
+        is_seed = {n: int(n == "a") for n in nodes}
+        score = {n: is_seed[n] * centrality.PAGERANK_INIT_MICRO for n in nodes}
+        for _ in range(5):
+            in_sum = defaultdict(int)
+            for s, d in edges:
+                in_sum[d] += score[s] // out_deg[s]
+            score = {
+                n: is_seed[n] * centrality.PAGERANK_BASE_MICRO
+                + centrality.PAGERANK_DAMP_MILLI * in_sum[n] // 1000
+                for n in nodes
+            }
+        return score
+
+    assert got == mirror()
+    assert got["u"] == 0 and got["v"] == 0, "unreachable from seeds -> 0"
+    assert got["a"] > got["b"] > 0
