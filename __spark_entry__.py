@@ -521,6 +521,41 @@ def _q_text_token_count(spark, sf_dir):
     return textstats.token_counts(_docs(spark, sf_dir))
 
 
+def _q_documents_mixture(spark, sf_dir):
+    """Deterministic training-mix sampling (sampling.mixture_sample):
+    per-source Bernoulli keep rates from a literal mixture spec (src0 all,
+    src1 half, src2 quarter, everything else dropped); membership a pure
+    function of (salt, source, doc_id). Map-only + one tiny agg; output is
+    per-source count + order-free id fingerprint."""
+    from codepropertygraph_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    kept = sampling.mixture_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, ["doc_id"]
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list(F.col("doc_id").cast("string")))
+            )
+        ).alias("ids_md5"),
+    )
+
+
+def _q_documents_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.decontaminate): corpus docs
+    (doc_id >= 10) probed against the benchmark set's (doc_id < 10)
+    broadcast distinct-shingle set; counts shared distinct 3-gram
+    shingles per doc. The only shuffle is the doc-sized hit-count agg."""
+    from codepropertygraph_spark.operators import dedup
+
+    docs = _docs(spark, sf_dir)
+    return dedup.decontaminate(
+        docs.where(F.col("doc_id") >= 10), docs.where(F.col("doc_id") < 10)
+    )
+
+
 def _q_text_repetition(spark, sf_dir):
     """Gopher-style repetition quality filter (textstats.repetition_stats):
     all-integer duplicate-bigram / top-token-dominance signals, flag by
@@ -1700,6 +1735,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_ppr": _q_kg_entity_ppr,
     "kg_entity_communities": _q_kg_entity_communities,
     "text_repetition": _q_text_repetition,
+    "documents_mixture": _q_documents_mixture,
+    "documents_decontaminate": _q_documents_decontaminate,
     "tpch_q4": _q_tpch_q4,
     "tpch_q12": _q_tpch_q12,
     # (b) impl or oracle changed this round: decimal-exact TPC-H money
@@ -3433,6 +3470,45 @@ ORACLES["kg_props_decorated"] = f"""
                                 t -> t IN {_PREDS_SQL})) AS BIGINT) AS n_preds,
            role
     FROM o
+"""
+
+# Training-mix sampling: per-source thresholds = int(rate * 2^60), the same
+# integer arithmetic sampling.mixture_sample performs (exact for these rates).
+_MIX_T = {s: int(r * (1 << 60)) for s, r in
+          [("src0", 1.0), ("src1", 0.5), ("src2", 0.25)]}
+
+ORACLES["documents_mixture"] = f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             cast(concat('0x', substr(md5(concat('mix', '|', source, '|',
+                  cast(doc_id AS varchar))), 1, 15)) AS BIGINT) AS hh
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source FROM h
+      WHERE (source = 'src0' AND hh < {_MIX_T['src0']})
+         OR (source = 'src1' AND hh < {_MIX_T['src1']})
+         OR (source = 'src2' AND hh < {_MIX_T['src2']})
+    )
+    SELECT source, count(*) AS n_kept,
+           md5(string_agg(cast(doc_id AS varchar), ','
+               ORDER BY cast(doc_id AS varchar))) AS ids_md5
+    FROM kept GROUP BY source
+"""
+
+ORACLES["documents_decontaminate"] = f"""
+    WITH {_SH_CTE},
+    bsh AS (SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id < 10),
+    csh AS (SELECT doc_id, unnest(sh) AS shingle FROM s WHERE doc_id >= 10),
+    hits AS (
+      SELECT csh.doc_id, count(*) AS n_shared
+      FROM csh JOIN bsh ON csh.shingle = bsh.shingle GROUP BY 1
+    )
+    SELECT doc.doc_id,
+           CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared_shingles,
+           coalesce(h.n_shared, 0) > 0 AS contaminated
+    FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
+    WHERE doc.doc_id >= 10
 """
 
 # every queries() entry has an oracle_sql() entry — zero rows-only checks.

@@ -244,3 +244,43 @@ def embedding_near_dup_pairs_exact(
         .where(F.col("cos") >= threshold)
         .select("a", "b", "cos")
     )
+
+
+def decontaminate(
+    documents: DataFrame, benchmark: DataFrame, n: int = SHINGLE_N
+) -> DataFrame:
+    """Benchmark decontamination: count each corpus document's distinct
+    word n-gram shingles that also appear in a benchmark set (eval-suite
+    leakage check; the standard pre-training hygiene pass next to dedup).
+
+    Returns (doc_id, n_shared_shingles, contaminated).
+
+    100 TB shape: the benchmark side is eval-sized, so its distinct
+    shingle set is aggregated once and BROADCAST; the corpus side explodes
+    shingles map-only and probes the broadcast — the only shuffle is the
+    doc-sized hit-count aggregation. No corpus-vs-corpus term anywhere.
+    """
+    bsh = (
+        with_shingles(benchmark)
+        .select(F.explode("sh").alias("shingle"))
+        .dropDuplicates(["shingle"])
+    )
+    csh = with_shingles(documents).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    hits = (
+        csh.join(F.broadcast(bsh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias(
+                "n_shared_shingles"
+            ),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -139,3 +139,41 @@ def bottom_k(
         .drop("__rk")
         .withColumnRenamed("__h", "sample_hash")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    key_cols: list[str],
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture sampling: per-source Bernoulli keep rates —
+    the training-mix reweighting step (e.g. upweight curated sources,
+    downsample crawl). Keep a row iff its salted key hash falls below
+    ``rates[source]`` of the domain; sources absent from ``rates`` are
+    DROPPED (rate 0), making the mixture spec total and auditable.
+
+    Same guarantees as the other samplers: map-only, membership a pure
+    function of (salt, source, key) — stable under partitioning, cluster
+    size and row order, and cross-engine checkable. The per-source rate
+    lookup is a broadcast-free literal MAP expression (the mixture spec is
+    config-sized)."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1]: {r}")
+    entries: list = []
+    for s, r in rates.items():
+        entries.extend([F.lit(s), F.lit(int(r * HASH_DOMAIN))])
+    thresholds = F.create_map(*entries)
+    h = hash60(
+        F.concat_ws(
+            "|",
+            F.lit(salt),
+            F.col(source_col).cast("string"),
+            *[F.col(c).cast("string") for c in key_cols],
+        )
+    )
+    return df.where(
+        h < F.coalesce(thresholds[F.col(source_col)], F.lit(0))
+    )

@@ -780,3 +780,62 @@ def test_repetition_stats_goldens(spark):
     assert got[2]["repetitive"]
     assert not got[3]["repetitive"]
     assert got[4]["n_bigrams"] == 0 and got[4]["repetitive"]
+
+
+def test_mixture_sample(spark):
+    """mixture_sample: rate-1.0 sources keep everything, rate-0 / absent
+    sources drop everything, fractional rates land within binomial
+    tolerance, and membership is invariant under repartitioning (the
+    df.sample failure mode the module exists to avoid)."""
+    from codepropertygraph_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(4000)], "k long, source string"
+    )
+    rates = {"s0": 1.0, "s1": 0.5, "s2": 0.0}
+    m1 = sampling.mixture_sample(df.repartition(1), rates, ["k"])
+    m8 = sampling.mixture_sample(df.repartition(8), rates, ["k"])
+    k1 = {r.k for r in m1.collect()}
+    assert k1 == {r.k for r in m8.collect()}     # partitioning-independent
+    per = {r.source: r.n for r in
+           m1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per["s0"] == 1000                      # rate 1.0 keeps all
+    assert "s2" not in per and "s3" not in per    # rate 0 / absent dropped
+    sigma = (1000 * 0.5 * 0.5) ** 0.5
+    assert abs(per["s1"] - 500) < 4 * sigma + 1, per
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="must be in"):
+        sampling.mixture_sample(df, {"s0": 1.5}, ["k"])
+
+
+def test_decontaminate(spark):
+    """decontaminate: a corpus doc sharing shingles with the benchmark is
+    flagged with the exact shared-distinct-shingle count; disjoint docs
+    report 0 / false; short docs fall back to token shingles; every corpus
+    doc appears exactly once in the output (left-join totality)."""
+    from codepropertygraph_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "hello world again")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps high"),  # shares 3 shingles
+            (11, "completely different words entirely here"),
+            (12, "hello world"),  # short: token shingles; both in bench toks?
+            (13, "the quick brown fox jumps"),  # exact dup of bench doc 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup.decontaminate(corpus, bench).collect()}
+    assert set(got) == {10, 11, 12, 13}
+    # doc 10: shingles of bench doc 1 = {t q b, q b f, b f j}; doc 10 adds
+    # 'f j h' — shares exactly the first 3
+    assert got[10].n_shared_shingles == 3 and got[10].contaminated
+    assert got[11].n_shared_shingles == 0 and not got[11].contaminated
+    # doc 12 is 2 tokens -> token shingles {'hello','world'}; bench doc 2
+    # has 3-gram shingle 'hello world again' only -> no overlap
+    assert got[12].n_shared_shingles == 0 and not got[12].contaminated
+    assert got[13].n_shared_shingles == 3 and got[13].contaminated
