@@ -556,6 +556,28 @@ def _q_documents_decontaminate(spark, sf_dir):
     )
 
 
+def _q_documents_packing(spark, sf_dir):
+    """Sequence packing (sampling.pack_sequences): concat-then-chunk
+    layout of the documents corpus into 256-token training windows over 8
+    hash shards; per-doc span (start offset, first/last window). One
+    window agg partitioned by shard — no global sort."""
+    from codepropertygraph_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    return sampling.pack_sequences(docs, 256, ["doc_id"], n_shards=8).select(
+        "doc_id", "shard", "n_tokens", "start_tok", "seq_first", "seq_last"
+    )
+
+
+def _q_text_unigram_lp(spark, sf_dir):
+    """Corpus-unigram LM scoring (textstats.unigram_logprob): per-doc
+    total/mean token log-prob in integer micro-nats (round-then-sum, so
+    the result is shuffle-order independent)."""
+    from codepropertygraph_spark.operators import textstats
+
+    return textstats.unigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_text_repetition(spark, sf_dir):
     """Gopher-style repetition quality filter (textstats.repetition_stats):
     all-integer duplicate-bigram / top-token-dominance signals, flag by
@@ -1737,6 +1759,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": _q_text_repetition,
     "documents_mixture": _q_documents_mixture,
     "documents_decontaminate": _q_documents_decontaminate,
+    "documents_packing": _q_documents_packing,
+    "text_unigram_lp": _q_text_unigram_lp,
     "tpch_q4": _q_tpch_q4,
     "tpch_q12": _q_tpch_q12,
     # (b) impl or oracle changed this round: decimal-exact TPC-H money
@@ -3509,6 +3533,42 @@ ORACLES["documents_decontaminate"] = f"""
            coalesce(h.n_shared, 0) > 0 AS contaminated
     FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
     WHERE doc.doc_id >= 10
+"""
+
+ORACLES["documents_packing"] = """
+    WITH h AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             cast(concat('0x', substr(md5(concat('pack', '|',
+                  cast(doc_id AS varchar))), 1, 15)) AS BIGINT) AS hh
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, hh % 8 AS shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_tok,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+           CAST((cum - 1) // 256 AS BIGINT) AS seq_last
+    FROM w
+"""
+
+ORACLES["text_unigram_lp"] = """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    dt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+    v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS total FROM v),
+    lp AS (SELECT tok, CAST(round(ln(cnt / total) * 1e6) AS BIGINT) AS lp_micro
+           FROM v CROSS JOIN tot)
+    SELECT dt.doc_id, CAST(sum(dt.c) AS BIGINT) AS n_tokens,
+           CAST(sum(dt.c * lp.lp_micro) AS BIGINT) AS sum_lp_micro,
+           CAST(sum(dt.c * lp.lp_micro) // sum(dt.c) AS BIGINT)
+             AS mean_lp_micro
+    FROM dt JOIN lp ON dt.tok = lp.tok
+    GROUP BY dt.doc_id
 """
 
 # every queries() entry has an oracle_sql() entry — zero rows-only checks.

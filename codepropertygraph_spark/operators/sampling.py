@@ -177,3 +177,63 @@ def mixture_sample(
     return df.where(
         h < F.coalesce(thresholds[F.col(source_col)], F.lit(0))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    key_cols: list[str],
+    n_shards: int = 64,
+    n_tokens_col: str | None = None,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: map each document to its span in
+    fixed-``capacity`` training windows — the step that turns a cleaned
+    corpus into context-window-sized samples. Documents are sharded by key
+    hash, deterministically ordered inside each shard (hash, then key), and
+    conceptually concatenated; window ``i`` of a shard holds tokens
+    ``[i*capacity, (i+1)*capacity)`` of that stream (GPT-style packing:
+    documents may straddle a window boundary rather than leaving tail
+    padding).
+
+    Adds (shard, n_tokens, start_tok, seq_first, seq_last): the document's
+    shard, its whitespace token count (or ``n_tokens_col`` if given), its
+    offset in the shard's token stream, and the first/last window index it
+    lands in. The layout is a pure function of (salt, keys, token counts) —
+    stable under partitioning, cluster size and row order.
+
+    100 TB shape: the only non-map work is one window aggregation
+    partitioned by shard; ``n_shards`` bounds each sort to corpus/n_shards
+    tokens, so size it to executor-count × a small factor. No global sort,
+    no driver state.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive: {capacity}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive: {n_shards}")
+    n_tok = (
+        F.col(n_tokens_col)
+        if n_tokens_col
+        else F.size(F.split("text", " "))
+    ).cast("long")
+    h = _row_hash(key_cols, salt)
+    w = (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod("__h", F.lit(n_shards)).cast("long"))
+        .withColumn("n_tokens", n_tok)
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("__h", *key_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(win)
+    return (
+        w.withColumn("__cum", cum)
+        .withColumn("start_tok", (F.col("__cum") - F.col("n_tokens")))
+        .withColumn("seq_first", F.expr(f"start_tok DIV {capacity}"))
+        .withColumn(
+            "seq_last", F.expr(f"(__cum - 1) DIV {capacity}")
+        )
+        .drop("__h", "__cum")
+    )

@@ -175,3 +175,51 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
         n_bi_distinct.cast("long").alias("n_distinct_bigrams"),
         repetitive.alias("repetitive"),
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-unigram language-model scoring — the model-free stand-in for
+    perplexity filtering: fit P(tok) = count(tok)/total over the corpus
+    itself, then score each document by its token log-probabilities.
+
+    Returns (doc_id, n_tokens, sum_lp_micro, mean_lp_micro): total and
+    per-token mean log-prob in integer MICRO-NATS (ln(p)·1e6 rounded per
+    token TYPE, then integer-summed). Rounding before the sum makes the
+    result a sum of BIGINTs — order-free and bit-identical across engines
+    and shuffle orders, the same integer-arithmetic discipline as the
+    PageRank/quality operators (float sums are shuffle-order dependent in
+    the last ulp, which the value-hash gate would see).
+
+    100 TB shape: token streams collapse to per-doc (tok, count) pairs
+    before any join (one doc-local agg), the vocabulary is a corpus-level
+    two-phase agg, and the scoring join is vocab-sized per probe —
+    heavy-hitter token skew lands on the pre-aggregated counts, not the raw
+    stream; AQE handles the residual. The corpus total is a 1-row broadcast.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    doc_tok = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt") / F.col("total")) * 1e6)
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        doc_tok.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lp_micro")).cast("long").alias(
+                "sum_lp_micro"
+            ),
+        )
+        .withColumn(
+            "mean_lp_micro", F.expr("sum_lp_micro DIV n_tokens")
+        )
+    )

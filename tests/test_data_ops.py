@@ -839,3 +839,83 @@ def test_decontaminate(spark):
     # has 3-gram shingle 'hello world again' only -> no overlap
     assert got[12].n_shared_shingles == 0 and not got[12].contaminated
     assert got[13].n_shared_shingles == 3 and got[13].contaminated
+
+
+def test_pack_sequences(spark):
+    """pack_sequences: shard streams are contiguous (each doc starts where
+    the previous ended — no gaps, no overlaps), window indices agree with
+    the offsets, and the layout is invariant under repartitioning."""
+    from codepropertygraph_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 37))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    p1 = sampling.pack_sequences(df.repartition(1), 64, ["doc_id"], n_shards=4)
+    p8 = sampling.pack_sequences(df.repartition(8), 64, ["doc_id"], n_shards=4)
+    rows = sorted(
+        p1.select("doc_id", "shard", "n_tokens", "start_tok",
+                  "seq_first", "seq_last").collect()
+    )
+    assert rows == sorted(
+        p8.select("doc_id", "shard", "n_tokens", "start_tok",
+                  "seq_first", "seq_last").collect()
+    )
+    assert len(rows) == 300
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.start_tok)
+        pos = 0
+        for r in rs:
+            assert r.start_tok == pos, (shard, r)          # contiguous
+            assert r.seq_first == r.start_tok // 64
+            assert r.seq_last == (r.start_tok + r.n_tokens - 1) // 64
+            assert r.seq_last >= r.seq_first
+            pos += r.n_tokens
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="capacity"):
+        sampling.pack_sequences(df, 0, ["doc_id"])
+
+
+def test_unigram_logprob(spark):
+    """unigram_logprob equals a hand-rolled Python unigram LM with the
+    same round-then-integer-sum discipline, and is invariant under
+    repartitioning."""
+    import math
+    from collections import Counter
+
+    from codepropertygraph_spark.operators import textstats
+
+    texts = {1: "a b a c", 2: "a a a", 3: "b c d d"}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in textstats.unigram_logprob(df).collect()}
+    got8 = {
+        r.doc_id: r
+        for r in textstats.unigram_logprob(df.repartition(8)).collect()
+    }
+    vocab = Counter(t for s in texts.values() for t in s.split(" "))
+    total = sum(vocab.values())
+    # round half away from zero, matching Spark/DuckDB round()
+    lp = {
+        t: int(
+            math.copysign(
+                math.floor(abs(math.log(c / total) * 1e6) + 0.5),
+                math.log(c / total),
+            )
+        )
+        for t, c in vocab.items()
+    }
+    for d, s in texts.items():
+        toks = s.split(" ")
+        want_sum = sum(lp[t] for t in toks)
+        assert got[d].n_tokens == len(toks)
+        assert got[d].sum_lp_micro == want_sum, (d, got[d], want_sum)
+        q, n = want_sum, len(toks)
+        want_mean = -((-q) // n) if q < 0 else q // n  # trunc toward zero
+        assert got[d].mean_lp_micro == want_mean
+        assert got8[d] == got[d]
