@@ -1002,6 +1002,235 @@ def _q_tpch_q12(spark, sf_dir):
     )
 
 
+def _tpch_disc_price():
+    """Exact DECIMAL(18,2) discounted price — double sums are shuffle-order
+    dependent in the last ulp (see q10's inline note)."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+def _q_tpch_q7(spark, sf_dir):
+    """TPC-H q7 (volume shipping between two nations, adapted): revenue by
+    (supplier nation, customer nation, year) for the NATION_1↔NATION_2
+    pair. Plan shape: both nation probes and supplier/customer broadcast
+    (nations PRE-FILTERED to the two names so the broadcast prunes the
+    fact rows early); lineitem ⋈ orders is the only shuffle pair."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(_tpch_disc_price()), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def _q_tpch_q8(spark, sf_dir):
+    """TPC-H q8 (national market share, adapted): NATION_3 suppliers'
+    share of PROMO-part revenue sold to EUROPE customers, by order year.
+    Ratio of two exact DECIMAL sums, rounded once at the end — the
+    conditional numerator folds into the same two-phase agg as the
+    denominator (one shuffle). part/supplier/customer-side dims all
+    broadcast; lineitem ⋈ orders is the only shuffle pair."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_type") == "PROMO"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "EUROPE"
+    )
+    cn = (
+        c.join(
+            F.broadcast(n.withColumnRenamed("n_nationkey", "cn_nk")),
+            F.col("c_nationkey") == F.col("cn_nk"),
+        )
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sn = s.join(
+        F.broadcast(
+            n.select(
+                F.col("n_nationkey").alias("sn_nk"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_nk"),
+    ).select("s_suppkey", "supp_nation")
+    vol = _tpch_disc_price()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            # exact DECIMAL sums, ONE double division at the end — decimal
+            # division scale rules differ between engines, double IEEE ops
+            # in a fixed order don't.
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def _q_tpch_q13(spark, sf_dir):
+    """TPC-H q13 (customer order-count distribution, adapted): histogram
+    of per-customer order counts, keeping zero-order customers via the
+    LEFT join; the non-equi filter (priority, standing in for the comment
+    NOT LIKE) lives in the JOIN CONDITION, not a post-filter — the
+    distinction that keeps empty customers in the left join. Two
+    two-phase aggs; the first join shuffles on custkey."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def _q_tpch_q14(spark, sf_dir):
+    """TPC-H q14 (promotion effect): PROMO-part share of one month's
+    revenue. Conditional numerator + denominator in ONE agg (no second
+    scan); part broadcast; the date filter reaches the parquet scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    vol = _tpch_disc_price()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * (
+                    F.sum(
+                        F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                            F.lit(0).cast("decimal(18,2)")
+                        )
+                    ).cast("double")
+                    / F.sum(vol).cast("double")
+                ),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def _q_tpch_q17(spark, sf_dir):
+    """TPC-H q17 (small-quantity-order revenue, adapted to the available
+    columns): revenue from Brand#23 lineitems below 20% of the part's
+    average quantity. Spark-first: the correlated AVG subquery becomes one
+    per-part aggregate computed on the SAME brand-pruned lineitem slice
+    and joined back (broadcast — part-id-sized), so lineitem is scanned
+    once for the threshold and once for the probe, both brand-pruned via
+    the broadcast part filter."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_brand") == "Brand#23"
+    )
+    brand_li = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # avg as exact-decimal sum → double / count: engines disagree on
+    # decimal-avg output scale, doubles don't.
+    thresh = brand_li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            )
+        ).alias("qty_limit")
+    )
+    return (
+        brand_li.join(
+            F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def _q_tpch_q19(spark, sf_dir):
+    """TPC-H q19 (discounted revenue, adapted): three OR'd
+    brand/size/quantity branches — the disjunctive-predicate baseline.
+    The OR collapses into ONE broadcast-join probe with the disjunction
+    evaluated post-join (part is the small side; no union-of-scans)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.where(b1 | b2 | b3).agg(
+        F.round(F.sum(_tpch_disc_price()), 2).cast("double").alias("revenue")
+    )
+
+
 def _q_kg_reaching_defs(spark, sf_dir):
     """REACHING_DEF edges (A19): per-(conversation, entity) def→use chains
     on the linear turn CFG."""
@@ -1763,6 +1992,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_unigram_lp": _q_text_unigram_lp,
     "tpch_q4": _q_tpch_q4,
     "tpch_q12": _q_tpch_q12,
+    "tpch_q7": _q_tpch_q7,
+    "tpch_q8": _q_tpch_q8,
+    "tpch_q13": _q_tpch_q13,
+    "tpch_q14": _q_tpch_q14,
+    "tpch_q17": _q_tpch_q17,
+    "tpch_q19": _q_tpch_q19,
     # (b) impl or oracle changed this round: decimal-exact TPC-H money
     # sums; exact cross-batch streaming follows; two-phased bottom-s
     # sketches; size-routed reachability; CMS NULL handling
@@ -3533,6 +3768,102 @@ ORACLES["documents_decontaminate"] = f"""
            coalesce(h.n_shared, 0) > 0 AS contaminated
     FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
     WHERE doc.doc_id >= 10
+"""
+
+ORACLES["tpch_q7"] = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+ORACLES["tpch_q8"] = """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                               THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                 6) AS mkt_share
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["tpch_q13"] = """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["tpch_q14"] = """
+    SELECT round(100.0 *
+             (CAST(sum(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+              / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)),
+             6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+"""
+
+ORACLES["tpch_q17"] = """
+    WITH brand_li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#23'
+    ),
+    thresh AS (
+      SELECT l_partkey AS t_partkey,
+             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / count(*)) AS qty_limit
+      FROM brand_li GROUP BY 1
+    )
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM brand_li JOIN thresh ON l_partkey = t_partkey
+    WHERE l_quantity < qty_limit
+"""
+
+ORACLES["tpch_q19"] = """
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
 """
 
 ORACLES["documents_packing"] = """

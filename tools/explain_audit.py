@@ -84,6 +84,16 @@ def main() -> None:
         "tpch_q5",
         "tpch_q10",
         "tpch_q18",
+        "tpch_q7",
+        "tpch_q8",
+        "tpch_q13",
+        "tpch_q14",
+        "tpch_q17",
+        "tpch_q19",
+        "documents_mixture",
+        "documents_decontaminate",
+        "documents_packing",
+        "text_unigram_lp",
         "kg_entity_pagerank",
         "kg_entity_communities",
     ):
