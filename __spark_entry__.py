@@ -956,6 +956,20 @@ def _q_tpch_q18(spark, sf_dir):
     )
 
 
+def _q_kg_entity_triangles(spark, sf_dir):
+    """Per-entity triangle counts (centrality.triangle_counts) over the
+    canonical entity graph — local clustering next to PageRank salience.
+    Degree-ordered orientation bounds wedge fan-out at hubs; the oracle
+    is an independent id-ordered all-triangle enumeration."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    edges = centrality.entity_edges(triples)
+    return centrality.triangle_counts(edges).select(
+        F.col("node").alias("entity"), "n_triangles"
+    )
+
+
 def _q_tpch_q4(spark, sf_dir):
     """TPC-H q4 (order-priority checking, adapted: the synthetic lineitem
     has no commit/receipt dates, so the EXISTS predicate is 'some line
@@ -1990,6 +2004,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "documents_decontaminate": _q_documents_decontaminate,
     "documents_packing": _q_documents_packing,
     "text_unigram_lp": _q_text_unigram_lp,
+    "kg_entity_triangles": _q_kg_entity_triangles,
     "tpch_q4": _q_tpch_q4,
     "tpch_q12": _q_tpch_q12,
     "tpch_q7": _q_tpch_q7,
@@ -3768,6 +3783,29 @@ ORACLES["documents_decontaminate"] = f"""
            coalesce(h.n_shared, 0) > 0 AS contaminated
     FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
     WHERE doc.doc_id >= 10
+"""
+
+ORACLES["kg_entity_triangles"] = f"""
+    WITH RECURSIVE {_TRIPLES_CTES},
+    pe AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+           WHERE subj <> obj),
+    tund AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM pe),
+    tnodes AS (SELECT DISTINCT node FROM
+               (SELECT a AS node FROM tund UNION ALL SELECT b FROM tund)),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM tund e1
+      JOIN tund e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN tund e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    pn AS (SELECT node, count(*) AS c FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ) GROUP BY 1)
+    SELECT n.node AS entity, CAST(coalesce(pn.c, 0) AS BIGINT) AS n_triangles
+    FROM tnodes n LEFT JOIN pn ON n.node = pn.node
 """
 
 ORACLES["tpch_q7"] = """

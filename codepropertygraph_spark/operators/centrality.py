@@ -187,3 +187,79 @@ def lpa_communities(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-entity triangle counts over the undirected simple entity graph
+    — the local-clustering signal next to PageRank salience (high-degree,
+    low-triangle entities are the classic disambiguation-error smell in a
+    constructed KG).
+
+    Hub-safe by construction: each undirected edge {a, b} is ORIENTED from
+    the endpoint that is smaller in (degree, id) order to the larger, and
+    every triangle is enumerated exactly once as a wedge at its
+    lowest-order apex closed by an oriented edge. Join fan-out per node is
+    bounded by its oriented out-degree — O(sqrt(m)) on any graph — so a
+    celebrity entity with 10^6 neighbors orients its edges INWARD and
+    contributes no quadratic wedge set; the residual agg skew is AQE's
+    bread and butter. Plan: two joins + one explode-agg, no Python.
+
+    Returns (node, n_triangles) for every node of the edge set, 0 for
+    triangle-free nodes. Orientation only affects enumeration, never the
+    result — the oracle uses an independent id-ordered formulation.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    j = und.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("dv1")
+    )
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("dv2")
+    )
+    wedges = o1.join(o2, "u").where(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closer = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tris = wedges.join(closer, ["v1", "v2"]).select("u", "v1", "v2")
+    per_node = (
+        tris.select(
+            F.explode(F.array("u", "v1", "v2")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+        )
+    )

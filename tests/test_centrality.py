@@ -161,3 +161,54 @@ def test_personalized_pagerank_seeded(spark):
     assert got == mirror()
     assert got["u"] == 0 and got["v"] == 0, "unreachable from seeds -> 0"
     assert got["a"] > got["b"] > 0
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 has 4 triangles with every node in 3; a pendant node and a
+    square (4-cycle) have 0; direction/duplicate edges don't matter."""
+    from itertools import combinations
+
+    k4 = list(combinations("abcd", 2))
+    extra = [("d", "e"),            # pendant off the clique
+             ("p", "q"), ("q", "r"), ("r", "s"), ("s", "p")]  # 4-cycle
+    dup_rev = [("b", "a"), ("a", "b")]  # duplicates + reverse direction
+    edges = spark.createDataFrame(
+        k4 + extra + dup_rev, "src string, dst string"
+    )
+    got = {r.node: r.n_triangles
+           for r in centrality.triangle_counts(edges).collect()}
+    assert {n: c for n, c in got.items() if n in "abcd"} == {
+        "a": 3, "b": 3, "c": 3, "d": 3
+    }
+    assert got["e"] == 0
+    assert all(got[n] == 0 for n in "pqrs")
+
+
+def test_triangle_counts_match_naive(spark):
+    """Degree-ordered enumeration equals a brute-force Python count on a
+    pseudo-random graph (orientation must not change the result)."""
+    import hashlib
+    from itertools import combinations
+
+    nodes = [f"n{i}" for i in range(30)]
+    pairs = [
+        (a, b)
+        for a, b in combinations(nodes, 2)
+        if int(hashlib.md5(f"{a}|{b}".encode()).hexdigest(), 16) % 5 == 0
+    ]
+    adj = {n: set() for n in nodes}
+    for a, b in pairs:
+        adj[a].add(b), adj[b].add(a)
+    want = {
+        n: sum(
+            1
+            for x, y in combinations(sorted(adj[n]), 2)
+            if y in adj[x]
+        )
+        for n in nodes
+        if adj[n]
+    }
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r.node: r.n_triangles
+           for r in centrality.triangle_counts(edges).collect()}
+    assert got == want
