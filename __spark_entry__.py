@@ -956,6 +956,27 @@ def _q_tpch_q18(spark, sf_dir):
     )
 
 
+def _q_events_funnel(spark, sf_dir):
+    """Ordered funnel (relational.funnel): signup → view → click →
+    purchase within a 7-day conversion window from signup; per-user step
+    times in epoch micros. Each step is one pre-filtered min-agg joined
+    on user — no window over the raw stream."""
+    from codepropertygraph_spark.operators import relational
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return relational.funnel(ev, ["signup", "view", "click", "purchase"])
+
+
+def _q_events_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix (relational.cohort_retention):
+    users cohorted by first-event ISO week; (cohort, offset) activity
+    counts. Raw stream collapses to distinct (user, week) first."""
+    from codepropertygraph_spark.operators import relational
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return relational.cohort_retention(ev)
+
+
 def _q_kg_entity_triangles(spark, sf_dir):
     """Per-entity triangle counts (centrality.triangle_counts) over the
     canonical entity graph — local clustering next to PageRank salience.
@@ -2005,6 +2026,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "documents_packing": _q_documents_packing,
     "text_unigram_lp": _q_text_unigram_lp,
     "kg_entity_triangles": _q_kg_entity_triangles,
+    "events_funnel": _q_events_funnel,
+    "events_cohorts": _q_events_cohorts,
     "tpch_q4": _q_tpch_q4,
     "tpch_q12": _q_tpch_q12,
     "tpch_q7": _q_tpch_q7,
@@ -3783,6 +3806,47 @@ ORACLES["documents_decontaminate"] = f"""
            coalesce(h.n_shared, 0) > 0 AS contaminated
     FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
     WHERE doc.doc_id >= 10
+"""
+
+ORACLES["events_funnel"] = """
+    WITH b AS (SELECT user_id AS user, epoch_us(ts) AS us, event_type AS et
+               FROM events),
+    s1 AS (SELECT "user", min(us) AS t_1 FROM b WHERE et = 'signup'
+           GROUP BY 1),
+    s2 AS (SELECT b."user", min(us) AS t_2
+           FROM b JOIN s1 USING ("user")
+           WHERE et = 'view' AND us > t_1 AND us <= t_1 + 604800000000
+           GROUP BY 1),
+    s3 AS (SELECT b."user", min(us) AS t_3
+           FROM b JOIN s1 USING ("user") JOIN s2 USING ("user")
+           WHERE et = 'click' AND us > t_2 AND us <= t_1 + 604800000000
+           GROUP BY 1),
+    s4 AS (SELECT b."user", min(us) AS t_4
+           FROM b JOIN s1 USING ("user") JOIN s3 USING ("user")
+           WHERE et = 'purchase' AND us > t_3 AND us <= t_1 + 604800000000
+           GROUP BY 1)
+    SELECT s1."user",
+           CAST(1 + (t_2 IS NOT NULL)::int + (t_3 IS NOT NULL)::int
+                  + (t_4 IS NOT NULL)::int AS BIGINT) AS step_reached,
+           t_1, t_2, t_3, t_4
+    FROM s1
+    LEFT JOIN s2 USING ("user")
+    LEFT JOIN s3 USING ("user")
+    LEFT JOIN s4 USING ("user")
+"""
+
+ORACLES["events_cohorts"] = """
+    WITH uw AS (
+      SELECT DISTINCT user_id AS "user",
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    first AS (SELECT "user", min(wk) AS cohort FROM uw GROUP BY 1)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST((wk - cohort) // 7 AS BIGINT) AS week_offset,
+           count(*) AS n_active
+    FROM uw JOIN first USING ("user")
+    GROUP BY 1, 2
 """
 
 ORACLES["kg_entity_triangles"] = f"""

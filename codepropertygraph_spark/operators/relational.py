@@ -224,3 +224,98 @@ def gapfill_time_buckets(
         filled.alias("filled"),
         (F.col("value_sum").isNull()).alias("is_gap"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_s: int = 7 * 86400,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, the first time they
+    completed each step of ``steps`` IN ORDER — step k must happen
+    strictly after step k-1 and within ``window_s`` of step 1 (the
+    conversion window). The product-analytics primitive behind
+    conversion/drop-off reports.
+
+    Returns one row per user who completed step 1:
+    (user, step_reached, t_1..t_k) with times in epoch MICROS (BIGINT,
+    NULL once the funnel is abandoned) — integer timestamps keep the
+    result engine-exact.
+
+    100 TB shape: step k is ONE min-aggregation over the events
+    pre-filtered to that step's type, joined back on the user key —
+    k-1 equi-joins total, no window over the raw stream, no per-user
+    event sorting; heavy users collapse in the partial (map-side) min
+    before any shuffle.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    base = events.select(
+        F.col(user_col).alias("user"),
+        # NTZ timestamps need an ltz cast before unix_micros (UTC session)
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("us"),
+        F.col(type_col).alias("et"),
+    )
+    cur = (
+        base.where(F.col("et") == steps[0])
+        .groupBy("user")
+        .agg(F.min("us").alias("t_1"))
+    )
+    win_us = window_s * 1_000_000
+    for i, step in enumerate(steps[1:], start=2):
+        prev_cols = ["user", "t_1"] if i == 2 else ["user", "t_1", f"t_{i - 1}"]
+        nxt = (
+            base.where(F.col("et") == step)
+            .join(cur.select(*prev_cols), "user")
+            .where(
+                (F.col("us") > F.col(f"t_{i - 1}"))
+                & (F.col("us") <= F.col("t_1") + F.lit(win_us))
+            )
+            .groupBy("user")
+            .agg(F.min("us").alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, "user", "left")
+    reached = sum(
+        (F.col(f"t_{i}").isNotNull().cast("int"))
+        for i in range(1, len(steps) + 1)
+    )
+    return cur.select(
+        "user",
+        reached.cast("long").alias("step_reached"),
+        *[F.col(f"t_{i}") for i in range(1, len(steps) + 1)],
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by the ISO week of
+    their first event; for every (cohort_week, week_offset) cell, how many
+    of that cohort were active that week.
+
+    Returns (cohort_week 'YYYY-MM-DD', week_offset, n_active) — offset 0
+    is the cohort week itself, so n_active at offset 0 is the cohort size.
+
+    100 TB shape: the raw stream collapses to distinct (user, week) pairs
+    first (two-phase agg), the per-user first-week is a second small agg,
+    and the matrix is an agg over the joined pairs — the join key is the
+    user id, never the raw event stream.
+    """
+    wk = F.to_date(F.date_trunc("week", F.col(ts_col)))
+    uw = events.select(
+        F.col(user_col).alias("user"), wk.alias("wk")
+    ).dropDuplicates(["user", "wk"])
+    first = uw.groupBy("user").agg(F.min("wk").alias("cohort"))
+    return (
+        uw.join(first, "user")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )

@@ -461,3 +461,70 @@ def test_asof_join_duplicate_right_ts_deterministic(spark):
             right_cols=["payload"],
         ).collect()
         assert len(got) == 1 and got[0].payload_asof == 300
+
+
+def test_funnel_golden(spark):
+    """Funnel over a crafted event log: completions, out-of-order steps
+    don't count, conversion window cuts off late steps, step times are the
+    FIRST qualifying occurrence."""
+    from datetime import datetime
+
+    from codepropertygraph_spark.operators import relational
+
+    D = datetime
+    rows = [
+        # u1: full funnel in order
+        (1, D(2024, 1, 1), "a"), (1, D(2024, 1, 2), "b"), (1, D(2024, 1, 3), "c"),
+        # u2: step b BEFORE a -> only step 1 counts; later b missing
+        (2, D(2024, 1, 1), "b"), (2, D(2024, 1, 2), "a"),
+        # u3: b inside window, c outside the 7-day window from a
+        (3, D(2024, 1, 1), "a"), (3, D(2024, 1, 2), "b"), (3, D(2024, 1, 20), "c"),
+        # u4: two b's after a -> first one is t_2
+        (4, D(2024, 1, 1), "a"), (4, D(2024, 1, 4), "b"), (4, D(2024, 1, 2), "b"),
+        # u5: never does step a -> absent from output
+        (5, D(2024, 1, 1), "b"), (5, D(2024, 1, 2), "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.user: r
+        for r in relational.funnel(ev, ["a", "b", "c"]).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    us = lambda d: int(d.timestamp() * 1_000_000)
+    assert got[1].step_reached == 3 and got[1].t_3 == us(D(2024, 1, 3))
+    assert got[2].step_reached == 1 and got[2].t_2 is None
+    assert got[3].step_reached == 2 and got[3].t_3 is None
+    assert got[4].step_reached == 2 and got[4].t_2 == us(D(2024, 1, 2))
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        relational.funnel(ev, [])
+
+
+def test_cohort_retention_golden(spark):
+    """Cohorts by first-event week; offset-0 cell equals cohort size;
+    multiple events in one week count once."""
+    from datetime import datetime
+
+    from codepropertygraph_spark.operators import relational
+
+    D = datetime
+    rows = [
+        # u1 and u2 start week of Jan 1 2024 (Mon); u1 returns week +2
+        (1, D(2024, 1, 2)), (1, D(2024, 1, 3)), (1, D(2024, 1, 16)),
+        (2, D(2024, 1, 4)),
+        # u3 starts the next week
+        (3, D(2024, 1, 9)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week, r.week_offset): r.n_active
+        for r in relational.cohort_retention(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }

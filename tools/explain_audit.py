@@ -92,6 +92,9 @@ def main() -> None:
         "tpch_q19",
         "documents_mixture",
         "documents_decontaminate",
+        "events_funnel",
+        "events_cohorts",
+        "kg_entity_triangles",
         "documents_packing",
         "text_unigram_lp",
         "kg_entity_pagerank",
