@@ -956,6 +956,16 @@ def _q_tpch_q18(spark, sf_dir):
     )
 
 
+def _q_dedup_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered EXACT Jaccard self-join (dedup.jaccard_prefix_pairs,
+    AllPairs/PPJoin candidate scheme): must produce byte-identical pairs to
+    the all-pairs ground truth — the oracle IS the independent all-pairs
+    formulation, so the gate proves the prefix filter loses nothing."""
+    from codepropertygraph_spark.operators import dedup
+
+    return dedup.jaccard_prefix_pairs(_docs(spark, sf_dir))
+
+
 def _q_events_funnel(spark, sf_dir):
     """Ordered funnel (relational.funnel): signup → view → click →
     purchase within a 7-day conversion window from signup; per-user step
@@ -2028,6 +2038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_triangles": _q_kg_entity_triangles,
     "events_funnel": _q_events_funnel,
     "events_cohorts": _q_events_cohorts,
+    "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
     "tpch_q4": _q_tpch_q4,
     "tpch_q12": _q_tpch_q12,
     "tpch_q7": _q_tpch_q7,
@@ -3806,6 +3817,16 @@ ORACLES["documents_decontaminate"] = f"""
            coalesce(h.n_shared, 0) > 0 AS contaminated
     FROM documents doc LEFT JOIN hits h ON doc.doc_id = h.doc_id
     WHERE doc.doc_id >= 10
+"""
+
+# Independent ground truth for the prefix-filtered join: plain all-pairs.
+# Identical SQL to dedup_ngram_jaccard — the point: the prefix candidate
+# scheme must lose NOTHING vs brute force.
+ORACLES["dedup_jaccard_prefix"] = f"""
+    WITH {_SH_CTE}
+    SELECT x.doc_id AS a, y.doc_id AS b, {_JACC} AS jacc
+    FROM s x JOIN s y ON x.doc_id < y.doc_id
+    WHERE {_JACC} >= 0.8
 """
 
 ORACLES["events_funnel"] = """

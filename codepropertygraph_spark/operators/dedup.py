@@ -23,7 +23,7 @@ near-duplicate text identity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MINHASH_K = 8
@@ -283,4 +283,70 @@ def decontaminate(
             ),
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def jaccard_prefix_pairs(
+    documents: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """EXACT Jaccard ≥ threshold similarity self-join via prefix filtering
+    (the AllPairs/PPJoin candidate scheme) — same output as
+    ``ngram_jaccard_pairs`` with no all-pairs term, making exact near-dup
+    detection feasible at corpus scale (MinHash trades recall for speed;
+    this trades nothing).
+
+    The filter: order every document's distinct shingles by ascending
+    GLOBAL frequency (rarest first, ties by shingle text); a doc with
+    ``s`` shingles emits only its first ``s - ceil(t*s) + 1`` as candidate
+    keys. Two docs with Jaccard ≥ t must share at least one key from BOTH
+    prefixes (if all prefix tokens of one were missing from the other, the
+    overlap is too small to reach t), so the equi-join on prefix tokens
+    loses nothing — and the frequent "stop shingles" that would blow up a
+    naive token-bucket join sort to the END of every ordering, so they
+    almost never enter a prefix: candidate buckets stay small BY
+    CONSTRUCTION, the opposite of the skew a plain shingle-bucket join
+    invites. Candidates are then verified with exact Jaccard on the
+    shingle arrays (one broadcast-or-shuffle join each side).
+
+    100 TB: one frequency agg + one per-doc sort (bounded by doc length) +
+    a bucket join whose buckets are rare-token-sized + candidate-count
+    verify joins.
+    """
+    sh = with_shingles(documents).select("doc_id", "sh")
+    tok = sh.select(
+        "doc_id", F.size("sh").alias("s_len"), F.explode("sh").alias("shingle")
+    )
+    freq = tok.groupBy("shingle").agg(F.count("*").alias("gf"))
+    ranked = (
+        tok.join(freq, "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("gf", "shingle")
+            ),
+        )
+        .where(
+            F.col("rk")
+            <= F.col("s_len") - F.ceil(F.lit(threshold) * F.col("s_len")) + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        ranked.alias("x")
+        .join(ranked.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    pair_sh = cand.join(
+        sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a"
+    ).join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (
+        F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    )
+    return (
+        pair_sh.withColumn("jacc", F.round(inter / union.cast("double"), 6))
+        .where(F.col("jacc") >= threshold)
+        .select("a", "b", "jacc")
     )

@@ -919,3 +919,32 @@ def test_unigram_logprob(spark):
         want_mean = -((-q) // n) if q < 0 else q // n  # trunc toward zero
         assert got[d].mean_lp_micro == want_mean
         assert got8[d] == got[d]
+
+
+def test_jaccard_prefix_equals_all_pairs(spark):
+    """The prefix-filtered exact Jaccard join returns byte-identical pairs
+    to the all-pairs ground truth at several thresholds (the filter's
+    completeness guarantee), including boundary-similarity pairs."""
+    from codepropertygraph_spark.operators import dedup
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    docs = [
+        (1, base),
+        (2, base),                                   # exact dup
+        (3, base.replace("w9", "x9")),               # near dup
+        (4, base.replace("w8 w9", "x8 x9")),         # farther
+        (5, "a b c d e f g h i j"),                  # disjoint
+        (6, "a b c"),                                # short doc
+        (7, "a b c"),                                # short dup
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.5, 0.8, 0.95):
+        want = sorted(
+            map(tuple, dedup.ngram_jaccard_pairs(df, t).collect())
+        )
+        got = sorted(
+            map(tuple, dedup.jaccard_prefix_pairs(df, t).collect())
+        )
+        assert got == want, (t, got, want)
+    # sanity: the fixture actually exercises matches at every threshold
+    assert len(dedup.ngram_jaccard_pairs(df, 0.5).collect()) > 2
