@@ -202,6 +202,18 @@ def run_bench(master: str, replicate: int = 1, only: str | None = None) -> dict:
     timed("dedup_simhash", lambda: _force(dedup.simhash(docs)), runs=2)
     timed("ann_cosine_topk", lambda: _force(similarity.cosine_topk(emb, 10, 5)), runs=2)
     timed("text_quality", lambda: _force(textstats.quality_scores(docs)), runs=2)
+    from codepropertygraph_spark.operators import sampling
+
+    timed(
+        "documents_packing",
+        lambda: _force(sampling.pack_sequences(docs, 256, ["doc_id"], n_shards=8)),
+        runs=2,
+    )
+    timed(
+        "dedup_jaccard_prefix",
+        lambda: _force(dedup.jaccard_prefix_pairs(docs, 0.8)),
+        runs=2,
+    )
 
     if not timings:
         spark.stop()
