@@ -966,6 +966,17 @@ def _q_dedup_jaccard_prefix(spark, sf_dir):
     return dedup.jaccard_prefix_pairs(_docs(spark, sf_dir))
 
 
+def _q_dedup_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-substring spans (dedup.duplicate_spans, k=5): per
+    doc, tokens covered by any 5-token window repeated anywhere in the
+    corpus, merged into maximal runs — substring-level dedup signal.
+    Rolling windows JVM-side, one two-phase count agg, gaps-and-islands
+    merge windowed per doc."""
+    from codepropertygraph_spark.operators import dedup
+
+    return dedup.duplicate_spans(_docs(spark, sf_dir), k=5)
+
+
 def _q_events_funnel(spark, sf_dir):
     """Ordered funnel (relational.funnel): signup → view → click →
     purchase within a 7-day conversion window from signup; per-user step
@@ -2039,6 +2050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": _q_events_funnel,
     "events_cohorts": _q_events_cohorts,
     "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
+    "dedup_duplicate_spans": _q_dedup_duplicate_spans,
     "tpch_q4": _q_tpch_q4,
     "tpch_q12": _q_tpch_q12,
     "tpch_q7": _q_tpch_q7,
@@ -3827,6 +3839,34 @@ ORACLES["dedup_jaccard_prefix"] = f"""
     SELECT x.doc_id AS a, y.doc_id AS b, {_JACC} AS jacc
     FROM s x JOIN s y ON x.doc_id < y.doc_id
     WHERE {_JACC} >= 0.8
+"""
+
+ORACLES["dedup_duplicate_spans"] = """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (
+      SELECT doc_id, i AS s, i + 4 AS e,
+             md5(array_to_string(toks[i:i+4], ' ')) AS wh
+      FROM d, unnest(range(1, len(toks) - 3)) t(i)
+      WHERE len(toks) >= 5
+    ),
+    dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) > 1),
+    dw AS (SELECT w.doc_id, s, e FROM w JOIN dup USING (wh)),
+    l AS (SELECT *, lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+          FROM dw),
+    g AS (SELECT *, sum(CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS UNBOUNDED PRECEDING) AS gid
+          FROM l),
+    isl AS (SELECT doc_id, gid, min(s) AS ss, max(e) AS ee
+            FROM g GROUP BY 1, 2),
+    pd AS (SELECT doc_id, sum(ee - ss + 1) AS n_dup_tokens,
+                  count(*) AS n_spans
+           FROM isl GROUP BY 1)
+    SELECT doc.doc_id,
+           CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(coalesce(pd.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans
+    FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id
 """
 
 ORACLES["events_funnel"] = """

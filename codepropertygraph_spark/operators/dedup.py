@@ -350,3 +350,74 @@ def jaccard_prefix_pairs(
         .where(F.col("jacc") >= threshold)
         .select("a", "b", "jacc")
     )
+
+
+def duplicate_spans(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Exact duplicate-substring detection: for every document, the merged
+    token spans covered by some k-token window that occurs MORE THAN ONCE
+    anywhere in the corpus — the substring-level dedup signal (train-set
+    boilerplate, repeated headers/licenses) that document-level dedup
+    can't see.
+
+    Returns (doc_id, n_tokens, n_dup_tokens, n_spans): total tokens, how
+    many sit inside a duplicated run, and how many maximal runs there are.
+
+    Shape for scale: rolling k-token windows are generated JVM-side per
+    document (transform over sequence — map-only, output ~n_tokens rows),
+    duplicated window hashes come from ONE two-phase count agg, and span
+    merging is the gaps-and-islands window per doc (each partition bounded
+    by document length). Window hashes are md5 so the whole computation is
+    engine-reproducible; no token text survives the shuffle — only
+    (doc_id, position, hash).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    d = documents.withColumn("toks", F.split("text", " ")).withColumn(
+        "ws",
+        F.expr(
+            f"if(size(toks) >= {k}, "
+            f"transform(sequence(1, size(toks) - {k - 1}), i -> "
+            f"named_struct('s', i, 'wh', md5(concat_ws(' ', slice(toks, i, {k}))))), "
+            f"array())"
+        ),
+    )
+    w = d.select("doc_id", F.explode("ws").alias("w")).select(
+        "doc_id",
+        F.col("w.s").cast("long").alias("s"),
+        (F.col("w.s") + (k - 1)).cast("long").alias("e"),
+        F.col("w.wh").alias("wh"),
+    )
+    dup = (
+        w.groupBy("wh").agg(F.count("*").alias("n")).where(F.col("n") > 1)
+    )
+    dw = w.join(dup.select("wh"), "wh").select("doc_id", "s", "e")
+    win = Window.partitionBy("doc_id").orderBy("s")
+    # e is strictly increasing in s (fixed k), so lag(e) == running max
+    pe = F.lag("e").over(win)
+    g = dw.withColumn(
+        "gid",
+        F.sum(
+            F.when(pe.isNull() | (F.col("s") > pe + 1), 1).otherwise(0)
+        ).over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    islands = g.groupBy("doc_id", "gid").agg(
+        F.min("s").alias("ss"), F.max("e").alias("ee")
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.sum(F.col("ee") - F.col("ss") + 1).cast("long").alias("n_dup_tokens"),
+        F.count("*").cast("long").alias("n_spans"),
+    )
+    return (
+        documents.select(
+            "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias(
+                "n_dup_tokens"
+            ),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        )
+    )

@@ -948,3 +948,38 @@ def test_jaccard_prefix_equals_all_pairs(spark):
         assert got == want, (t, got, want)
     # sanity: the fixture actually exercises matches at every threshold
     assert len(dedup.ngram_jaccard_pairs(df, 0.5).collect()) > 2
+
+
+def test_duplicate_spans_golden(spark):
+    """duplicate_spans on a crafted corpus: a repeated k-window shared by
+    two docs marks exactly its tokens in both; overlapping duplicated
+    windows merge into one maximal run; short docs and unique docs report
+    zero; within-doc repetition also counts."""
+    from codepropertygraph_spark.operators import dedup
+
+    shared = "s1 s2 s3 s4 s5"                       # one exact 5-window
+    rows = [
+        (1, f"u1a u1b {shared} u1c u1d"),           # window at pos 3..7
+        (2, f"{shared} u2a u2b u2c u2d u2e"),       # window at pos 1..5
+        # doc 3: 6-token run shared with doc 4 -> two overlapping windows
+        (3, "r1 r2 r3 r4 r5 r6 z1 z2"),
+        (4, "y1 y2 r1 r2 r3 r4 r5 r6"),
+        (5, "only unique tokens here nothing repeated"),
+        (6, "tiny doc"),                            # < k tokens
+        # doc 7: internal repetition of a 5-window
+        (7, "p1 p2 p3 p4 p5 mid p1 p2 p3 p4 p5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.duplicate_spans(df, k=5).collect()}
+    assert (got[1].n_dup_tokens, got[1].n_spans) == (5, 1)
+    assert (got[2].n_dup_tokens, got[2].n_spans) == (5, 1)
+    assert (got[3].n_dup_tokens, got[3].n_spans) == (6, 1)  # merged run
+    assert (got[4].n_dup_tokens, got[4].n_spans) == (6, 1)
+    assert (got[5].n_dup_tokens, got[5].n_spans) == (0, 0)
+    assert (got[6].n_dup_tokens, got[6].n_spans) == (0, 0)
+    assert got[6].n_tokens == 2
+    assert (got[7].n_dup_tokens, got[7].n_spans) == (10, 2)  # both copies
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be"):
+        dedup.duplicate_spans(df, k=1)
