@@ -966,6 +966,17 @@ def _q_dedup_jaccard_prefix(spark, sf_dir):
     return dedup.jaccard_prefix_pairs(_docs(spark, sf_dir))
 
 
+def _q_kg_entity_pmi(spark, sf_dir):
+    """Entity co-occurrence PMI (centrality.entity_pmi): association
+    weights for entity pairs sharing conversations, micro-nat integer
+    values from exact BIGINT counts — the edge-weighting signal over the
+    same canonical entity space as PageRank/triangles."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    return centrality.entity_pmi(triples, min_count=2)
+
+
 def _q_dedup_duplicate_spans(spark, sf_dir):
     """Exact duplicate-substring spans (dedup.duplicate_spans, k=5): per
     doc, tokens covered by any 5-token window repeated anywhere in the
@@ -2051,6 +2062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cohorts": _q_events_cohorts,
     "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
     "dedup_duplicate_spans": _q_dedup_duplicate_spans,
+    "kg_entity_pmi": _q_kg_entity_pmi,
     "tpch_q4": _q_tpch_q4,
     "tpch_q12": _q_tpch_q12,
     "tpch_q7": _q_tpch_q7,
@@ -3908,6 +3920,29 @@ ORACLES["events_cohorts"] = """
            count(*) AS n_active
     FROM uw JOIN first USING ("user")
     GROUP BY 1, 2
+"""
+
+ORACLES["kg_entity_pmi"] = f"""
+    WITH RECURSIVE {_TRIPLES_CTES},
+    ce AS (SELECT DISTINCT conv_id, ent FROM (
+      SELECT conv_id, subj AS ent FROM triples
+      UNION ALL SELECT conv_id, obj FROM triples
+    )),
+    nn AS (SELECT count(DISTINCT conv_id) AS n_convs FROM ce),
+    cnt AS (SELECT ent, count(*) AS c FROM ce GROUP BY 1),
+    prs AS (
+      SELECT x.ent AS a, y.ent AS b, count(*) AS c_ab
+      FROM ce x JOIN ce y ON x.conv_id = y.conv_id AND x.ent < y.ent
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(round(ln(CAST(c_ab * n_convs AS DOUBLE)
+                         / CAST(ca.c * cb.c AS DOUBLE)) * 1e6) AS BIGINT)
+             AS pmi_micro
+    FROM prs
+    JOIN cnt ca ON prs.a = ca.ent
+    JOIN cnt cb ON prs.b = cb.ent
+    CROSS JOIN nn
 """
 
 ORACLES["kg_entity_triangles"] = f"""

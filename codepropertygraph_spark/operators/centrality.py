@@ -263,3 +263,63 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def entity_pmi(triples: DataFrame, min_count: int = 2) -> DataFrame:
+    """Pointwise mutual information between entities co-occurring in the
+    same conversation — the association-strength weight for entity-graph
+    edges (raw co-occurrence counts over-weight frequent entities; PMI
+    normalizes by both marginals).
+
+    Returns (a, b, c_ab, pmi_micro) for unordered pairs with ≥
+    ``min_count`` co-occurring conversations; PMI in integer MICRO-NATS
+    (rounded once from a fixed-order double expression over exact BIGINT
+    counts, so the value is engine-reproducible):
+
+        pmi = ln( (c_ab * n_convs) / (c_a * c_b) )
+
+    Scale shape: the unit of work is distinct (conversation, entity) —
+    one dedup shuffle — then marginals are a two-phase agg and pair
+    generation is a self-equi-join on conv_id whose fan-out is bounded by
+    per-conversation entity count squared (the inherent output size of
+    co-occurrence; mega-conversations are exactly the AQE-skew-split case,
+    and the support threshold prunes before the PMI join). n_convs is a
+    1-row broadcast, never a driver-side collect.
+    """
+    ce = (
+        triples.select(
+            "conv_id", F.explode(F.array("subj", "obj")).alias("ent")
+        )
+        .dropDuplicates(["conv_id", "ent"])
+    )
+    nconv = ce.agg(F.countDistinct("conv_id").alias("n_convs"))
+    cnt = ce.groupBy("ent").agg(F.count("*").cast("long").alias("c"))
+    pairs = (
+        ce.alias("x")
+        .join(ce.alias("y"), "conv_id")
+        .where(F.col("x.ent") < F.col("y.ent"))
+        .groupBy(F.col("x.ent").alias("a"), F.col("y.ent").alias("b"))
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    return (
+        pairs.join(
+            cnt.select(F.col("ent").alias("a"), F.col("c").alias("c_a")), "a"
+        )
+        .join(cnt.select(F.col("ent").alias("b"), F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(nconv))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("n_convs")).cast("double")
+                    / (F.col("c_a") * F.col("c_b")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )

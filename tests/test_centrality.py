@@ -212,3 +212,41 @@ def test_triangle_counts_match_naive(spark):
     got = {r.node: r.n_triangles
            for r in centrality.triangle_counts(edges).collect()}
     assert got == want
+
+
+def test_entity_pmi_matches_python_mirror(spark):
+    """entity_pmi equals a hand-rolled mirror (same count definitions,
+    same round-to-micro-nats), and the support threshold prunes."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    rows = [  # (conv_id, subj, obj)
+        ("c1", "a", "b"), ("c1", "b", "c"),
+        ("c2", "a", "b"),
+        ("c3", "a", "d"),
+        ("c4", "b", "c"),
+        ("c5", "a", "b"), ("c5", "c", "d"),
+    ]
+    tr = spark.createDataFrame(rows, "conv_id string, subj string, obj string")
+    got = {
+        (r.a, r.b): (r.c_ab, r.pmi_micro)
+        for r in centrality.entity_pmi(tr, min_count=2).collect()
+    }
+
+    convs: dict[str, set] = {}
+    for c, s, o in rows:
+        convs.setdefault(c, set()).update((s, o))
+    n = len(convs)
+    marg = Counter(e for es in convs.values() for e in es)
+    pair = Counter(
+        p for es in convs.values() for p in combinations(sorted(es), 2)
+    )
+    want = {}
+    for (a, b), cab in pair.items():
+        if cab < 2:
+            continue
+        v = math.log((cab * n) / (marg[a] * marg[b])) * 1e6
+        want[(a, b)] = (cab, int(math.copysign(math.floor(abs(v) + 0.5), v)))
+    assert got == want
+    assert ("a", "b") in got and got[("a", "b")][0] == 3

@@ -95,6 +95,9 @@ def main() -> None:
         "events_funnel",
         "events_cohorts",
         "kg_entity_triangles",
+        "kg_entity_pmi",
+        "dedup_jaccard_prefix",
+        "dedup_duplicate_spans",
         "documents_packing",
         "text_unigram_lp",
         "kg_entity_pagerank",
