@@ -597,3 +597,68 @@ def apply_diff_zip_sequence(
         )
 
     return _dedup(nodes), _dedup(edges)
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    gap_s: int = 1800,
+    events_schema: str = "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+):
+    """Streaming sessionization with Spark's native ``session_window`` —
+    the stateful gap-merge operator: per user, events closer than
+    ``gap_s`` merge into one session whose window extends as members
+    arrive, ACROSS micro-batches (the batch gaps-and-islands semantics,
+    maintained incrementally in state).
+
+    Complete-mode drain into a memory sink (the repo's windowed-agg
+    pattern): availableNow returns every session including those still
+    open at drain time, so the result equals batch sessionization of the
+    same rows — parity-tested. The 1-hour watermark declares the lateness
+    bound; in an always-on append-mode deployment it is what closes
+    sessions and evicts state.
+
+    Returns (user_id, session_start epoch micros, session_end epoch
+    micros, n_events, value_centi_sum) — integer times/values, engine- and
+    batch-split-exact.
+    """
+    stream = (
+        spark.readStream.schema(events_schema)
+        .option("maxFilesPerTrigger", 1)  # sessions must merge ACROSS batches
+        .parquet(input_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("ts", f"{gap_s} seconds").alias("sw"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_centi_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start").cast("timestamp_ltz")).alias(
+                "session_start"
+            ),
+            F.unix_micros(F.col("sw.end").cast("timestamp_ltz")).alias(
+                "session_end"
+            ),
+            "n_events",
+            "value_centi_sum",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM stream_sessions")

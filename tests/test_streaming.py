@@ -344,3 +344,75 @@ def test_stream_diff_zips_rebuild_graph(spark, transcripts, alias_dict, tmp_path
     }
     assert canon(nodes) == canon(want_n)
     assert canon(edges) == canon(want_e)
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """session_window streaming sessionization == batch gaps-and-islands
+    on the same rows, with the corpus split into two time-ordered files so
+    sessions STRADDLE the micro-batch boundary (maxFilesPerTrigger=1
+    forces the state merge path)."""
+    import os
+
+    import glob as _glob
+    import shutil
+
+    base = str(tmp_path)
+    src = "/root/testdata/sf0.001/events.parquet"
+    ev = spark.read.parquet(src)
+    os.makedirs(f"{base}/in", exist_ok=True)
+    # time-ordered halves: every user's stream is cut mid-session somewhere
+    half = ev.count() // 2
+    ev.orderBy("ts").limit(half).coalesce(1).write.parquet(f"{base}/stage1")
+    first_ids = {
+        r.event_id
+        for r in spark.read.parquet(f"{base}/stage1").select("event_id").collect()
+    }
+    ev.where(~F.col("event_id").isin(list(first_ids))).coalesce(1).write.parquet(
+        f"{base}/stage2"
+    )
+    for i, stage in enumerate(("stage1", "stage2"), 1):
+        (part,) = _glob.glob(f"{base}/{stage}/part-*.parquet")
+        shutil.copy(part, f"{base}/in/{i:02d}.parquet")
+    assert spark.read.parquet(f"{base}/in").count() == ev.count()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_centi_sum)
+        for r in ingest.stream_sessionize(
+            spark, f"{base}/in", f"{base}/ckpt", gap_s=1800
+        ).collect()
+    }
+
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = W.partitionBy("user_id").orderBy("us")
+    b = (
+        ev.select("user_id", us.alias("us"), "value")
+        .withColumn("prev", F.lag("us").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("us") - F.col("prev") > 1800 * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("session_start"),
+            (F.max("us") + 1800 * 1_000_000).alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_centi_sum"),
+        )
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.value_centi_sum)
+        for r in b.collect()
+    }
+    assert got == want
