@@ -966,6 +966,31 @@ def _q_dedup_jaccard_prefix(spark, sf_dir):
     return dedup.jaccard_prefix_pairs(_docs(spark, sf_dir))
 
 
+def _q_kg_entity_lifespan(spark, sf_dir):
+    """Temporal entity profile: per linked entity, mention/conversation
+    counts and the first/last mention coordinate under the deterministic
+    global (conv_id, turn_idx, pos) order — the when-did-this-entity-
+    appear signal for KG freshness/curriculum decisions. One two-phase
+    agg over linked mentions (min/max of packed coordinate structs)."""
+    m = extraction.mention_surfaces(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    linked = linking.link_surfaces(
+        m, _alias_dict(spark, sf_dir), "surface", "canonical"
+    )
+    coord = F.struct(
+        F.col("conv_id"), F.col("turn_idx"), F.col("pos").cast("long")
+    )
+    return linked.groupBy("canonical").agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.min(coord).getField("conv_id").alias("first_conv"),
+        F.min(coord).getField("turn_idx").alias("first_turn"),
+        F.max(coord).getField("conv_id").alias("last_conv"),
+        F.max(coord).getField("turn_idx").alias("last_turn"),
+    )
+
+
 def _q_kg_entity_pmi(spark, sf_dir):
     """Entity co-occurrence PMI (centrality.entity_pmi): association
     weights for entity pairs sharing conversations, micro-nat integer
@@ -2063,6 +2088,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_prefix": _q_dedup_jaccard_prefix,
     "dedup_duplicate_spans": _q_dedup_duplicate_spans,
     "kg_entity_pmi": _q_kg_entity_pmi,
+    "kg_entity_lifespan": _q_kg_entity_lifespan,
     "tpch_q4": _q_tpch_q4,
     "tpch_q12": _q_tpch_q12,
     "tpch_q7": _q_tpch_q7,
@@ -3920,6 +3946,35 @@ ORACLES["events_cohorts"] = """
            count(*) AS n_active
     FROM uw JOIN first USING ("user")
     GROUP BY 1, 2
+"""
+
+ORACLES["kg_entity_lifespan"] = f"""
+    WITH {_TOK_CTE}, {_MENTION_CTE}, {_BEST_CTE},
+    lm AS (
+      SELECT m.conv_id, m.turn_idx, m.pos,
+             coalesce(b.canonical_name, 'external:' || m.surface) AS canonical
+      FROM mention m LEFT JOIN best b ON m.surface = b.alias
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY canonical
+                 ORDER BY conv_id, turn_idx, pos) AS rn_a,
+             row_number() OVER (PARTITION BY canonical
+                 ORDER BY conv_id DESC, turn_idx DESC, pos DESC) AS rn_d
+      FROM lm
+    ),
+    agg AS (
+      SELECT canonical, count(*) AS n_mentions,
+             count(DISTINCT conv_id) AS n_convs
+      FROM lm GROUP BY 1
+    )
+    SELECT a.canonical, CAST(n_mentions AS BIGINT) AS n_mentions,
+           CAST(n_convs AS BIGINT) AS n_convs,
+           f.conv_id AS first_conv, f.turn_idx AS first_turn,
+           l.conv_id AS last_conv, l.turn_idx AS last_turn
+    FROM agg a
+    JOIN r f ON a.canonical = f.canonical AND f.rn_a = 1
+    JOIN r l ON a.canonical = l.canonical AND l.rn_d = 1
 """
 
 ORACLES["kg_entity_pmi"] = f"""
