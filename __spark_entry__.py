@@ -966,6 +966,28 @@ def _q_dedup_jaccard_prefix(spark, sf_dir):
     return dedup.jaccard_prefix_pairs(_docs(spark, sf_dir))
 
 
+def _q_kg_entity_pagerank_weighted(spark, sf_dir):
+    """PMI-weighted integer PageRank (centrality.pagerank_weighted over
+    centrality.entity_pmi): restart-damped salience where outgoing mass
+    splits proportionally to positive-PMI edge weights (w =
+    greatest(pmi_micro, 0) + 1 on the symmetrized pair set) — frequent but
+    uninformative co-occurrence hubs get damped relative to the unweighted
+    rank. Bit-exact vs an unrolled weighted CTE chain."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    pmi = centrality.entity_pmi(triples, min_count=2)
+    w = (F.greatest(F.col("pmi_micro"), F.lit(0)) + 1).alias("w")
+    wedges = pmi.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), w
+    ).unionByName(
+        pmi.select(F.col("b").alias("src"), F.col("a").alias("dst"), w)
+    ).localCheckpoint(eager=True)
+    return centrality.pagerank_weighted(wedges, iters=5).select(
+        F.col("node").alias("entity"), "score_micro"
+    )
+
+
 def _q_kg_entity_lifespan(spark, sf_dir):
     """Temporal entity profile: per linked entity, mention/conversation
     counts and the first/last mention coordinate under the deterministic
@@ -2089,6 +2111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_duplicate_spans": _q_dedup_duplicate_spans,
     "kg_entity_pmi": _q_kg_entity_pmi,
     "kg_entity_lifespan": _q_kg_entity_lifespan,
+    "kg_entity_pagerank_weighted": _q_kg_entity_pagerank_weighted,
     "tpch_q4": _q_tpch_q4,
     "tpch_q12": _q_tpch_q12,
     "tpch_q7": _q_tpch_q7,
@@ -2282,6 +2305,38 @@ def _pagerank_cte_chain(iters: int, seed_pred: str | None = None) -> str:
             f" // 1000 AS BIGINT) AS score"
             f" FROM pn LEFT JOIN (SELECT node, sum(contrib) AS s FROM pc{i}"
             f" GROUP BY node) agg ON pn.node = agg.node)"
+        )
+    return ",\n".join(parts)
+
+
+def _wpagerank_cte_chain(iters: int) -> str:
+    """Unrolled PMI-weighted PageRank: mass splits proportionally to
+    positive integer weights w = greatest(pmi_micro, 0) + 1 on the
+    symmetrized pair set; same micro-unit floor arithmetic as the
+    unweighted chain."""
+    parts = [
+        "wpe AS (SELECT src, dst, w FROM ("
+        " SELECT a AS src, b AS dst, greatest(pmi_micro, 0) + 1 AS w FROM pmi"
+        " UNION ALL"
+        " SELECT b AS src, a AS dst, greatest(pmi_micro, 0) + 1 AS w FROM pmi))",
+        "wpn AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM wpe UNION ALL SELECT dst FROM wpe))",
+        "wout AS (SELECT src, sum(w) AS out_w FROM wpe GROUP BY src)",
+        "ws0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM wpn)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"wc{i} AS (SELECT wpe.dst AS node,"
+            f" (ws.score * wpe.w) // wout.out_w AS contrib"
+            f" FROM wpe JOIN ws{i} ws ON wpe.src = ws.node"
+            f" JOIN wout ON wout.src = wpe.src)"
+        )
+        parts.append(
+            f"ws{i + 1} AS (SELECT wpn.node,"
+            f" CAST(150000 + (850 * CAST(coalesce(agg.s, 0) AS BIGINT))"
+            f" // 1000 AS BIGINT) AS score"
+            f" FROM wpn LEFT JOIN (SELECT node, sum(contrib) AS s FROM wc{i}"
+            f" GROUP BY node) agg ON wpn.node = agg.node)"
         )
     return ",\n".join(parts)
 
@@ -3977,8 +4032,8 @@ ORACLES["kg_entity_lifespan"] = f"""
     JOIN r l ON a.canonical = l.canonical AND l.rn_d = 1
 """
 
-ORACLES["kg_entity_pmi"] = f"""
-    WITH RECURSIVE {_TRIPLES_CTES},
+# Shared by kg_entity_pmi and the PMI-weighted PageRank oracle.
+_PMI_CTES = """
     ce AS (SELECT DISTINCT conv_id, ent FROM (
       SELECT conv_id, subj AS ent FROM triples
       UNION ALL SELECT conv_id, obj FROM triples
@@ -3989,15 +4044,30 @@ ORACLES["kg_entity_pmi"] = f"""
       SELECT x.ent AS a, y.ent AS b, count(*) AS c_ab
       FROM ce x JOIN ce y ON x.conv_id = y.conv_id AND x.ent < y.ent
       GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    pmi AS (
+      SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+             CAST(round(ln(CAST(c_ab * n_convs AS DOUBLE)
+                           / CAST(ca.c * cb.c AS DOUBLE)) * 1e6) AS BIGINT)
+               AS pmi_micro
+      FROM prs
+      JOIN cnt ca ON prs.a = ca.ent
+      JOIN cnt cb ON prs.b = cb.ent
+      CROSS JOIN nn
     )
-    SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
-           CAST(round(ln(CAST(c_ab * n_convs AS DOUBLE)
-                         / CAST(ca.c * cb.c AS DOUBLE)) * 1e6) AS BIGINT)
-             AS pmi_micro
-    FROM prs
-    JOIN cnt ca ON prs.a = ca.ent
-    JOIN cnt cb ON prs.b = cb.ent
-    CROSS JOIN nn
+"""
+
+ORACLES["kg_entity_pmi"] = f"""
+    WITH RECURSIVE {_TRIPLES_CTES},
+    {_PMI_CTES}
+    SELECT a, b, c_ab, pmi_micro FROM pmi
+"""
+
+ORACLES["kg_entity_pagerank_weighted"] = f"""
+    WITH RECURSIVE {_TRIPLES_CTES},
+    {_PMI_CTES},
+    {_wpagerank_cte_chain(5)}
+    SELECT node AS entity, score AS score_micro FROM ws5
 """
 
 ORACLES["kg_entity_triangles"] = f"""

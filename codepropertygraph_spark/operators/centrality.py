@@ -323,3 +323,55 @@ def entity_pmi(triples: DataFrame, min_count: int = 2) -> DataFrame:
             .alias("pmi_micro"),
         )
     )
+
+
+def pagerank_weighted(
+    wedges: DataFrame,
+    iters: int = 5,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Weighted integer-arithmetic PageRank → (node, score_micro BIGINT):
+    a node's outgoing mass splits PROPORTIONALLY to positive integer edge
+    weights instead of uniformly — rank salience over an
+    association-weighted entity graph (e.g. ``entity_pmi`` weights, which
+    damp frequent-but-uninformative co-occurrence hubs).
+
+    Recurrence (damping 0.85, all BIGINT floor arithmetic, so the result
+    is bit-identical across engines and shuffle orders — the
+    ``pagerank_int`` discipline):
+
+        contrib(u→v) = (score(u) * w(u,v)) div out_w(u)
+        score'(v)    = 150_000 + (850 * Σ contrib) div 1000
+
+    Per-edge flooring drops < 1 micro-unit (documented, identical in the
+    SQL oracle). Same scale shape as ``pagerank_int``: out_w computed
+    once, each iteration is one src-join + one dst-groupBy with map-side
+    partial aggregation; iteration-invariant frames eagerly checkpointed.
+    """
+    edges = wedges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    nodes = _nodes(edges).localCheckpoint(eager=True)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ed = edges.join(outw, "src").localCheckpoint(eager=True)
+    scores = nodes.select(
+        "node", F.lit(PAGERANK_INIT_MICRO).cast("long").alias("score")
+    )
+    for i in range(iters):
+        contribs = ed.join(scores, ed.src == scores.node).select(
+            F.col("dst").alias("node"),
+            F.expr("(score * w) div out_w").alias("contrib"),
+        )
+        incoming = contribs.groupBy("node").agg(F.sum("contrib").alias("in_sum"))
+        scores = nodes.join(incoming, "node", "left").select(
+            "node",
+            (
+                F.lit(PAGERANK_BASE_MICRO)
+                + F.expr(
+                    f"{PAGERANK_DAMP_MILLI} * coalesce(in_sum, 0L) div 1000"
+                )
+            )
+            .cast("long")
+            .alias("score"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            scores = scores.localCheckpoint(eager=True)
+    return scores.select("node", F.col("score").alias("score_micro"))

@@ -250,3 +250,39 @@ def test_entity_pmi_matches_python_mirror(spark):
         want[(a, b)] = (cab, int(math.copysign(math.floor(abs(v) + 0.5), v)))
     assert got == want
     assert ("a", "b") in got and got[("a", "b")][0] == 3
+
+
+def test_pagerank_weighted_matches_python_mirror(spark):
+    """pagerank_weighted equals a hand-rolled integer mirror, and a
+    heavily-weighted edge pulls rank toward its target vs the unweighted
+    rank."""
+    from collections import defaultdict
+
+    wedges = [
+        ("a", "b", 100), ("a", "c", 1),
+        ("b", "a", 1), ("c", "a", 1), ("d", "a", 5), ("a", "d", 1),
+    ]
+    df = spark.createDataFrame(wedges, "src string, dst string, w long")
+    got = {
+        r.node: r.score_micro
+        for r in centrality.pagerank_weighted(df, iters=5).collect()
+    }
+
+    nodes = sorted({s for s, _, _ in wedges} | {d for _, d, _ in wedges})
+    outw = defaultdict(int)
+    for s, _, w in wedges:
+        outw[s] += w
+    score = {n: centrality.PAGERANK_INIT_MICRO for n in nodes}
+    for _ in range(5):
+        in_sum = defaultdict(int)
+        for s, d, w in wedges:
+            in_sum[d] += score[s] * w // outw[s]
+        score = {
+            n: centrality.PAGERANK_BASE_MICRO
+            + centrality.PAGERANK_DAMP_MILLI * in_sum[n] // 1000
+            for n in nodes
+        }
+    assert got == score
+    # the 100x a->b edge must rank b above c (symmetric in the unweighted
+    # graph: both have the single in-edge from a)
+    assert got["b"] > got["c"]
