@@ -988,6 +988,25 @@ def _q_kg_entity_pagerank_weighted(spark, sf_dir):
     )
 
 
+def _q_kg_entity_communities_weighted(spark, sf_dir):
+    """PMI-weighted label propagation (centrality.lpa_communities_weighted):
+    communities where a few strong associations outvote many weak
+    co-occurrences; same positive-PMI weights as the weighted PageRank.
+    Bit-exact vs an unrolled weighted CTE chain."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    pmi = centrality.entity_pmi(triples, min_count=2)
+    wedges = pmi.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        (F.greatest(F.col("pmi_micro"), F.lit(0)) + 1).alias("w"),
+    ).localCheckpoint(eager=True)
+    return centrality.lpa_communities_weighted(wedges, iters=3).select(
+        F.col("node").alias("entity"), "community"
+    )
+
+
 def _q_kg_entity_lifespan(spark, sf_dir):
     """Temporal entity profile: per linked entity, mention/conversation
     counts and the first/last mention coordinate under the deterministic
@@ -2112,6 +2131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_pmi": _q_kg_entity_pmi,
     "kg_entity_lifespan": _q_kg_entity_lifespan,
     "kg_entity_pagerank_weighted": _q_kg_entity_pagerank_weighted,
+    "kg_entity_communities_weighted": _q_kg_entity_communities_weighted,
     "tpch_q4": _q_tpch_q4,
     "tpch_q12": _q_tpch_q12,
     "tpch_q7": _q_tpch_q7,
@@ -2337,6 +2357,36 @@ def _wpagerank_cte_chain(iters: int) -> str:
             f" // 1000 AS BIGINT) AS score"
             f" FROM wpn LEFT JOIN (SELECT node, sum(contrib) AS s FROM wc{i}"
             f" GROUP BY node) agg ON wpn.node = agg.node)"
+        )
+    return ",\n".join(parts)
+
+
+def _wlpa_cte_chain(iters: int) -> str:
+    """Unrolled weighted label propagation over the positive-PMI edge set
+    (largest neighbor weight-sum wins, ties by smallest label)."""
+    parts = [
+        "wle AS (SELECT a AS src, b AS dst,"
+        " greatest(pmi_micro, 0) + 1 AS w FROM pmi)",
+        "wlnb AS (SELECT node, nbr, sum(w) AS w FROM"
+        " (SELECT src AS node, dst AS nbr, w FROM wle"
+        " UNION ALL SELECT dst, src, w FROM wle) GROUP BY 1, 2)",
+        "wln AS (SELECT DISTINCT node FROM wlnb)",
+        "wll0 AS (SELECT node, node AS label FROM wln)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"wlc{i} AS (SELECT wlnb.node, ll.label, sum(wlnb.w) AS wsum"
+            f" FROM wlnb JOIN wll{i} ll ON wlnb.nbr = ll.node GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"wlw{i} AS (SELECT node, label FROM (SELECT node, label,"
+            f" row_number() OVER (PARTITION BY node ORDER BY wsum DESC,"
+            f" label ASC) AS rn FROM wlc{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"wll{i + 1} AS (SELECT ll.node, coalesce(lw.label, ll.label)"
+            f" AS label FROM wll{i} ll LEFT JOIN wlw{i} lw"
+            f" ON ll.node = lw.node)"
         )
     return ",\n".join(parts)
 
@@ -4068,6 +4118,13 @@ ORACLES["kg_entity_pagerank_weighted"] = f"""
     {_PMI_CTES},
     {_wpagerank_cte_chain(5)}
     SELECT node AS entity, score AS score_micro FROM ws5
+"""
+
+ORACLES["kg_entity_communities_weighted"] = f"""
+    WITH RECURSIVE {_TRIPLES_CTES},
+    {_PMI_CTES},
+    {_wlpa_cte_chain(3)}
+    SELECT node AS entity, label AS community FROM wll3
 """
 
 ORACLES["kg_entity_triangles"] = f"""

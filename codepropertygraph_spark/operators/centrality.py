@@ -375,3 +375,64 @@ def pagerank_weighted(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             scores = scores.localCheckpoint(eager=True)
     return scores.select("node", F.col("score").alias("score_micro"))
+
+
+def lpa_communities_weighted(
+    wedges: DataFrame, iters: int = 3, checkpoint_every: int = 4
+) -> DataFrame:
+    """Weighted deterministic label propagation → (node, community): each
+    round a node adopts the label with the largest SUM OF EDGE WEIGHTS
+    among its undirected neighbors (ties by smallest label) — community
+    detection over an association-weighted graph (e.g. ``entity_pmi``
+    weights), where a few strong ties outvote many weak ones.
+
+    Input (src, dst, w) with positive integer weights; parallel duplicate
+    pairs collapse by weight-sum first (so the vote per neighbor pair is
+    well-defined), then edges symmetrize. Same per-round shape as the
+    unweighted operator: one join + one two-phase sum agg + a per-node
+    argmax window bounded by degree; integer weights keep every vote
+    engine-exact.
+    """
+    und = (
+        wedges.select("src", "dst", F.col("w").cast("long").alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nb = (
+        und.select(F.col("src").alias("node"), F.col("dst").alias("nbr"), "w")
+        .unionByName(
+            und.select(
+                F.col("dst").alias("node"), F.col("src").alias("nbr"), "w"
+            )
+        )
+        .groupBy("node", "nbr")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = nb.select("node").dropDuplicates(["node"]).localCheckpoint(
+        eager=True
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    win = Window.partitionBy("node").orderBy(
+        F.col("wsum").desc(), F.col("label").asc()
+    )
+    for i in range(iters):
+        votes = (
+            nb.join(
+                labels.select(F.col("node").alias("nbr"), F.col("label")),
+                "nbr",
+            )
+            .groupBy("node", "label")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        winner = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(winner, "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))

@@ -286,3 +286,37 @@ def test_pagerank_weighted_matches_python_mirror(spark):
     # the 100x a->b edge must rank b above c (symmetric in the unweighted
     # graph: both have the single in-edge from a)
     assert got["b"] > got["c"]
+
+
+def test_lpa_weighted_strong_tie_wins(spark):
+    """Weighted LPA: one strong edge outvotes two weak ones (the inverse
+    of the unweighted vote), and the result matches a Python mirror of
+    the synchronous weighted recurrence."""
+    from collections import defaultdict
+
+    # x's neighbors: strong tie to a (w=10), weak ties to b and c (w=1).
+    # Unweighted LPA would see labels {a, b, c} once each and pick 'a' by
+    # tie-break anyway — so add d,e labeled like b,c to make the
+    # unweighted majority AGAINST the strong tie.
+    wedges = [
+        ("x", "a", 10),
+        ("x", "b", 1), ("x", "c", 1),
+        ("b", "d", 5), ("c", "e", 5),
+    ]
+    df = spark.createDataFrame(wedges, "src string, dst string, w long")
+    got = {
+        r.node: r.community
+        for r in centrality.lpa_communities_weighted(df, iters=1).collect()
+    }
+
+    nb = defaultdict(lambda: defaultdict(int))
+    for s, d, w in wedges:
+        nb[s][d] += w
+        nb[d][s] += w
+    want = {}
+    for n, nbrs in nb.items():
+        # round 1: every neighbor still carries its own name as label
+        best = sorted(nbrs.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        want[n] = best
+    assert got == want
+    assert got["x"] == "a"  # the strong tie won
