@@ -1054,6 +1054,17 @@ def _q_dedup_duplicate_spans(spark, sf_dir):
     return dedup.duplicate_spans(_docs(spark, sf_dir), k=5)
 
 
+def _q_events_anomalies(spark, sf_dir):
+    """Per-user 3-sigma outlier flags (relational.anomaly_flags): the
+    float z-score test cross-multiplied into pure BIGINT arithmetic on
+    centi-unit values — no mean/stddev float seam at the decision
+    boundary. One two-phase user agg + a map-side flag."""
+    from codepropertygraph_spark.operators import relational
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return relational.anomaly_flags(ev, k=3)
+
+
 def _q_events_funnel(spark, sf_dir):
     """Ordered funnel (relational.funnel): signup → view → click →
     purchase within a 7-day conversion window from signup; per-user step
@@ -2132,6 +2143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_lifespan": _q_kg_entity_lifespan,
     "kg_entity_pagerank_weighted": _q_kg_entity_pagerank_weighted,
     "kg_entity_communities_weighted": _q_kg_entity_communities_weighted,
+    "events_anomalies": _q_events_anomalies,
     "tpch_q4": _q_tpch_q4,
     "tpch_q12": _q_tpch_q12,
     "tpch_q7": _q_tpch_q7,
@@ -4010,6 +4022,24 @@ ORACLES["dedup_duplicate_spans"] = """
            CAST(coalesce(pd.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
            CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans
     FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id
+"""
+
+ORACLES["events_anomalies"] = """
+    WITH b AS (
+      SELECT event_id, user_id AS "user",
+             CAST(round(value * 100) AS BIGINT) AS value_centi
+      FROM events
+    ),
+    st AS (
+      SELECT "user", CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(value_centi) AS BIGINT) AS s,
+             CAST(sum(value_centi * value_centi) AS BIGINT) AS q
+      FROM b GROUP BY 1
+    )
+    SELECT event_id, b."user", value_centi, n,
+           (n * value_centi - s) * (n * value_centi - s)
+             > 9 * (n * q - s * s) AS flagged
+    FROM b JOIN st USING ("user")
 """
 
 ORACLES["events_funnel"] = """

@@ -319,3 +319,49 @@ def cohort_retention(
         )
         .agg(F.count("*").cast("long").alias("n_active"))
     )
+
+
+def anomaly_flags(
+    events: DataFrame,
+    k: int = 3,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user k-sigma outlier flags with ALL-INTEGER arithmetic — the
+    event-stream quality/anomaly filter, engine-exact by construction.
+
+    The float test  (x - mean)² > k² · variance  (population variance)
+    multiplies through by n² into BIGINT cross-multiplication on
+    centi-unit values:
+
+        (n·x − s)²  >  k² · (n·q − s²)      with s = Σx, q = Σx²
+
+    so no mean, no stddev, no rounding seam — the flag is a pure function
+    of integer sums (Welford/stddev float paths differ across engines in
+    the last ulp exactly at the decision boundary; this cannot).
+
+    Returns every event row's (event_id, user, value_centi, n, flagged).
+    Shape: ONE two-phase groupBy(user) for (n, s, q), joined back; the
+    flag itself is map-side. Users with one event are never flagged
+    (variance undefined → 0 on both sides).
+    """
+    vc = F.round(F.col(value_col) * 100).cast("long")
+    base = events.select(
+        "event_id", F.col(user_col).alias("user"), vc.alias("value_centi")
+    )
+    stats = base.groupBy("user").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("value_centi").cast("long").alias("s"),
+        F.sum(F.col("value_centi") * F.col("value_centi"))
+        .cast("long")
+        .alias("q"),
+    )
+    lhs = (F.col("n") * F.col("value_centi") - F.col("s"))
+    rhs = F.lit(k * k) * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return base.join(stats, "user").select(
+        "event_id",
+        "user",
+        "value_centi",
+        "n",
+        (lhs * lhs > rhs).alias("flagged"),
+    )

