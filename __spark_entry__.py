@@ -2238,6 +2238,51 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": _q_multimodal_decode,
 }
 
+# Final round-5 window (late additions above pushed r3-only-green rotations
+# past position 50, which would strand them — the rotation discipline).
+# The registry (106) now exceeds the 50-row gate's two-round capacity
+# (100), so perfect every-other-round coverage is no longer possible;
+# coverage policy, in priority order: (1) every query NEW this round gets
+# its first external green now, (2) the stalest queries (last green r3)
+# rotate in, (3) the six r3-green VARIANT queries listed in
+# GATE_DEFERRED — each the alternate formulation of an in-window primary,
+# all green in this round's local 106/106 gate run — wait one extra round
+# and lead the r6 window. tests/test_oracle_types.py pins exactly this.
+GATE_DEFERRED = [
+    "kg_raw_triples_udf",       # pandas-UDF variant of kg_raw_triples
+    "kg_merge_map_tokenblock",  # token-blocking variant of kg_merge_map
+    "kg_ast_json_tree_arrow",   # Arrow-walker variant of kg_ast_json_tree
+    "ann_cosine_topk_lsh",      # LSH variant of ann_cosine_topk
+    "ann_cosine_topk_ivf",      # IVF variant of ann_cosine_topk
+    "dedup_embedding_cosine",   # bucketed variant of _exact (r4-green)
+    "dedup_keep_list",          # keep-list policy variant of dedup_exact
+]
+_WINDOW = [
+    # (1) new this round or r4-red — only the r5 gate can green them
+    "documents_split", "tpch_q10", "tpch_q18",
+    "kg_entity_pagerank", "kg_entity_ppr", "kg_entity_communities",
+    "text_repetition", "documents_mixture", "documents_decontaminate",
+    "documents_packing", "text_unigram_lp", "kg_entity_triangles",
+    "events_funnel", "events_cohorts", "dedup_jaccard_prefix",
+    "dedup_duplicate_spans", "kg_entity_pmi", "kg_entity_lifespan",
+    "kg_entity_pagerank_weighted", "kg_entity_communities_weighted",
+    "events_anomalies", "tpch_q4", "tpch_q12", "tpch_q7", "tpch_q8",
+    "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q19",
+    # (2) stalest — last external green r3
+    "kg_reaching_defs_fields", "kg_traversal_mentions",
+    "kg_traversal_coalesce", "kg_access_path_match", "kg_mention_ast_link",
+    "events_json_extract", "events_rollup", "events_kmv_users",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
+    "ann_cosine_topk", "kg_raw_triples", "kg_mentions", "kg_best_alias",
+    "kg_linked_mentions", "kg_entity_stubs", "kg_merge_map",
+    "kg_conv_stats", "kg_ast_json_tree", "kg_toolcalls",
+]
+assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
+QUERIES = {
+    **{k: QUERIES[k] for k in _WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_WINDOW)},
+}
+
 
 # DuckDB fragments for the data-pipeline oracles -----------------------------
 

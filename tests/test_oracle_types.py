@@ -86,3 +86,19 @@ def test_gate_rotation_covers_every_registry_query():
         "registry queries outside the upcoming 50-row gate window with no "
         f"external green in the last two rounds: {stale}"
     )
+    # Forward invariant: once the registry exceeds the gate's two-round
+    # capacity (100), some tail queries will miss next round's lookback.
+    # Policy: exactly the declared GATE_DEFERRED variants (each the
+    # alternate formulation of an in-window primary) may defer — and they
+    # must lead the NEXT window, which this assert forces by failing if
+    # anything else would go stale.
+    with open(gates[-1]) as f:
+        newest = set(json.load(f))
+    stale_next = {
+        q for q in registry[50:] if q not in newest
+    }
+    deferred = set(getattr(E, "GATE_DEFERRED", []))
+    assert stale_next <= deferred, (
+        "tail queries that would miss next round's two-gate lookback but "
+        f"are not declared in GATE_DEFERRED: {sorted(stale_next - deferred)}"
+    )
