@@ -1007,6 +1007,18 @@ def _q_kg_entity_communities_weighted(spark, sf_dir):
     )
 
 
+def _q_kg_negative_samples(spark, sf_dir):
+    """Deterministic filtered negative sampling (kg.negative_samples,
+    k=2): TransE-style corrupted triples with accidental positives
+    anti-joined away; the pick is a pure hash function of the positive,
+    so the training set is lineage-stable. Entity vocab indexed once
+    (dim-sized window), candidates a JVM explode, pick an equi-join."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    return kg.negative_samples(triples, k=2)
+
+
 def _q_kg_entity_lifespan(spark, sf_dir):
     """Temporal entity profile: per linked entity, mention/conversation
     counts and the first/last mention coordinate under the deterministic
@@ -2144,6 +2156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_pagerank_weighted": _q_kg_entity_pagerank_weighted,
     "kg_entity_communities_weighted": _q_kg_entity_communities_weighted,
     "events_anomalies": _q_events_anomalies,
+    "kg_negative_samples": _q_kg_negative_samples,
     "tpch_q4": _q_tpch_q4,
     "tpch_q12": _q_tpch_q12,
     "tpch_q7": _q_tpch_q7,
@@ -2256,6 +2269,8 @@ GATE_DEFERRED = [
     "ann_cosine_topk_ivf",      # IVF variant of ann_cosine_topk
     "dedup_embedding_cosine",   # bucketed variant of _exact (r4-green)
     "dedup_keep_list",          # keep-list policy variant of dedup_exact
+    "kg_conv_stats",            # descriptive stats over the same turn frame
+                                # as r4-green kg_ordered_turns/props_decorated
 ]
 _WINDOW = [
     # (1) new this round or r4-red — only the r5 gate can green them
@@ -2266,8 +2281,8 @@ _WINDOW = [
     "events_funnel", "events_cohorts", "dedup_jaccard_prefix",
     "dedup_duplicate_spans", "kg_entity_pmi", "kg_entity_lifespan",
     "kg_entity_pagerank_weighted", "kg_entity_communities_weighted",
-    "events_anomalies", "tpch_q4", "tpch_q12", "tpch_q7", "tpch_q8",
-    "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q19",
+    "events_anomalies", "kg_negative_samples", "tpch_q4", "tpch_q12",
+    "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q19",
     # (2) stalest — last external green r3
     "kg_reaching_defs_fields", "kg_traversal_mentions",
     "kg_traversal_coalesce", "kg_access_path_match", "kg_mention_ast_link",
@@ -2275,7 +2290,7 @@ _WINDOW = [
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
     "ann_cosine_topk", "kg_raw_triples", "kg_mentions", "kg_best_alias",
     "kg_linked_mentions", "kg_entity_stubs", "kg_merge_map",
-    "kg_conv_stats", "kg_ast_json_tree", "kg_toolcalls",
+    "kg_ast_json_tree", "kg_toolcalls",
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
 QUERIES = {
@@ -4186,6 +4201,34 @@ ORACLES["kg_entity_pmi"] = f"""
     WITH RECURSIVE {_TRIPLES_CTES},
     {_PMI_CTES}
     SELECT a, b, c_ab, pmi_micro FROM pmi
+"""
+
+ORACLES["kg_negative_samples"] = f"""
+    WITH RECURSIVE {_TRIPLES_CTES},
+    npos AS (SELECT DISTINCT subj, pred, obj FROM triples),
+    nents AS (SELECT DISTINCT entity FROM
+              (SELECT subj AS entity FROM npos
+               UNION ALL SELECT obj FROM npos)),
+    neidx AS (SELECT entity,
+                     row_number() OVER (ORDER BY entity) - 1 AS idx
+              FROM nents),
+    nnn AS (SELECT count(*) AS n FROM neidx),
+    ncand AS (
+      SELECT subj, pred, obj, j,
+             cast(concat('0x', substr(md5(concat('neg', '|',
+                  cast(j AS varchar), '|', subj, '|', pred, '|', obj)),
+                  1, 15)) AS BIGINT) % n AS idx
+      FROM npos, unnest(range(0, 2)) t(j), nnn
+    ),
+    npicked AS (
+      SELECT c.subj, c.pred, e.entity AS neg_obj, CAST(c.j AS BIGINT) AS j
+      FROM ncand c JOIN neidx e USING (idx)
+    )
+    SELECT p.subj, p.pred, p.neg_obj, p.j
+    FROM npicked p
+    LEFT JOIN npos ON p.subj = npos.subj AND p.pred = npos.pred
+                  AND p.neg_obj = npos.obj
+    WHERE npos.subj IS NULL
 """
 
 ORACLES["kg_entity_pagerank_weighted"] = f"""

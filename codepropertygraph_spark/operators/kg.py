@@ -145,3 +145,85 @@ def final_triples(
     return clauses.unionByName(follows).dropDuplicates(
         ["conv_id", "subj", "pred", "obj"]
     )
+
+
+def negative_samples(
+    triples: DataFrame, k: int = 2, salt: str = "neg"
+) -> DataFrame:
+    """Deterministic filtered negative sampling for KG-embedding training
+    (the TransE-family corruption step): for every distinct positive
+    (subj, pred, obj), emit up to ``k`` corrupted triples whose object is
+    replaced by a pseudo-random entity — with ACCIDENTAL POSITIVES
+    REMOVED (a corrupted triple that happens to exist in the KG would be
+    a false negative label).
+
+    The "random" pick is a pure function of (salt, j, subj, pred, obj):
+    entity at rank ``hash60(...) % n`` in the id-sorted entity vocabulary
+    — reproducible across engines, partitionings and cluster sizes, so
+    the training set is lineage-stable (the sampler discipline of
+    ``operators/sampling.py``).
+
+    Returns (subj, pred, neg_obj, j). Note ``j`` slots whose pick
+    collides with a true triple are dropped, not re-drawn — re-drawing
+    would need data-dependent iteration; at KG scale the loss is the
+    accidental-positive rate (tiny) and stays deterministic.
+
+    Scale shape: the entity vocabulary is indexed ONCE (a single window
+    over the entity dim — dimension-sized, not fact-sized), its count is
+    a 1-row broadcast, candidates are a k-way JVM explode over the
+    positives (map-only), the pick is one equi-join on the rank index,
+    and the filter is one left-anti join on the triple key.
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..ids import hash60
+
+    pos = triples.select("subj", "pred", "obj").dropDuplicates(
+        ["subj", "pred", "obj"]
+    )
+    ents = (
+        pos.select(F.col("subj").alias("entity"))
+        .unionByName(pos.select(F.col("obj").alias("entity")))
+        .dropDuplicates(["entity"])
+    )
+    idx = ents.withColumn(
+        "idx",
+        F.row_number().over(W.orderBy("entity")).cast("long") - 1,
+    ).localCheckpoint(eager=True)
+    n = idx.agg(F.count("*").alias("n"))
+    cand = (
+        pos.crossJoin(F.broadcast(n))
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+            F.col("n"),
+        )
+        .withColumn(
+            "idx",
+            F.pmod(
+                hash60(
+                    F.concat_ws(
+                        "|",
+                        F.lit(salt),
+                        F.col("j").cast("string"),
+                        "subj",
+                        "pred",
+                        "obj",
+                    )
+                ),
+                F.col("n"),
+            ).cast("long"),
+        )
+    )
+    picked = cand.join(F.broadcast(idx), "idx").select(
+        "subj", "pred", F.col("entity").alias("neg_obj"), F.col("j").cast("long").alias("j")
+    )
+    return picked.join(
+        pos.select(
+            "subj", "pred", F.col("obj").alias("neg_obj")
+        ),
+        ["subj", "pred", "neg_obj"],
+        "left_anti",
+    )
