@@ -1007,6 +1007,17 @@ def _q_kg_entity_communities_weighted(spark, sf_dir):
     )
 
 
+def _q_kg_predicate_profile(spark, sf_dir):
+    """Per-predicate schema profile (kg.predicate_profile): triple /
+    distinct-subject / distinct-object counts and integer milli-unit
+    (inverse-)functionality — the cardinality report a KG quality gate
+    reads; hub predicates surface as large ratios."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    return kg.predicate_profile(triples)
+
+
 def _q_kg_negative_samples(spark, sf_dir):
     """Deterministic filtered negative sampling (kg.negative_samples,
     k=2): TransE-style corrupted triples with accidental positives
@@ -2157,6 +2168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_communities_weighted": _q_kg_entity_communities_weighted,
     "events_anomalies": _q_events_anomalies,
     "kg_negative_samples": _q_kg_negative_samples,
+    "kg_predicate_profile": _q_kg_predicate_profile,
     "tpch_q4": _q_tpch_q4,
     "tpch_q12": _q_tpch_q12,
     "tpch_q7": _q_tpch_q7,
@@ -2271,6 +2283,8 @@ GATE_DEFERRED = [
     "dedup_keep_list",          # keep-list policy variant of dedup_exact
     "kg_conv_stats",            # descriptive stats over the same turn frame
                                 # as r4-green kg_ordered_turns/props_decorated
+    "kg_toolcalls",             # CALLS edges also checked via r4-green
+                                # kg_graph_edges
 ]
 _WINDOW = [
     # (1) new this round or r4-red — only the r5 gate can green them
@@ -2281,7 +2295,8 @@ _WINDOW = [
     "events_funnel", "events_cohorts", "dedup_jaccard_prefix",
     "dedup_duplicate_spans", "kg_entity_pmi", "kg_entity_lifespan",
     "kg_entity_pagerank_weighted", "kg_entity_communities_weighted",
-    "events_anomalies", "kg_negative_samples", "tpch_q4", "tpch_q12",
+    "events_anomalies", "kg_negative_samples", "kg_predicate_profile",
+    "tpch_q4", "tpch_q12",
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q19",
     # (2) stalest — last external green r3
     "kg_reaching_defs_fields", "kg_traversal_mentions",
@@ -2290,7 +2305,7 @@ _WINDOW = [
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
     "ann_cosine_topk", "kg_raw_triples", "kg_mentions", "kg_best_alias",
     "kg_linked_mentions", "kg_entity_stubs", "kg_merge_map",
-    "kg_ast_json_tree", "kg_toolcalls",
+    "kg_ast_json_tree",
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
 QUERIES = {
@@ -4201,6 +4216,19 @@ ORACLES["kg_entity_pmi"] = f"""
     WITH RECURSIVE {_TRIPLES_CTES},
     {_PMI_CTES}
     SELECT a, b, c_ab, pmi_micro FROM pmi
+"""
+
+ORACLES["kg_predicate_profile"] = f"""
+    WITH RECURSIVE {_TRIPLES_CTES},
+    ppos AS (SELECT DISTINCT subj, pred, obj FROM triples)
+    SELECT pred, CAST(count(*) AS BIGINT) AS n_triples,
+           CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+           CAST(count(DISTINCT obj) AS BIGINT) AS n_obj,
+           CAST(1000 * count(*) // count(DISTINCT subj) AS BIGINT)
+             AS functionality_milli,
+           CAST(1000 * count(*) // count(DISTINCT obj) AS BIGINT)
+             AS inv_functionality_milli
+    FROM ppos GROUP BY pred
 """
 
 ORACLES["kg_negative_samples"] = f"""
