@@ -1398,6 +1398,310 @@ def _q_tpch_q19(spark, sf_dir):
     )
 
 
+def _tpch_part_suppliers(spark, sf_dir):
+    """The part↔supplier relation the synthetic schema lacks a `partsupp`
+    table for: distinct (l_partkey, l_suppkey) observed in lineitem. Used
+    by the q2/q11/q16/q20 adaptations; ONE distinct agg, reused per query."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select("l_partkey", "l_suppkey").distinct()
+
+
+def _q_tpch_q2(spark, sf_dir):
+    """TPC-H q2 (minimum-cost supplier, adapted: no partsupp/ps_supplycost
+    — the part↔supplier relation comes from lineitem and the per-part
+    "cost" proxy is s_acctbal). For STANDARD parts of size ≤ 15, the
+    EUROPE supplier with the minimum account balance for that part. The
+    canonical correlated-scalar-MIN subquery becomes one per-part MIN over
+    the SAME region-pruned pair frame joined back on equality — supplier/
+    nation/region and the min-frame all broadcast, so the only shuffle is
+    the distinct over lineitem pairs. Equality on the double is safe: MIN
+    selects a stored value, no arithmetic touches it."""
+    ps = _tpch_part_suppliers(spark, sf_dir)
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "EUROPE"
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    )
+    eu_pairs = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    min_bal = eu_pairs.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        eu_pairs.join(
+            F.broadcast(min_bal),
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+def _q_tpch_q9(spark, sf_dir):
+    """TPC-H q9 (product-type profit, adapted: no ps_supplycost, so profit
+    = discounted revenue) for parts whose name contains 'red', by
+    supplier nation and order year. Plan shape: the name-filtered part set
+    and supplier/nation broadcast so lineitem prunes before the single
+    fact-to-fact shuffle with orders."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_name").contains("red")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(_tpch_disc_price()), 2).cast("double").alias("sum_profit")
+        )
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def _q_tpch_q11(spark, sf_dir):
+    """TPC-H q11 (important stock, adapted: part "value" = extendedprice
+    sum over that part's lineitems shipped by NATION_2 suppliers; no
+    ps_supplycost*availqty). Parts holding more than 0.1% of the slice's
+    total value. The scalar-subquery total is a 1-row aggregate broadcast
+    back via cross-join, and the threshold compare happens in EXACT
+    decimal cross-multiplication (sum*1000 > total) — a double ratio would
+    put the cut boundary on a float seam."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+        F.col("n_name") == "NATION_2"
+    )
+    sl = li.join(
+        F.broadcast(
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+                "s_suppkey"
+            )
+        ),
+        li.l_suppkey == F.col("s_suppkey"),
+    )
+    per_part = sl.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val_dec")
+    )
+    total = per_part.agg(F.sum("val_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("val_dec") * F.lit(1000).cast("decimal(18,2)")
+            > F.col("total_dec")
+        )
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.round(F.col("val_dec"), 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("ps_partkey").asc())
+    )
+
+
+def _q_tpch_q15(spark, sf_dir):
+    """TPC-H q15 (top supplier): supplier(s) whose Q1-1996 shipped revenue
+    equals the maximum — the revenue-view + scalar-MAX-subquery baseline.
+    The view is ONE shuffle agg; the max is a 1-row aggregate broadcast
+    back, and the equality compare runs on the EXACT decimal sums (rounding
+    before comparing could merge two suppliers a cent apart)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_tpch_disc_price()).alias("rev_dec")
+    )
+    mx = rev.agg(F.max("rev_dec").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_dec") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.round(F.col("rev_dec"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy(F.col("s_suppkey").asc())
+    )
+
+
+def _q_tpch_q16(spark, sf_dir):
+    """TPC-H q16 (parts/supplier relationship, adapted): distinct supplier
+    counts per (brand, type, size) for parts NOT of Brand#1 / PROMO type /
+    outside a size list, excluding "complaint" suppliers (adapted: negative
+    account balance — the NOT IN anti-join shape). The part↔supplier pairs
+    come from lineitem (no partsupp); complaint suppliers broadcast
+    anti-join; one distinct-count agg."""
+    ps = _tpch_part_suppliers(spark, sf_dir)
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    complaints = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(complaints),
+            ps.l_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+def _q_tpch_q20(spark, sf_dir):
+    """TPC-H q20 (potential part promotion, adapted: no ps_availqty — a
+    supplier qualifies when its 1996 shipped quantity of some 'red'-named
+    part exceeds 35). The canonical nested-IN shape: inner agg over the
+    part-name-pruned lineitem slice → qualifying supplier keys → semi-join
+    against NATION_5 suppliers. Quantity sums in exact decimal; the
+    threshold is an integer literal injected identically into the oracle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_name").contains("red")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+        F.col("n_name") == "NATION_5"
+    )
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_dec"))
+        .where(F.col("qty_dec") > F.lit(35).cast("decimal(18,2)"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(qualifying),
+            s.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_suppkey")
+        .orderBy(F.col("s_name").asc(), F.col("s_suppkey").asc())
+    )
+
+
+def _q_tpch_q21(spark, sf_dir):
+    """TPC-H q21 (suppliers who kept orders waiting, adapted: no commit/
+    receipt dates — a line "failed" when l_returnflag = 'R'). Count per
+    supplier of finalized multi-supplier orders where THIS supplier is the
+    only one with a failed line. Spark-first: the double-correlated
+    EXISTS / NOT EXISTS pair collapses into ONE per-order aggregate
+    (distinct suppliers, distinct failed suppliers) joined back — one
+    lineitem shuffle instead of three correlated scans; the ORACLE keeps
+    the literal EXISTS/NOT EXISTS form, so the gate proves the rewrite."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderstatus") == "F"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_failed_supps"),
+    )
+    # literal row multiplicity (NO distinct): TPC-H counts qualifying l1
+    # ROWS, so a supplier with two failed lines in one order counts twice.
+    failed_lines = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    return (
+        failed_lines.join(
+            per_order,
+            "l_orderkey",
+        )
+        .where((F.col("n_supps") > 1) & (F.col("n_failed_supps") == 1))
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+def _q_tpch_q22(spark, sf_dir):
+    """TPC-H q22 (global sales opportunity, adapted: no c_phone — the
+    country code is the customer's nation, restricted to a 7-nation set).
+    Customers with above-average positive balances and no orders. The
+    scalar AVG subquery is a 1-row (decimal sum, count) broadcast and the
+    compare is cross-multiplied into exact decimal (c_acctbal·cnt > sum) —
+    an engine-side double AVG would put boundary customers on a float seam.
+    "No orders" adapts to "dormant since 1999" (every synthetic customer
+    has SOME order); the NOT EXISTS is a left-anti join on the
+    date-filtered slice."""
+    nations = ["NATION_1", "NATION_4", "NATION_9", "NATION_13",
+               "NATION_17", "NATION_20", "NATION_24"]
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+        F.col("n_name").isin(nations)
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    )
+    slice_c = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    avg_stats = slice_c.where(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("bal_sum"),
+        F.count("*").alias("bal_cnt"),
+    )
+    return (
+        slice_c.crossJoin(F.broadcast(avg_stats))
+        .where(
+            F.col("c_acctbal").cast("decimal(18,2)")
+            * F.col("bal_cnt").cast("decimal(18,2)")
+            > F.col("bal_sum")
+        )
+        .join(o.select("o_custkey"), slice_c.c_custkey == F.col("o_custkey"),
+              "left_anti")
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy(F.col("cntrycode").asc())
+    )
+
+
 def _q_kg_reaching_defs(spark, sf_dir):
     """REACHING_DEF edges (A19): per-(conversation, entity) def→use chains
     on the linear turn CFG."""
@@ -2177,6 +2481,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": _q_tpch_q14,
     "tpch_q17": _q_tpch_q17,
     "tpch_q19": _q_tpch_q19,
+    "tpch_q2": _q_tpch_q2,
+    "tpch_q9": _q_tpch_q9,
+    "tpch_q11": _q_tpch_q11,
+    "tpch_q15": _q_tpch_q15,
+    "tpch_q16": _q_tpch_q16,
+    "tpch_q20": _q_tpch_q20,
+    "tpch_q21": _q_tpch_q21,
+    "tpch_q22": _q_tpch_q22,
     # (b) impl or oracle changed this round: decimal-exact TPC-H money
     # sums; exact cross-batch streaming follows; two-phased bottom-s
     # sketches; size-routed reachability; CMS NULL handling
@@ -2285,6 +2597,19 @@ GATE_DEFERRED = [
                                 # as r4-green kg_ordered_turns/props_decorated
     "kg_toolcalls",             # CALLS edges also checked via r4-green
                                 # kg_graph_edges
+    # Displaced by the 8 TPC-H completions (q2/q9/q11/q15/q16/q20/q21/q22,
+    # new this round — a never-greened query outranks re-greening an
+    # r3-green one). Each displaced entry's machinery keeps an in-window
+    # or r4-green external check, and all 8 lead the r6 window:
+    "kg_reaching_defs_fields",  # subsumed by r4-green _fields_ext (EXTENDED
+                                # superset of the same access-path machinery)
+    "kg_access_path_match",     # access-path fns also via r4-green _fields_ext
+    "kg_traversal_mentions",    # traversal DSL via r4-green
+    "kg_traversal_coalesce",    # kg_traversal_dominates
+    "events_json_extract",      # JSON ingest primary kg_ast_json_tree in window
+    "events_rollup",            # grouping-sets shape; events_hourly r4-green
+    "dedup_minhash_pairs",      # banding superset dedup_minhash_bands r4-green
+    "dedup_simhash",            # dedup family: minhash_bands r4, exact in window
 ]
 _WINDOW = [
     # (1) new this round or r4-red — only the r5 gate can green them
@@ -2298,11 +2623,12 @@ _WINDOW = [
     "events_anomalies", "kg_negative_samples", "kg_predicate_profile",
     "tpch_q4", "tpch_q12",
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q19",
-    # (2) stalest — last external green r3
-    "kg_reaching_defs_fields", "kg_traversal_mentions",
-    "kg_traversal_coalesce", "kg_access_path_match", "kg_mention_ast_link",
-    "events_json_extract", "events_rollup", "events_kmv_users",
-    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15",
+    "tpch_q16", "tpch_q20", "tpch_q21", "tpch_q22",
+    # (2) stalest — last external green r3 (8 displaced entries moved to
+    # GATE_DEFERRED above; they lead the r6 window)
+    "kg_mention_ast_link", "events_kmv_users",
+    "dedup_exact",
     "ann_cosine_topk", "kg_raw_triples", "kg_mentions", "kg_best_alias",
     "kg_linked_mentions", "kg_entity_stubs", "kg_merge_map",
     "kg_ast_json_tree",
@@ -4426,6 +4752,148 @@ ORACLES["text_unigram_lp"] = """
              AS mean_lp_micro
     FROM dt JOIN lp ON dt.tok = lp.tok
     GROUP BY dt.doc_id
+"""
+
+ORACLES["tpch_q2"] = """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    eu AS (
+      SELECT l_partkey, s_acctbal, s_name, n_name
+      FROM ps
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    mn AS (SELECT l_partkey AS m_partkey, min(s_acctbal) AS min_bal
+           FROM eu GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM eu
+    JOIN mn ON l_partkey = m_partkey AND s_acctbal = min_bal
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'STANDARD' AND p_size <= 15
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+"""
+
+ORACLES["tpch_q9"] = """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2 ORDER BY 1 ASC, 2 DESC
+"""
+
+ORACLES["tpch_q11"] = """
+    WITH sl AS (
+      SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS px
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_2'
+    ),
+    per_part AS (SELECT l_partkey, sum(px) AS val_dec FROM sl GROUP BY 1),
+    tot AS (SELECT sum(val_dec) AS total_dec FROM per_part)
+    SELECT l_partkey AS ps_partkey,
+           CAST(round(val_dec, 2) AS DOUBLE) AS part_value
+    FROM per_part CROSS JOIN tot
+    WHERE val_dec * 1000 > total_dec
+    ORDER BY part_value DESC, ps_partkey ASC
+"""
+
+ORACLES["tpch_q15"] = """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name,
+           CAST(round(rev_dec, 2) AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON supplier_no = s_suppkey
+    WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+    ORDER BY s_suppkey ASC
+"""
+
+ORACLES["tpch_q16"] = """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM ps JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+ORACLES["tpch_q20"] = """
+    SELECT s_name, s_suppkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM (
+          SELECT l_suppkey, l_partkey,
+                 sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE '%red%'
+            AND l_shipdate >= DATE '1996-01-01'
+            AND l_shipdate <  DATE '1997-01-01'
+          GROUP BY 1, 2)
+        WHERE qty_dec > 35)
+    ORDER BY s_name ASC, s_suppkey ASC
+"""
+
+# q21's oracle keeps the LITERAL double-correlated EXISTS / NOT EXISTS
+# form — the gate proves the Spark one-aggregate rewrite equivalent.
+ORACLES["tpch_q21"] = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+"""
+
+ORACLES["tpch_q22"] = """
+    WITH slice_c AS (
+      SELECT c_custkey, c_acctbal, n_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_4', 'NATION_9', 'NATION_13',
+                       'NATION_17', 'NATION_20', 'NATION_24')
+    ),
+    avg_stats AS (
+      SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+             count(*) AS bal_cnt
+      FROM slice_c WHERE c_acctbal > 0
+    )
+    SELECT n_name AS cntrycode, count(*) AS numcust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM slice_c CROSS JOIN avg_stats
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_cnt > bal_sum
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '1999-01-01')
+    GROUP BY 1 ORDER BY 1 ASC
 """
 
 # every queries() entry has an oracle_sql() entry — zero rows-only checks.
