@@ -436,3 +436,136 @@ def lpa_communities_weighted(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def kcore(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
+    """k-core decomposition by synchronous peeling → (node, core_deg) for
+    the nodes surviving in the k-core of the undirected simple entity
+    graph; ``core_deg`` is the node's degree WITHIN the core.
+
+    The k-core (maximal subgraph where every node has ≥ k neighbors inside
+    the subgraph) separates the KG's dense backbone from its sparse fringe
+    — the standard coreness signal next to PageRank salience and triangle
+    clustering (a high-PageRank entity OUTSIDE the 2-core is a star hub
+    with no peer structure; curriculum/sampling policies treat those
+    differently from backbone entities).
+
+    Peeling recurrence (synchronous, deterministic — no peel ORDER
+    dependence, unlike sequential minimum-degree peeling):
+
+        S_0     = all nodes
+        deg_i(v)= |{u ∈ S_i : {u,v} edge, u ≠ v}|   for v ∈ S_i
+        S_{i+1} = {v ∈ S_i : deg_i(v) ≥ k}
+
+    ``iters`` is fixed (the repo's LPA discipline): the result is a
+    reproducible function of (graph, k, iters), unrolled identically in
+    the SQL oracle; on any graph the sequence is monotone-decreasing so a
+    fixpoint round is idempotent — tests assert the fixpoint is reached
+    within ``iters`` on the corpus (rounds needed = longest peel cascade,
+    ≤ the graph's degeneracy ordering depth, small on real KGs).
+
+    Scale shape: each round is two hash semi-joins (survivor filter on
+    both endpoints) and ONE count agg with map-side partials; the neighbor
+    frame is computed once and checkpointed, survivors shrink monotonically
+    so per-round shuffle volume only decreases. No windows, no Python.
+    """
+    nb = undirected_neighbors(edges).where(
+        F.col("node") != F.col("nbr")
+    ).localCheckpoint(eager=True)
+    surv = nb.select("node").dropDuplicates(["node"])
+    deg = None
+    for i in range(iters):
+        alive = nb.join(surv, "node").join(
+            surv.select(F.col("node").alias("nbr")), "nbr"
+        )
+        deg = alive.groupBy("node").agg(F.count("*").cast("long").alias("core_deg"))
+        surv = deg.where(F.col("core_deg") >= k).select("node")
+        if (i + 1) % 4 == 0 and i + 1 < iters:
+            surv = surv.localCheckpoint(eager=True)
+    # one more degree pass over the final survivor set so core_deg is the
+    # within-core degree of the RETURNED set (deg above was measured one
+    # round earlier, before the last peel).
+    final = nb.join(surv, "node").join(
+        surv.select(F.col("node").alias("nbr")), "nbr"
+    )
+    return (
+        final.groupBy("node")
+        .agg(F.count("*").cast("long").alias("core_deg"))
+        .where(F.col("core_deg") >= k)
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    min_cn: int = 2,
+    max_witness_deg: int | None = None,
+) -> DataFrame:
+    """Structural link prediction over the undirected simple entity graph
+    → (a, b, cn, jaccard, ra_micro) for every NON-adjacent pair (a < b)
+    with at least ``min_cn`` common neighbors — the missing-edge candidates
+    a KG-completion trainer scores (the open-world counterpart of
+    kg.negative_samples, which corrupts EXISTING triples; this ranks pairs
+    the graph plausibly forgot).
+
+    Three classic indices, all engine-exact under the value-hash gate:
+
+    - ``cn``       — common-neighbor count (integer).
+    - ``jaccard``  — cn / (deg(a) + deg(b) − cn): ONE IEEE division of
+      integers, bit-identical across engines without rounding tricks.
+    - ``ra_micro`` — resource-allocation index (Zhou-Lü-Zhang) in integer
+      micro-units: Σ_w 1_000_000 DIV deg(w) over common neighbors w.
+      Integer division per witness TYPE then an integer sum — order-free,
+      the repo's micro-unit discipline (vs Adamic-Adar's 1/ln(deg) whose
+      libm transcendental differs across engines in the last ulp).
+
+    Plan shape: witness enumeration is ONE self-join of the symmetric
+    neighbor list on the witness column with ``node_a < node_b`` (each
+    unordered pair once per witness), a two-phase count/sum aggregate, a
+    LEFT ANTI join against the adjacency to drop already-linked pairs, and
+    two degree probes. No windows, no Python.
+
+    100 TB note: fan-out at a witness is deg(w)² — a celebrity hub is
+    quadratic. ``max_witness_deg`` caps which witnesses may GENERATE
+    candidates (the production discipline: hub witnesses carry ~zero RA/AA
+    weight and mostly manufacture spurious pairs; the indices stay exact
+    over the pairs that survive, they are just computed from the capped
+    witness set — a documented semantic knob, mirrored in the oracle when
+    set). Default None = exact over all witnesses; residual agg skew is
+    AQE's job.
+    """
+    nb = undirected_neighbors(edges).where(F.col("node") != F.col("nbr"))
+    deg = nb.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    wit = nb.select(F.col("nbr").alias("w"), F.col("node").alias("x")).join(
+        deg.select(F.col("node").alias("w"), F.col("deg").alias("dw")), "w"
+    )
+    if max_witness_deg is not None:
+        wit = wit.where(F.col("dw") <= max_witness_deg)
+    l = wit.select("w", F.col("x").alias("a"), F.col("dw").alias("dwa"))
+    r = wit.select("w", F.col("x").alias("b"))
+    pairs = (
+        l.join(r, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("cn"),
+            F.sum(F.expr("1000000 DIV dwa")).cast("long").alias("ra_micro"),
+        )
+        .where(F.col("cn") >= min_cn)
+    )
+    adj = nb.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
+    cand = pairs.join(adj, ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            (F.col("cn") / (F.col("da") + F.col("db") - F.col("cn"))).alias(
+                "jaccard"
+            ),
+            "ra_micro",
+        )
+    )

@@ -264,3 +264,138 @@ def predicate_profile(triples: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: list[tuple[str, str, str]],
+    broadcast_rows: int = 200_000,
+) -> DataFrame:
+    """Conjunctive basic-graph-pattern matching over the global triple set
+    — the SPARQL-BGP / Cypher-MATCH primitive, and the set-semantics analog
+    of chaining the reference's traversal steps (``cpg.call.callee.name``
+    is exactly a two-pattern BGP over CALL/REF edges; SURVEY.md §2.C).
+
+    ``patterns`` are (subject, predicate, object) terms; a term starting
+    with ``?`` is a variable, anything else a constant. Returns one column
+    per variable (name without the ``?``), DISTINCT bindings (SPARQL set
+    semantics). A variable repeated inside one pattern becomes an equality
+    filter; a pattern sharing no variable with the accumulated prefix joins
+    as a cross product (legal, rare, and chosen last by the planner).
+
+    Planner — Spark-first, selectivity-ordered:
+
+    1. ONE fused stats pass computes every pattern's matched-row count as
+       conditional sums in a single aggregate over the (persisted) triple
+       set — planning statistics, not data, reach the driver (the repo's
+       fused-collect discipline; one job regardless of pattern count).
+    2. Patterns greedily join smallest-count-first among those CONNECTED
+       to the already-bound variables (classic left-deep selectivity
+       ordering); disconnected patterns defer until forced.
+    3. A pattern slice whose count ≤ ``broadcast_rows`` joins as the
+       BROADCAST side, so selective chain lookups never shuffle the
+       accumulated bindings; larger slices fall back to hash joins on the
+       shared variables, where AQE handles skewed hub keys.
+
+    At 100 TB the triple set is the big fact table and every filtered
+    pattern slice is small relative to it — the plan is a left-deep chain
+    of broadcast probes exactly like the TPC-H dimension pipelines, with
+    the scan pruned per-pattern by pushed-down constant predicates.
+    """
+    if not patterns:
+        raise ValueError("bgp_match needs at least one pattern")
+
+    def is_var(t: str) -> bool:
+        return t.startswith("?")
+
+    base = triples.select("subj", "pred", "obj").dropDuplicates(
+        ["subj", "pred", "obj"]
+    )
+    # 1. fused selectivity stats: one aggregate, one small collect.
+    conds = []
+    for s, p, o in patterns:
+        c = F.lit(True)
+        if not is_var(s):
+            c = c & (F.col("subj") == s)
+        if not is_var(p):
+            c = c & (F.col("pred") == p)
+        if not is_var(o):
+            c = c & (F.col("obj") == o)
+        conds.append(c)
+    stats = base.agg(
+        *[F.sum(c.cast("long")).alias(f"n{i}") for i, c in enumerate(conds)]
+    ).first()
+    counts = [int(stats[f"n{i}"] or 0) for i in range(len(patterns))]
+
+    def pattern_frame(idx: int) -> DataFrame:
+        s, p, o = patterns[idx]
+        df = base.where(conds[idx])
+        cols, seen = [], {}
+        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if not is_var(term):
+                continue
+            v = term[1:]
+            if v in seen:  # repeated var inside one pattern -> equality
+                df = df.where(F.col(seen[v]) == F.col(col))
+            else:
+                seen[v] = col
+                cols.append(F.col(col).alias(v))
+        df = df.select(*cols) if cols else df.select(F.lit(1).alias("__one"))
+        return df.dropDuplicates()
+
+    def pattern_vars(idx: int) -> set[str]:
+        return {t[1:] for t in patterns[idx] if is_var(t)}
+
+    # 2. greedy left-deep order: seed with the globally smallest pattern,
+    # then repeatedly take the smallest CONNECTED remaining pattern.
+    remaining = list(range(len(patterns)))
+    order = [min(remaining, key=lambda i: (counts[i], i))]
+    remaining.remove(order[0])
+    bound = set(pattern_vars(order[0]))
+    while remaining:
+        connected = [i for i in remaining if pattern_vars(i) & bound]
+        pick = min(connected or remaining, key=lambda i: (counts[i], i))
+        order.append(pick)
+        remaining.remove(pick)
+        bound |= pattern_vars(pick)
+
+    out = pattern_frame(order[0])
+    for idx in order[1:]:
+        nxt = pattern_frame(idx)
+        if counts[idx] <= broadcast_rows:
+            nxt = F.broadcast(nxt)
+        on = sorted(set(out.columns) & set(nxt.columns) - {"__one"})
+        out = out.join(nxt, on=on) if on else out.crossJoin(nxt)
+    var_cols = sorted(c for c in out.columns if c != "__one")
+    if not var_cols:  # all-constant BGP: existence check -> 0/1 rows
+        return out.select(F.lit(1).alias("matched")).limit(1)
+    return out.select(*var_cols).dropDuplicates()
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """Corpus-level role-transition counts → (prev_role, role, cnt) — the
+    dialogue-act Markov matrix of the transcript corpus (user→assistant,
+    assistant→tool, tool→assistant, ...). A curation pipeline reads this as
+    a structural-health gate: a corpus whose assistant turns are never
+    followed by tool turns trains no tool use; a user→user mass flags
+    ingestion glitches (dropped turns / merged conversations).
+
+    Each consecutive turn pair under the repo's stable ordering
+    (``ordering.turn_window``: rank by (turn_idx, ts) within conv_id — the
+    input_hint contract) contributes one (prev_role, role) observation;
+    conversation boundaries contribute nothing (lag is NULL at the first
+    turn).
+
+    Scale shape: ONE window shuffle on conv_id (the same exchange the
+    extraction/ordering stages already create, so Catalyst reuses it when
+    composed) followed by a two-phase count over at most |roles|² groups —
+    the output is a handful of rows regardless of corpus size.
+    """
+    w = ordering.turn_window()
+    return (
+        transcripts.select("conv_id", "turn_idx", "ts", "role")
+        .withColumn("prev_role", F.lag("role").over(w))
+        .where(F.col("prev_role").isNotNull())
+        .groupBy("prev_role", "role")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

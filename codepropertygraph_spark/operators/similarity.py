@@ -334,3 +334,52 @@ def cosine_topk_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    query_max_id: int = 10,
+    k: int = 5,
+    lo: float = 0.3,
+    hi: float = 0.9,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training →
+    (query_id, neighbor_id, rank, cos): per query vector, the top-k
+    HARDEST negatives — highest-cosine neighbors inside the band
+    ``lo ≤ cos < hi``. The upper bound excludes near-duplicates (those are
+    positives — the dedup family's territory), the lower bound discards
+    easy negatives that contribute no gradient signal; what remains is the
+    batch a triplet/InfoNCE loss actually wants. Companion to the KG-side
+    ``kg.negative_samples`` (corruption sampling) — this is the
+    embedding-side equivalent.
+
+    Same kernel discipline as ``cosine_topk``: broadcast query side,
+    double-precision JVM fold dots (bit-identical across engines — same
+    sequential fold order), cos rounded to 6dp BEFORE the band compare and
+    the ranking so the filter boundary and tie-break are engine-exact.
+    At scale the band filter composes with ``lsh_buckets`` candidate
+    generation the same way ``cosine_topk_lsh`` does; this exact form is
+    the correctness kernel and the within-bucket verifier.
+    """
+    q = embeddings.where(F.col("vec_id") < query_max_id).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    dot = _DOT.format(a="q_emb", b="c_emb")
+    nq = _NORM.format(a="q_emb")
+    nc = _NORM.format(a="c_emb")
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(F.expr(f"({dot}) / (({nq}) * ({nc}))"), 6))
+        .where((F.col("cos") >= lo) & (F.col("cos") < hi))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -5,7 +5,7 @@ table; every value reproducible in DuckDB SQL for the oracle gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword sets for the n-gram/stopword language heuristic
@@ -222,4 +222,89 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
         .withColumn(
             "mean_lp_micro", F.expr("sum_lp_micro DIV n_tokens")
         )
+    )
+
+
+def skipgram_pairs(
+    documents: DataFrame, window: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level skip-gram pair counts → (center, context, cnt): for
+    every token position i, every context position j with 1 ≤ |i−j| ≤
+    ``window`` contributes one directed (center, context) observation —
+    the word2vec/GloVe co-occurrence extraction step of an embedding
+    training pipeline (token-window analog of the conversation-level
+    entity PMI weights in centrality.entity_pmi).
+
+    Scale shape: the pair list is built ARRAY-SIDE per document (nested
+    higher-order ``transform`` over the split array — the repo's
+    zero-shuffle extraction discipline), so the only explode is the final
+    one feeding a two-phase count aggregate: no self-join on position, no
+    window function, one shuffle of (pair, partial-count) rows. Pair
+    fan-out is ≤ 2·window per token, output-proportional.
+    """
+    w = int(window)
+    pairs = (
+        f"flatten(transform(toks, (t, i) -> "
+        f"transform(filter(sequence(greatest(i - {w}, 0), "
+        f"least(i + {w}, size(toks) - 1)), j -> j != i), "
+        f"j -> struct(t AS center, element_at(toks, j + 1) AS context))))"
+    )
+    return (
+        documents.select(F.split(F.col(text_col), " ").alias("toks"))
+        .select(F.explode(F.expr(pairs)).alias("pr"))
+        .select(F.col("pr.center").alias("center"), F.col("pr.context").alias("context"))
+        .groupBy("center", "context")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF → (doc_id, term, tf, score_micro,
+    rank) — the keyword/salience extraction step of a text-curation
+    pipeline (what a topic-balancing sampler or an index builder keys on).
+
+    IDF is computed once per term TYPE in integer micro-nats —
+    ``idf_micro = round(ln(N / df) · 1e6)`` with N = corpus document count
+    and df = the term's document frequency — then ``score_micro = tf ·
+    idf_micro`` is a pure integer product: order-free and bit-identical
+    across engines (the unigram_logprob micro-nat discipline; the single
+    per-type rounding is where the one libm ln lands, never inside a
+    float sum). Rank ties break (score desc, term asc) — deterministic.
+
+    Scale shape: token explode collapses doc-locally to (doc_id, term, tf)
+    before anything shuffles; df is a corpus two-phase agg; the scoring
+    join is vocabulary-sized; N is a 1-row broadcast. The final top-k
+    window partitions by doc_id — millions of small groups, the benign
+    window shape (no global or few-group sort)."""
+    toks = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    doc_term = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_tbl = doc_term.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    n_docs = documents.select(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    idf = df_tbl.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.round(F.log(F.col("n_docs") / F.col("df")) * 1e6)
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    scored = doc_term.join(idf, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf_micro")).cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score_micro", "rank")
     )

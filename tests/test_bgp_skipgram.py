@@ -1,0 +1,145 @@
+"""BGP pattern matching, skip-gram pair extraction, hard-negative mining."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from codepropertygraph_spark.operators import kg, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from codepropertygraph_spark.session import get_spark
+
+    return get_spark(master="local[4]")
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+TRIPLES = [
+    ("u1", "uses_tool", "t1"),
+    ("u1", "asks_about", "b1"),
+    ("b1", "refers_to", "t1"),   # closes triangle (u1, b1, t1)
+    ("u2", "uses_tool", "t1"),
+    ("u2", "asks_about", "b2"),
+    ("b2", "refers_to", "t2"),   # open: b2 refers to the WRONG tool
+    ("u1", "uses_tool", "t1"),   # duplicate triple: set semantics
+]
+
+
+class TestBgpMatch:
+    def test_triangle_bindings(self, spark):
+        out = kg.bgp_match(
+            _triples(spark, TRIPLES),
+            [("?a", "uses_tool", "?t"),
+             ("?a", "asks_about", "?b"),
+             ("?b", "refers_to", "?t")],
+        )
+        assert out.columns == ["a", "b", "t"]
+        assert [tuple(r) for r in out.collect()] == [("u1", "b1", "t1")]
+
+    def test_constant_subject_and_object(self, spark):
+        out = kg.bgp_match(
+            _triples(spark, TRIPLES), [("u2", "uses_tool", "?t")]
+        )
+        assert [tuple(r) for r in out.collect()] == [("t1",)]
+        out2 = kg.bgp_match(
+            _triples(spark, TRIPLES), [("?a", "uses_tool", "t1")]
+        )
+        assert sorted(r["a"] for r in out2.collect()) == ["u1", "u2"]
+
+    def test_repeated_var_within_pattern(self, spark):
+        rows = TRIPLES + [("x", "refers_to", "x")]
+        out = kg.bgp_match(_triples(spark, rows), [("?s", "refers_to", "?s")])
+        assert [tuple(r) for r in out.collect()] == [("x",)]
+
+    def test_variable_predicate(self, spark):
+        out = kg.bgp_match(_triples(spark, TRIPLES), [("u1", "?p", "t1")])
+        assert sorted(r["p"] for r in out.collect()) == ["uses_tool"]
+
+    def test_disconnected_patterns_cross_join(self, spark):
+        out = kg.bgp_match(
+            _triples(spark, TRIPLES),
+            [("u1", "asks_about", "?x"), ("u2", "asks_about", "?y")],
+        )
+        assert [tuple(r) for r in out.collect()] == [("b1", "b2")]
+
+    def test_all_constant_existence(self, spark):
+        hit = kg.bgp_match(_triples(spark, TRIPLES), [("u1", "uses_tool", "t1")])
+        assert hit.count() == 1
+        miss = kg.bgp_match(_triples(spark, TRIPLES), [("u1", "uses_tool", "t9")])
+        assert miss.count() == 0
+
+    def test_set_semantics_no_duplicate_bindings(self, spark):
+        # u1/u2 both use t1; pattern on (?a uses_tool ?t) twice via two
+        # patterns sharing ?t must not multiply duplicate rows.
+        out = kg.bgp_match(
+            _triples(spark, TRIPLES),
+            [("?a", "uses_tool", "?t"), ("?a2", "uses_tool", "?t")],
+        )
+        rows = {tuple(r) for r in out.collect()}
+        assert rows == {("u1", "u1", "t1"), ("u1", "u2", "t1"),
+                        ("u2", "u1", "t1"), ("u2", "u2", "t1")}
+        assert out.count() == 4
+
+
+class TestSkipgramPairs:
+    def test_hand_counted_window2(self, spark):
+        docs = spark.createDataFrame([("d1", "a b c a")], "doc_id string, text string")
+        out = {
+            (r["center"], r["context"]): r["cnt"]
+            for r in textstats.skipgram_pairs(docs, window=2).collect()
+        }
+        toks = "a b c a".split()
+        exp = Counter()
+        for i, t in enumerate(toks):
+            for j in range(max(0, i - 2), min(len(toks), i + 3)):
+                if j != i:
+                    exp[(t, toks[j])] += 1
+        assert out == dict(exp)
+
+    def test_total_pair_mass(self, spark):
+        docs = spark.createDataFrame(
+            [("d1", "x y"), ("d2", "p q r s t")], "doc_id string, text string"
+        )
+        out = textstats.skipgram_pairs(docs, window=1)
+        # window=1: each adjacent pair counted in both directions
+        assert out.agg(F.sum("cnt")).first()[0] == 2 * (1 + 4)
+
+
+class TestHardNegatives:
+    def test_band_and_ranking(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = similarity.hard_negatives(
+            emb, query_max_id=5, k=3, lo=0.3, hi=0.9
+        ).collect()
+        assert all(0.3 <= r["cos"] < 0.9 for r in out)
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, rows in by_q.items():
+            rows.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+            cos = [r["cos"] for r in rows]
+            assert cos == sorted(cos, reverse=True)
+            assert all(r["neighbor_id"] != q for r in rows)
+
+    def test_band_excludes_near_duplicates(self, spark):
+        # exact top-1 of each query that lands >= hi must be absent
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        exact = similarity.cosine_topk(emb, query_max_id=5, k=50).collect()
+        hard = similarity.hard_negatives(
+            emb, query_max_id=5, k=50, lo=0.3, hi=0.9
+        ).collect()
+        hard_set = {(r["query_id"], r["neighbor_id"]) for r in hard}
+        for r in exact:
+            if r["cos"] >= 0.9 or r["cos"] < 0.3:
+                assert (r["query_id"], r["neighbor_id"]) not in hard_set
+            elif 0.3 <= r["cos"] < 0.9 and r["rank"] <= 3:
+                # a banded high-rank exact hit must appear unless k got cut
+                pass

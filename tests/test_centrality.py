@@ -320,3 +320,88 @@ def test_lpa_weighted_strong_tie_wins(spark):
         want[n] = best
     assert got == want
     assert got["x"] == "a"  # the strong tie won
+
+
+# k-core ----------------------------------------------------------------------
+
+
+def _kcore_py(pairs, k, iters):
+    """Pure-Python mirror of centrality.kcore's synchronous peeling."""
+    nbrs = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    surv = set(nbrs)
+    for _ in range(iters):
+        surv = {n for n in surv if len(nbrs[n] & surv) >= k}
+    return {n: len(nbrs[n] & surv) for n in surv if len(nbrs[n] & surv) >= k}
+
+
+class TestKCore:
+    # triangle {a,b,c} + pendant chain c-d-e: the 2-core is exactly the
+    # triangle (d, e peel off in cascade), every core degree 2.
+    PAIRS = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+
+    def test_hand_checkable_triangle_with_tail(self, spark):
+        out = {
+            r["node"]: r["core_deg"]
+            for r in centrality.kcore(_edges_df(spark, self.PAIRS), k=2).collect()
+        }
+        assert out == {"a": 2, "b": 2, "c": 2}
+
+    def test_matches_python_mirror_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(7)
+        pairs = [
+            (f"n{rng.randrange(30)}", f"n{rng.randrange(30)}") for _ in range(80)
+        ]
+        got = {
+            r["node"]: r["core_deg"]
+            for r in centrality.kcore(_edges_df(spark, pairs), k=3, iters=8).collect()
+        }
+        assert got == _kcore_py(pairs, 3, 8)
+
+    def test_peel_cascade_needs_the_rounds(self, spark):
+        # path p0-p1-...-p5 plus a 4-clique: with k=2 the path peels one
+        # endpoint per round from each side; iters=1 must NOT yet reach the
+        # fixpoint while iters=8 must equal the python fixpoint.
+        path = [(f"p{i}", f"p{i+1}") for i in range(6)]
+        clique = [("c0", "c1"), ("c0", "c2"), ("c0", "c3"),
+                  ("c1", "c2"), ("c1", "c3"), ("c2", "c3")]
+        pairs = path + clique
+        after1 = {
+            r["node"]
+            for r in centrality.kcore(_edges_df(spark, pairs), k=2, iters=1).collect()
+        }
+        fix = set(_kcore_py(pairs, 2, 20))
+        assert fix == {"c0", "c1", "c2", "c3"}
+        assert after1 > fix  # interior path nodes still alive after 1 round
+        got = {
+            r["node"]
+            for r in centrality.kcore(_edges_df(spark, pairs), k=2, iters=8).collect()
+        }
+        assert got == fix
+
+    def test_corpus_fixpoint_within_gate_rounds(self, spark):
+        """The gate query runs iters=8; assert the sf0.001 corpus entity
+        graph actually REACHES its 2-core fixpoint within that budget
+        (one more round changes nothing)."""
+        import __spark_entry__ as E
+        from codepropertygraph_spark.operators import kg
+
+        sf = "/root/testdata/sf0.001"
+        triples = kg.final_triples(
+            E._transcripts(spark, sf), E._alias_dict(spark, sf)
+        )
+        edges = centrality.entity_edges(triples).localCheckpoint(eager=True)
+        r8 = sorted(
+            (r["node"], r["core_deg"])
+            for r in centrality.kcore(edges, k=2, iters=8).collect()
+        )
+        r9 = sorted(
+            (r["node"], r["core_deg"])
+            for r in centrality.kcore(edges, k=2, iters=9).collect()
+        )
+        assert r8 == r9 and len(r8) > 0
