@@ -194,6 +194,14 @@ def run_bench(master: str, replicate: int = 1, only: str | None = None) -> dict:
         lambda: _force(centrality.pagerank_int(entity_edges_df, iters=5)),
         runs=2,
     )
+    # link prediction: the witness self-join + anti-join shape — the
+    # heaviest of the r5 graph additions, benched on the same resident
+    # edge frame.
+    timed(
+        "kg_link_prediction",
+        lambda: _force(centrality.link_prediction(entity_edges_df, min_cn=2)),
+        runs=2,
+    )
 
     # training-data operators over the driver tables at the same sf
     from codepropertygraph_spark.operators import dedup, similarity, textstats
@@ -212,6 +220,13 @@ def run_bench(master: str, replicate: int = 1, only: str | None = None) -> dict:
     timed(
         "dedup_jaccard_prefix",
         lambda: _force(dedup.jaccard_prefix_pairs(docs, 0.8)),
+        runs=2,
+    )
+    # skip-gram pair extraction: the array-side zero-shuffle extraction
+    # discipline applied to token windows — explode + one count shuffle.
+    timed(
+        "text_skipgram",
+        lambda: _force(textstats.skipgram_pairs(docs, window=2)),
         runs=2,
     )
 

@@ -532,8 +532,17 @@ def link_prediction(
     witness set — a documented semantic knob, mirrored in the oracle when
     set). Default None = exact over all witnesses; residual agg skew is
     AQE's job.
+
+    The symmetric neighbor frame feeds FIVE consumers (both witness sides,
+    the degree table, and the adjacency anti-join) — checkpointed once so
+    the upstream triple pipeline is not re-derived per consumer (the kcore
+    discipline; on a cluster this is a persist of the edge list).
     """
-    nb = undirected_neighbors(edges).where(F.col("node") != F.col("nbr"))
+    nb = (
+        undirected_neighbors(edges)
+        .where(F.col("node") != F.col("nbr"))
+        .localCheckpoint(eager=True)
+    )
     deg = nb.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
     wit = nb.select(F.col("nbr").alias("w"), F.col("node").alias("x")).join(
         deg.select(F.col("node").alias("w"), F.col("deg").alias("dw")), "w"

@@ -484,3 +484,57 @@ class GraphView:
         from codepropertygraph_spark.operators import centrality
 
         return centrality.lpa_communities(self._rel_pairs(), iters=iters)
+
+    def entity_kcore(self, k: int = 2, iters: int = 8) -> DataFrame:
+        """k-core of the REL entity graph → (node, core_deg)."""
+        from codepropertygraph_spark.operators import centrality
+
+        return centrality.kcore(self._rel_pairs(), k=k, iters=iters)
+
+    def entity_triangles(self) -> DataFrame:
+        """Per-entity triangle counts over REL edges → (node, n_triangles)."""
+        from codepropertygraph_spark.operators import centrality
+
+        return centrality.triangle_counts(self._rel_pairs())
+
+    def entity_linkpred(self, min_cn: int = 2) -> DataFrame:
+        """Missing-edge candidates over REL edges → (a, b, cn, jaccard,
+        ra_micro) — see centrality.link_prediction."""
+        from codepropertygraph_spark.operators import centrality
+
+        return centrality.link_prediction(self._rel_pairs(), min_cn=min_cn)
+
+    def _rel_triples(self) -> DataFrame:
+        """Name-level (subj, pred, obj) view of the REL edges — entity ids
+        resolved back to canonical full_name via the ENTITY nodes (a
+        broadcast-sized dimension at any scale where the console runs)."""
+        ents = self.nodes.where(F.col("label") == S.ENTITY).select(
+            "id", "full_name"
+        )
+        rel = self.edges.where(F.col("label") == S.REL).select(
+            "src", "dst", F.element_at("props", F.lit("pred")).alias("pred")
+        )
+        return (
+            rel.join(
+                ents.select(
+                    F.col("id").alias("src"), F.col("full_name").alias("subj")
+                ),
+                "src",
+            )
+            .join(
+                ents.select(
+                    F.col("id").alias("dst"), F.col("full_name").alias("obj")
+                ),
+                "dst",
+            )
+            .select("subj", "pred", "obj")
+        )
+
+    def match(self, patterns: list[tuple[str, str, str]]) -> DataFrame:
+        """Conjunctive basic-graph-pattern match over the name-level REL
+        triples (kg.bgp_match): ``g.match([('?a', 'uses_tool', '?t'),
+        ('?a', 'asks_about', '?b'), ('?b', 'refers_to', '?t')])`` — the
+        console's MATCH clause; one column per ?variable."""
+        from codepropertygraph_spark.operators import kg
+
+        return kg.bgp_match(self._rel_triples(), patterns)

@@ -1025,3 +1025,47 @@ def test_graphview_centrality_macro_steps(g):
     assert set(cm) == set(pr)
     # a REL self-loop alone must not create a community member
     assert all(isinstance(c, type(next(iter(cm.values())))) for c in cm.values())
+
+
+def test_graphview_structural_macro_steps(g):
+    """entity_kcore / entity_triangles / entity_linkpred console sugar
+    agrees with the operators on the same REL pairs."""
+    from codepropertygraph_spark.operators import centrality
+
+    pairs = g._rel_pairs().localCheckpoint(eager=True)
+    kc = {(r.node, r.core_deg) for r in g.entity_kcore(k=2, iters=8).collect()}
+    want_kc = {
+        (r.node, r.core_deg)
+        for r in centrality.kcore(pairs, k=2, iters=8).collect()
+    }
+    assert kc == want_kc
+    tri = {(r.node, r.n_triangles) for r in g.entity_triangles().collect()}
+    want_tri = {
+        (r.node, r.n_triangles)
+        for r in centrality.triangle_counts(pairs).collect()
+    }
+    assert tri == want_tri and len(tri) > 0
+    lp = {(r.a, r.b) for r in g.entity_linkpred(min_cn=2).collect()}
+    want_lp = {
+        (r.a, r.b)
+        for r in centrality.link_prediction(pairs, min_cn=2).collect()
+    }
+    assert lp == want_lp
+
+
+def test_graphview_bgp_match_macro_step(g):
+    """g.match(...) binds patterns over the name-level REL triples and
+    agrees with kg.bgp_match on the explicitly-derived triple frame."""
+    from codepropertygraph_spark.operators import kg as KG
+
+    pats = [("?a", "uses_tool", "?t")]
+    got = {tuple(r) for r in g.match(pats).collect()}
+    triples = g._rel_triples()
+    want = {tuple(r) for r in KG.bgp_match(triples, pats).collect()}
+    assert got == want and len(got) > 0
+    # two-pattern chain: every (a, t, b) binding must be backed by triples
+    chain = g.match([("?a", "uses_tool", "?t"), ("?a", "asks_about", "?b")])
+    rows = {tuple(r) for r in chain.collect()}
+    ts = {(r.subj, r.pred, r.obj) for r in triples.collect()}
+    for a, b, t in rows:  # columns sorted: a, b, t
+        assert (a, "uses_tool", t) in ts and (a, "asks_about", b) in ts

@@ -102,6 +102,13 @@ def main() -> None:
         "text_unigram_lp",
         "kg_entity_pagerank",
         "kg_entity_communities",
+        "kg_bgp_match",
+        "kg_entity_kcore",
+        "kg_link_prediction",
+        "text_skipgram",
+        "text_tfidf",
+        "kg_role_transitions",
+        "embeddings_hard_negatives",
     ):
         audit(name, qs[name](spark, SF_DIR))
 
