@@ -2538,6 +2538,49 @@ def _q_kg_role_transitions(spark, sf_dir):
     return kg.role_transitions(_transcripts(spark, sf_dir))
 
 
+def _q_kg_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus (centrality.random_walks): 2 walks of
+    length 4 from every entity, successor = hash60(salt|walk_id|step) mod
+    degree over the id-sorted adjacency — the lineage-stable sentence
+    corpus a skip-gram KG-embedding trainer consumes. Ranked adjacency is
+    one degree-bounded window computed once; each step is one equi-join
+    probe per walker, so the whole trajectory set value-hash-checks
+    against an unrolled SQL recurrence."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    edges = centrality.entity_edges(triples)
+    return centrality.random_walks(edges, walks_per_node=2, length=4)
+
+
+def _q_kg_closeness(spark, sf_dir):
+    """Sampled harmonic closeness (centrality.harmonic_closeness): integer
+    micro-unit harmonic sums to 8 deterministic landmark seeds within 4
+    hops — the landmark estimator of closeness centrality, third
+    structural-salience signal next to PageRank and triangles. Distance
+    table is level-synchronous min-dist (bounded by seeds × |V|, never
+    path counts); checked against an unrolled min-dist CTE chain."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    edges = centrality.entity_edges(triples)
+    return centrality.harmonic_closeness(edges, n_seeds=8, max_dist=4)
+
+
+def _q_kg_new_facts(spark, sf_dir):
+    """Incremental-construction fact diff (kg.incremental_new_facts): the
+    distinct (subj, pred, obj) facts asserted by the deterministic
+    increment batch (hash60-bucketed conversations) and by NO base
+    conversation — the triple-level DiffGraph of one resumable ingestion
+    step. One two-phase aggregate with conditional provenance counts, no
+    join; sound because extraction/linking are per-conversation and the
+    merge map is corpus-independent (final_triples contract)."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    return kg.incremental_new_facts(triples, increment_buckets=10)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Round-5 rotation. Window invariant: every registry query must be
     # driver-green in r4 or r5, so the first 50 are (a) new queries or the
@@ -2547,6 +2590,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (schema single-sourcing, diff/proto edge identity). The 30-entry
     # tail is exclusively r4-driver-green and untouched.
     # (a) new this round / r4 red with the oracle aggregate now pinned
+    "kg_random_walks": _q_kg_random_walks,
+    "kg_closeness": _q_kg_closeness,
+    "kg_new_facts": _q_kg_new_facts,
     "kg_bgp_match": _q_kg_bgp_match,
     "kg_entity_kcore": _q_kg_entity_kcore,
     "text_skipgram": _q_text_skipgram,
@@ -2722,6 +2768,18 @@ GATE_DEFERRED = [
     "dedup_exact",              # hash-groupBy primary; family keeps
                                 # jaccard_prefix/duplicate_spans in window
                                 # and minhash_bands r4-green
+    # Displaced by the 3 fourth-session additions (kg_random_walks,
+    # kg_closeness, kg_new_facts — never greened, same priority rule).
+    # Coverage argument per displaced entry:
+    "ann_cosine_topk",          # exact-cosine kernel unchanged since r3
+                                # green; the identical sequential-fold dot
+                                # kernel is exercised in-window by
+                                # embeddings_hard_negatives
+    "kg_best_alias",            # scored best-alias linking runs inside
+                                # final_triples for every in-window
+                                # kg_entity_*/kg_new_facts query
+    "kg_ast_json_tree",         # unchanged since r3 green; leads the r6
+                                # window with its deferred arrow variant
     # Displaced by the 8 TPC-H completions (q2/q9/q11/q15/q16/q20/q21/q22,
     # new this round — a never-greened query outranks re-greening an
     # r3-green one). Each displaced entry's machinery keeps an in-window
@@ -2738,6 +2796,7 @@ GATE_DEFERRED = [
 ]
 _WINDOW = [
     # (1) new this round or r4-red — only the r5 gate can green them
+    "kg_random_walks", "kg_closeness", "kg_new_facts",
     "kg_bgp_match", "kg_entity_kcore", "text_skipgram",
     "embeddings_hard_negatives",
     "kg_link_prediction", "text_tfidf", "kg_role_transitions",
@@ -2753,11 +2812,10 @@ _WINDOW = [
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q19",
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15",
     "tpch_q16", "tpch_q20", "tpch_q21", "tpch_q22",
-    # (2) stalest — last external green r3 (15 displaced entries moved to
-    # GATE_DEFERRED above; they lead the r6 window)
+    # (2) stalest — last external green r3 (18 displaced entries moved to
+    # GATE_DEFERRED above; they lead the r6 window). events_kmv_users stays
+    # because its impl was two-phased THIS round (re-green outranks).
     "events_kmv_users",
-    "ann_cosine_topk", "kg_best_alias",
-    "kg_ast_json_tree",
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
 QUERIES = {
@@ -5149,6 +5207,92 @@ ORACLES["kg_role_transitions"] = f"""
     )
     SELECT prev_role, role, CAST(count(*) AS BIGINT) AS cnt
     FROM o WHERE prev_role IS NOT NULL GROUP BY 1, 2
+"""
+
+# Unrolled deterministic random-walk recurrence: successor at step t is the
+# neighbor at rank hash60('walk|<walk_id>|<t>') % deg in the id-sorted
+# adjacency — the identical pure function centrality.random_walks computes.
+_RW_HASH = (
+    "cast(concat('0x', substr(md5(concat('walk|', c.walk_id, '|{t}')), 1, 15))"
+    " AS bigint)"
+)
+_RW_STEPS = ",\n".join(
+    f"""rws{t} AS (
+      SELECT c.walk_id, r.nbr AS node
+      FROM rws{t - 1} c
+      JOIN rwd d ON d.node = c.node
+      JOIN rwr r ON r.node = c.node
+       AND r.rnk = {_RW_HASH.format(t=t)} % d.deg
+    )"""
+    for t in range(1, 5)
+)
+ORACLES["kg_random_walks"] = f"""
+    WITH RECURSIVE {_TRIPLES_CTES},
+    rwe AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+            WHERE subj <> obj),
+    rwn AS (SELECT DISTINCT node, nbr FROM
+            (SELECT src AS node, dst AS nbr FROM rwe
+             UNION ALL SELECT dst, src FROM rwe) WHERE node <> nbr),
+    rwr AS (SELECT node, nbr, row_number() OVER (
+              PARTITION BY node ORDER BY nbr) - 1 AS rnk FROM rwn),
+    rwd AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM rwn
+            GROUP BY node),
+    rws0 AS (SELECT concat(d.node, '#', CAST(t.w AS VARCHAR)) AS walk_id,
+                    d.node
+             FROM rwd d CROSS JOIN range(0, 2) t(w)),
+    {_RW_STEPS}
+    SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM rws0
+    UNION ALL SELECT walk_id, CAST(1 AS BIGINT), node FROM rws1
+    UNION ALL SELECT walk_id, CAST(2 AS BIGINT), node FROM rws2
+    UNION ALL SELECT walk_id, CAST(3 AS BIGINT), node FROM rws3
+    UNION ALL SELECT walk_id, CAST(4 AS BIGINT), node FROM rws4
+"""
+
+# Unrolled level-synchronous min-dist from the 8 deterministic landmark
+# seeds (smallest by (hash60('cls|<node>'), node)), then the harmonic sum.
+_CLS_LEVELS = ",\n".join(
+    f"""cld{t} AS (
+      SELECT seed, node, min(d) AS d FROM (
+        SELECT seed, node, d FROM cld{t - 1}
+        UNION ALL
+        SELECT p.seed, n.nbr AS node, p.d + 1 AS d
+        FROM cld{t - 1} p JOIN cln n ON n.node = p.node
+      ) GROUP BY seed, node
+    )"""
+    for t in range(1, 5)
+)
+ORACLES["kg_closeness"] = f"""
+    WITH RECURSIVE {_TRIPLES_CTES},
+    cle AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+            WHERE subj <> obj),
+    cln AS (SELECT DISTINCT node, nbr FROM
+            (SELECT src AS node, dst AS nbr FROM cle
+             UNION ALL SELECT dst, src FROM cle) WHERE node <> nbr),
+    clv AS (SELECT DISTINCT node FROM cln),
+    sds AS (SELECT node AS seed FROM (
+              SELECT node, row_number() OVER (ORDER BY
+                cast(concat('0x', substr(md5(concat('cls|', node)), 1, 15))
+                     AS bigint), node) AS rn
+              FROM clv) WHERE rn <= 8),
+    cld0 AS (SELECT seed, seed AS node, 0 AS d FROM sds),
+    {_CLS_LEVELS}
+    SELECT node, CAST(sum(1000000 // d) AS BIGINT) AS harm_micro,
+           CAST(count(*) AS BIGINT) AS n_reached
+    FROM cld4 WHERE d > 0 GROUP BY node
+"""
+
+ORACLES["kg_new_facts"] = f"""
+    WITH RECURSIVE {_TRIPLES_CTES},
+    nf AS (SELECT subj, pred, obj,
+           (cast(concat('0x', substr(md5(concat('incr|', conv_id)), 1, 15))
+                 AS bigint) % 10 = 0) AS is_incr
+           FROM triples),
+    ag AS (SELECT subj, pred, obj,
+                  sum(CASE WHEN is_incr THEN 1 ELSE 0 END) AS ni,
+                  sum(CASE WHEN is_incr THEN 0 ELSE 1 END) AS nb
+           FROM nf GROUP BY 1, 2, 3)
+    SELECT subj, pred, obj, CAST(ni AS BIGINT) AS n_convs_incr
+    FROM ag WHERE ni > 0 AND nb = 0
 """
 
 

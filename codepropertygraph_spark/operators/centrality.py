@@ -495,6 +495,158 @@ def kcore(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
     )
 
 
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    length: int = 4,
+    salt: str = "walk",
+) -> DataFrame:
+    """Deterministic DeepWalk-style random-walk corpus over the undirected
+    simple entity graph → (walk_id, step, node): ``walks_per_node`` walks of
+    ``length`` steps from every node — the sentence corpus a skip-gram
+    KG-embedding trainer consumes (walks are to graph embeddings what
+    documents are to word2vec; ``textstats.skipgram_pairs`` applies
+    downstream unchanged).
+
+    The "random" successor is a pure function of (salt, walk_id, step):
+    neighbor at rank ``hash60(salt|walk_id|step) % deg(u)`` in each node's
+    id-sorted adjacency — reproducible across engines, partitionings and
+    cluster sizes (the ``kg.negative_samples`` sampler discipline), so the
+    walk corpus is lineage-stable training data, and the whole trajectory
+    set is value-hash-checkable against an unrolled SQL recurrence.
+
+    Scale shape: the ranked adjacency (node, rank → nbr) is computed ONCE —
+    a row_number window partitioned by node, per-task sort bounded by the
+    node's DEGREE, never by corpus size — then eagerly checkpointed with the
+    degree table. Each step is ONE equi-join of the walker frontier on
+    (node, rank): a walker probes exactly one adjacency row, so a celebrity
+    hub adds join-key skew (AQE's job) but never fan-out. Frontier volume is
+    constant at |V| × walks_per_node rows per step; output is the long-form
+    trajectory table, (length+1) × that.
+    """
+    nb = undirected_neighbors(edges).where(F.col("node") != F.col("nbr"))
+    rk = nb.withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy("node").orderBy("nbr")).cast(
+            "long"
+        )
+        - 1,
+    ).localCheckpoint(eager=True)
+    deg = rk.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    from ..ids import hash60
+
+    cur = (
+        rk.select("node")
+        .dropDuplicates(["node"])
+        .select(
+            "node",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("w"),
+        )
+        .select(
+            F.concat_ws("#", "node", F.col("w").cast("string")).alias(
+                "walk_id"
+            ),
+            "node",
+        )
+    )
+    out = cur.select("walk_id", F.lit(0).cast("long").alias("step"), "node")
+    for t in range(1, length + 1):
+        pick = cur.join(deg, "node").select(
+            "walk_id",
+            F.col("node"),
+            F.pmod(
+                hash60(
+                    F.concat_ws(
+                        "|", F.lit(salt), F.col("walk_id"), F.lit(str(t))
+                    )
+                ),
+                F.col("deg"),
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+        cur = pick.join(rk, ["node", "rank"]).select(
+            "walk_id", F.col("nbr").alias("node")
+        )
+        out = out.unionByName(
+            cur.select(
+                "walk_id", F.lit(t).cast("long").alias("step"), "node"
+            )
+        )
+    return out
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    n_seeds: int = 8,
+    max_dist: int = 4,
+    salt: str = "cls",
+) -> DataFrame:
+    """Sampled harmonic closeness centrality over the undirected simple
+    entity graph → (node, harm_micro, n_reached): for a deterministic
+    sample of ``n_seeds`` landmark nodes, every node's harmonic sum
+    Σ_seeds 1_000_000 DIV dist(seed, node) over seeds within ``max_dist``
+    hops (self-distances excluded) — the landmark/pivot estimator of
+    closeness centrality (Eppstein-Wang style), the third structural
+    salience signal next to PageRank and triangle clustering. Integer
+    micro-units per (seed, node) term then an integer sum — order-free,
+    engine-exact (the ``link_prediction`` ra_micro discipline).
+
+    Landmarks are the ``n_seeds`` nodes smallest by (hash60(salt|node),
+    node) — a deterministic uniform sample, reproducible across engines
+    (ranked by one window over the DIMENSION-scale node set, the
+    ``kg.negative_samples`` indexing shape).
+
+    Scale shape: the distance table is level-synchronous min-dist
+    iteration — per round ONE equi-join of the (seed, node, d) table to the
+    adjacency on node and ONE two-phase min aggregation; table size is
+    bounded by n_seeds × |V| rows, NEVER by path counts (min-agg collapses
+    per level, the flow_witness discipline). n_seeds is the sampling knob:
+    fixed sample ⇒ fixed cost multiple of the edge list, independent of
+    corpus growth.
+    """
+    from ..ids import hash60
+
+    nb = undirected_neighbors(edges).where(
+        F.col("node") != F.col("nbr")
+    ).localCheckpoint(eager=True)
+    nodes = nb.select("node").dropDuplicates(["node"])
+    seeds = (
+        nodes.withColumn(
+            "hk", hash60(F.concat_ws("|", F.lit(salt), F.col("node")))
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("hk"), F.col("node"))),
+        )
+        .where(F.col("rn") <= n_seeds)
+        .select(F.col("node").alias("seed"))
+        .localCheckpoint(eager=True)
+    )
+    dist = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("d")
+    )
+    for _ in range(max_dist):
+        expand = dist.join(nb, "node").select(
+            "seed", F.col("nbr").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        dist = (
+            dist.unionByName(expand)
+            .groupBy("seed", "node")
+            .agg(F.min("d").cast("long").alias("d"))
+        )
+    return (
+        dist.where(F.col("d") > 0)
+        .groupBy("node")
+        .agg(
+            F.sum(F.expr("1000000 DIV d")).cast("long").alias("harm_micro"),
+            F.count("*").cast("long").alias("n_reached"),
+        )
+    )
+
+
 def link_prediction(
     edges: DataFrame,
     min_cn: int = 2,

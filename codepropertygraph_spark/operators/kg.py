@@ -229,6 +229,58 @@ def negative_samples(
     )
 
 
+def incremental_new_facts(
+    triples: DataFrame, increment_buckets: int = 10, salt: str = "incr"
+) -> DataFrame:
+    """Incremental-construction fact diff → (subj, pred, obj, n_convs_incr):
+    the distinct facts that an INCREMENT batch of conversations introduces
+    which no BASE conversation already asserts — the triple-level DiffGraph
+    of one ingestion step (SURVEY §1.3's resumable construction: production
+    never re-extracts the world; it extracts the new batch and applies the
+    diff, exactly like the reference applies per-pass DiffGraphs instead of
+    rebuilding the CPG — ``CpgPass.scala`` apply discipline).
+
+    The batch split is deterministic: a conversation is "increment" iff
+    ``hash60(salt|conv_id) % increment_buckets == 0`` — the repo's
+    hash-membership sampler, standing in for "conversations that arrived
+    since the last committed snapshot" so the check is reproducible on any
+    engine. This is sound as a pure anti-join of EXTRACTION OUTPUTS because
+    extraction + linking are per-conversation maps and the canonicalization
+    merge map depends only on the alias dictionary (``final_triples``
+    contract) — the increment's triples are computable without touching
+    base conversations; only the membership test reads the base, and that
+    is the one aggregate below.
+
+    Scale shape: ONE two-phase aggregate over the distinct triple set,
+    grouping by (subj, pred, obj) with conditional counts for both sides —
+    no join at all (the fact's base/increment provenance is a flag on each
+    row). At 10^12 turns the base side is the committed snapshot's fact
+    table; the same plan is the anti-join of increment facts against it,
+    broadcast when the batch is small.
+    """
+    from ..ids import hash60
+
+    flagged = triples.select(
+        "subj",
+        "pred",
+        "obj",
+        (
+            F.pmod(
+                hash60(F.concat_ws("|", F.lit(salt), F.col("conv_id"))),
+                F.lit(increment_buckets),
+            )
+            == 0
+        ).alias("is_incr"),
+    )
+    per_fact = flagged.groupBy("subj", "pred", "obj").agg(
+        F.sum(F.col("is_incr").cast("long")).alias("n_convs_incr"),
+        F.sum((~F.col("is_incr")).cast("long")).alias("n_convs_base"),
+    )
+    return per_fact.where(
+        (F.col("n_convs_incr") > 0) & (F.col("n_convs_base") == 0)
+    ).select("subj", "pred", "obj", F.col("n_convs_incr").cast("long").alias("n_convs_incr"))
+
+
 def predicate_profile(triples: DataFrame) -> DataFrame:
     """Per-predicate schema profile of the constructed KG — the property
     cardinality report a graph-quality gate reads: how many distinct

@@ -405,3 +405,117 @@ class TestKCore:
             for r in centrality.kcore(edges, k=2, iters=9).collect()
         )
         assert r8 == r9 and len(r8) > 0
+
+
+def _hash60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _sym_nbrs(pairs):
+    und = defaultdict(set)
+    for s, d in pairs:
+        if s != d:
+            und[s].add(d)
+            und[d].add(s)
+    return {n: sorted(v) for n, v in und.items()}
+
+
+class TestRandomWalks:
+    def _walks_py(self, pairs, walks_per_node=2, length=4, salt="walk"):
+        nbrs = _sym_nbrs(pairs)
+        rows = set()
+        for node in nbrs:
+            for w in range(walks_per_node):
+                wid = f"{node}#{w}"
+                cur = node
+                rows.add((wid, 0, cur))
+                for t in range(1, length + 1):
+                    pick = _hash60_py(f"{salt}|{wid}|{t}") % len(nbrs[cur])
+                    cur = nbrs[cur][pick]
+                    rows.add((wid, t, cur))
+        return rows
+
+    def test_matches_python_mirror(self, spark):
+        pairs = TWO_CLIQUES + STAR
+        got = {
+            (r["walk_id"], r["step"], r["node"])
+            for r in centrality.random_walks(
+                _edges_df(spark, pairs), walks_per_node=2, length=4
+            ).collect()
+        }
+        assert got == self._walks_py(pairs)
+
+    def test_every_hop_is_an_edge(self, spark):
+        pairs = TWO_CLIQUES
+        rows = centrality.random_walks(
+            _edges_df(spark, pairs), walks_per_node=1, length=3
+        ).collect()
+        nbrs = _sym_nbrs(pairs)
+        traj = defaultdict(dict)
+        for r in rows:
+            traj[r["walk_id"]][r["step"]] = r["node"]
+        assert len(traj) == len(nbrs)  # one walk per node
+        for steps in traj.values():
+            assert sorted(steps) == [0, 1, 2, 3]  # full-length, no dead ends
+            for t in range(1, 4):
+                assert steps[t] in nbrs[steps[t - 1]]
+
+    def test_deterministic_across_runs(self, spark):
+        pairs = STAR
+        a = sorted(
+            map(tuple, centrality.random_walks(_edges_df(spark, pairs)).collect())
+        )
+        b = sorted(
+            map(tuple, centrality.random_walks(_edges_df(spark, pairs)).collect())
+        )
+        assert a == b
+
+
+class TestHarmonicCloseness:
+    def _closeness_py(self, pairs, n_seeds=8, max_dist=4, salt="cls"):
+        nbrs = _sym_nbrs(pairs)
+        seeds = sorted(nbrs, key=lambda n: (_hash60_py(f"{salt}|{n}"), n))[
+            :n_seeds
+        ]
+        harm = defaultdict(lambda: [0, 0])
+        for seed in seeds:
+            dist = {seed: 0}
+            frontier = [seed]
+            for d in range(1, max_dist + 1):
+                nxt = []
+                for u in frontier:
+                    for v in nbrs[u]:
+                        if v not in dist:
+                            dist[v] = d
+                            nxt.append(v)
+                frontier = nxt
+            for node, d in dist.items():
+                if d > 0:
+                    harm[node][0] += 1_000_000 // d
+                    harm[node][1] += 1
+        return {n: tuple(v) for n, v in harm.items()}
+
+    def test_matches_python_mirror(self, spark):
+        pairs = TWO_CLIQUES + [("z", "q1"), ("q1", "q2"), ("q2", "q3")]
+        got = {
+            r["node"]: (r["harm_micro"], r["n_reached"])
+            for r in centrality.harmonic_closeness(
+                _edges_df(spark, pairs), n_seeds=3, max_dist=4
+            ).collect()
+        }
+        assert got == self._closeness_py(pairs, n_seeds=3)
+
+    def test_center_of_path_is_closest(self, spark):
+        # path a-b-c-d-e with every node a seed: center c maximizes the
+        # harmonic sum (shortest distances to everything else).
+        pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        got = {
+            r["node"]: r["harm_micro"]
+            for r in centrality.harmonic_closeness(
+                _edges_df(spark, pairs), n_seeds=5, max_dist=4
+            ).collect()
+        }
+        assert max(got, key=got.get) == "c"
+        assert got["c"] == 2 * (1_000_000 + 1_000_000 // 2)

@@ -556,3 +556,39 @@ def test_anomaly_flags_golden(spark):
     assert got[19] is True and not any(got[i] for i in range(19))
     assert got[100] is False                     # singleton: never flagged
     assert not any(got[200 + i] for i in range(5))  # zero variance
+
+
+def test_incremental_new_facts_matches_bruteforce(spark):
+    """kg.incremental_new_facts == (distinct facts of the increment bucket)
+    minus (distinct facts of the base bucket), with per-fact increment
+    conversation counts — mirrored in pure Python over a synthetic triple
+    set engineered to hit all three cases (incr-only, base-only, both)."""
+    import hashlib
+
+    def is_incr(conv):
+        return int(hashlib.md5(f"incr|{conv}".encode()).hexdigest()[:15], 16) % 10 == 0
+
+    convs = [f"c{i}" for i in range(40)]
+    assert any(is_incr(c) for c in convs) and not all(is_incr(c) for c in convs)
+    rows = []
+    for i, c in enumerate(convs):
+        rows.append((c, f"e{i % 5}", "refers_to", f"e{(i + 1) % 5}"))
+        rows.append((c, "shared", "uses_tool", "hammer"))  # in every conv
+        if is_incr(c):
+            rows.append((c, f"only_{c}", "asks_about", "fresh"))
+    triples = spark.createDataFrame(
+        rows, "conv_id string, subj string, pred string, obj string"
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r["n_convs_incr"]
+        for r in kg.incremental_new_facts(triples, increment_buckets=10).collect()
+    }
+    base_facts = {(s, p, o) for c, s, p, o in rows if not is_incr(c)}
+    from collections import Counter
+
+    incr_counts = Counter((s, p, o) for c, s, p, o in rows if is_incr(c))
+    want = {f: n for f, n in incr_counts.items() if f not in base_facts}
+    assert got == want and len(got) > 0
+    # resume soundness: base facts ∪ new facts covers every distinct fact
+    all_facts = {(s, p, o) for _, s, p, o in rows}
+    assert base_facts | set(got) == all_facts
