@@ -2538,6 +2538,29 @@ def _q_kg_role_transitions(spark, sf_dir):
     return kg.role_transitions(_transcripts(spark, sf_dir))
 
 
+def _q_kg_bgp_optional(spark, sf_dir):
+    """SPARQL-algebra extension of the BGP planner (kg.bgp_match with
+    optional= / not_exists=): required (?a uses_tool ?t), OPTIONAL
+    (?b asks_about ?a) — a left-join pattern whose unbound variable
+    survives as a marker (coalesced to '' on both engines so the gate
+    never depends on harness NULL normalization) — and FILTER NOT EXISTS
+    (?a follows ?t), an anti-join pattern. The oracle is the literal flat
+    LEFT JOIN + NOT EXISTS SQL, proving the planned form a pure rewrite
+    of the SPARQL OPTIONAL/NOT-EXISTS algebra."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    out = kg.bgp_match(
+        triples,
+        [("?a", "uses_tool", "?t")],
+        optional=[("?b", "asks_about", "?a")],
+        not_exists=[("?a", "follows", "?t")],
+    )
+    return out.select(
+        "a", F.coalesce("b", F.lit("")).alias("b"), "t"
+    ).dropDuplicates()
+
+
 def _q_kg_random_walks(spark, sf_dir):
     """Deterministic DeepWalk corpus (centrality.random_walks): 2 walks of
     length 4 from every entity, successor = hash60(salt|walk_id|step) mod
@@ -2593,6 +2616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_random_walks": _q_kg_random_walks,
     "kg_closeness": _q_kg_closeness,
     "kg_new_facts": _q_kg_new_facts,
+    "kg_bgp_optional": _q_kg_bgp_optional,
     "kg_bgp_match": _q_kg_bgp_match,
     "kg_entity_kcore": _q_kg_entity_kcore,
     "text_skipgram": _q_text_skipgram,
@@ -2780,6 +2804,13 @@ GATE_DEFERRED = [
                                 # kg_entity_*/kg_new_facts query
     "kg_ast_json_tree",         # unchanged since r3 green; leads the r6
                                 # window with its deferred arrow variant
+    # Displaced by kg_bgp_optional (never greened, same priority rule):
+    "events_kmv_users",         # its two-phase rewrite this round is
+                                # output-bit-identical by the merge-
+                                # exactness property contract (tested);
+                                # the shared partial-bottom-s machinery
+                                # is externally r4-green via
+                                # events_quantiles; leads the r6 window
     # Displaced by the 8 TPC-H completions (q2/q9/q11/q15/q16/q20/q21/q22,
     # new this round — a never-greened query outranks re-greening an
     # r3-green one). Each displaced entry's machinery keeps an in-window
@@ -2796,7 +2827,7 @@ GATE_DEFERRED = [
 ]
 _WINDOW = [
     # (1) new this round or r4-red — only the r5 gate can green them
-    "kg_random_walks", "kg_closeness", "kg_new_facts",
+    "kg_random_walks", "kg_closeness", "kg_new_facts", "kg_bgp_optional",
     "kg_bgp_match", "kg_entity_kcore", "text_skipgram",
     "embeddings_hard_negatives",
     "kg_link_prediction", "text_tfidf", "kg_role_transitions",
@@ -2812,10 +2843,8 @@ _WINDOW = [
     "tpch_q7", "tpch_q8", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q19",
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q15",
     "tpch_q16", "tpch_q20", "tpch_q21", "tpch_q22",
-    # (2) stalest — last external green r3 (18 displaced entries moved to
-    # GATE_DEFERRED above; they lead the r6 window). events_kmv_users stays
-    # because its impl was two-phased THIS round (re-green outranks).
-    "events_kmv_users",
+    # (19 displaced entries moved to GATE_DEFERRED above; they lead the r6
+    # window — the 50 slots are now exactly the never-greened queries.)
 ]
 assert len(_WINDOW) == 50 and len(set(_WINDOW)) == 50
 QUERIES = {
@@ -5279,6 +5308,17 @@ ORACLES["kg_closeness"] = f"""
     SELECT node, CAST(sum(1000000 // d) AS BIGINT) AS harm_micro,
            CAST(count(*) AS BIGINT) AS n_reached
     FROM cld4 WHERE d > 0 GROUP BY node
+"""
+
+ORACLES["kg_bgp_optional"] = f"""
+    WITH RECURSIVE {_TRIPLES_CTES},
+    g AS (SELECT DISTINCT subj, pred, obj FROM triples)
+    SELECT DISTINCT t0.subj AS a, coalesce(t1.subj, '') AS b, t0.obj AS t
+    FROM g t0
+    LEFT JOIN g t1 ON t1.pred = 'asks_about' AND t1.obj = t0.subj
+    WHERE t0.pred = 'uses_tool'
+      AND NOT EXISTS (SELECT 1 FROM g t2 WHERE t2.pred = 'follows'
+                      AND t2.subj = t0.subj AND t2.obj = t0.obj)
 """
 
 ORACLES["kg_new_facts"] = f"""

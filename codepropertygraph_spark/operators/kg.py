@@ -322,6 +322,8 @@ def bgp_match(
     triples: DataFrame,
     patterns: list[tuple[str, str, str]],
     broadcast_rows: int = 200_000,
+    optional: list[tuple[str, str, str]] | None = None,
+    not_exists: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """Conjunctive basic-graph-pattern matching over the global triple set
     — the SPARQL-BGP / Cypher-MATCH primitive, and the set-semantics analog
@@ -353,6 +355,25 @@ def bgp_match(
     pattern slice is small relative to it — the plan is a left-deep chain
     of broadcast probes exactly like the TPC-H dimension pipelines, with
     the scan pruned per-pattern by pushed-down constant predicates.
+
+    SPARQL-algebra extensions, both applied AFTER the required BGP (the
+    left-to-right evaluation order of the SPARQL spec):
+
+    - ``optional`` — each pattern LEFT-joins the accumulated bindings on
+      its shared variables (SPARQL OPTIONAL / Cypher OPTIONAL MATCH):
+      variables the pattern introduces become nullable columns, bindings
+      with no match survive with NULLs, multiple matches multiply rows.
+      An optional pattern must share ≥1 variable with the required BGP
+      (a disconnected OPTIONAL is a cross product — rejected, by design).
+    - ``not_exists`` — each pattern ANTI-joins on its shared variables
+      (SPARQL FILTER NOT EXISTS; the traversal DSL's ``where_not_in`` at
+      set semantics): bindings with any match are dropped; variables the
+      pattern introduces bind nothing. Same connectivity requirement.
+
+    Both join against the pattern's DISTINCT projection onto the shared +
+    introduced variables, so the plan stays the dimension-probe shape
+    (broadcast when the slice is small) and anti/left joins are AQE's
+    standard skew cases.
     """
     if not patterns:
         raise ValueError("bgp_match needs at least one pattern")
@@ -360,12 +381,16 @@ def bgp_match(
     def is_var(t: str) -> bool:
         return t.startswith("?")
 
+    optional = optional or []
+    not_exists = not_exists or []
+    all_patterns = list(patterns) + list(optional) + list(not_exists)
     base = triples.select("subj", "pred", "obj").dropDuplicates(
         ["subj", "pred", "obj"]
     )
-    # 1. fused selectivity stats: one aggregate, one small collect.
+    # 1. fused selectivity stats: one aggregate, one small collect —
+    # required, optional and not-exists slices all counted in the same job.
     conds = []
-    for s, p, o in patterns:
+    for s, p, o in all_patterns:
         c = F.lit(True)
         if not is_var(s):
             c = c & (F.col("subj") == s)
@@ -377,10 +402,10 @@ def bgp_match(
     stats = base.agg(
         *[F.sum(c.cast("long")).alias(f"n{i}") for i, c in enumerate(conds)]
     ).first()
-    counts = [int(stats[f"n{i}"] or 0) for i in range(len(patterns))]
+    counts = [int(stats[f"n{i}"] or 0) for i in range(len(all_patterns))]
 
     def pattern_frame(idx: int) -> DataFrame:
-        s, p, o = patterns[idx]
+        s, p, o = all_patterns[idx]
         df = base.where(conds[idx])
         cols, seen = [], {}
         for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
@@ -396,7 +421,7 @@ def bgp_match(
         return df.dropDuplicates()
 
     def pattern_vars(idx: int) -> set[str]:
-        return {t[1:] for t in patterns[idx] if is_var(t)}
+        return {t[1:] for t in all_patterns[idx] if is_var(t)}
 
     # 2. greedy left-deep order: seed with the globally smallest pattern,
     # then repeatedly take the smallest CONNECTED remaining pattern.
@@ -418,6 +443,32 @@ def bgp_match(
             nxt = F.broadcast(nxt)
         on = sorted(set(out.columns) & set(nxt.columns) - {"__one"})
         out = out.join(nxt, on=on) if on else out.crossJoin(nxt)
+    # SPARQL-algebra extensions over the accumulated required bindings.
+    for i in range(len(optional)):
+        idx = len(patterns) + i
+        nxt = pattern_frame(idx)
+        on = sorted(set(out.columns) & set(nxt.columns) - {"__one"})
+        if not on:
+            raise ValueError(
+                f"OPTIONAL pattern {optional[i]} shares no variable with "
+                "the required BGP (disconnected OPTIONAL is a cross product)"
+            )
+        if counts[idx] <= broadcast_rows:
+            nxt = F.broadcast(nxt)
+        out = out.join(nxt, on=on, how="left")
+    for i in range(len(not_exists)):
+        idx = len(patterns) + len(optional) + i
+        nxt = pattern_frame(idx)
+        on = sorted(set(out.columns) & set(nxt.columns) - {"__one"})
+        if not on:
+            raise ValueError(
+                f"NOT EXISTS pattern {not_exists[i]} shares no variable "
+                "with the accumulated bindings"
+            )
+        nxt = nxt.select(*on).dropDuplicates()
+        if counts[idx] <= broadcast_rows:
+            nxt = F.broadcast(nxt)
+        out = out.join(nxt, on=on, how="left_anti")
     var_cols = sorted(c for c in out.columns if c != "__one")
     if not var_cols:  # all-constant BGP: existence check -> 0/1 rows
         return out.select(F.lit(1).alias("matched")).limit(1)

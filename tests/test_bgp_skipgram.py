@@ -143,3 +143,51 @@ class TestHardNegatives:
             elif 0.3 <= r["cos"] < 0.9 and r["rank"] <= 3:
                 # a banded high-rank exact hit must appear unless k got cut
                 pass
+
+
+class TestBgpOptionalNotExists:
+    """SPARQL OPTIONAL / FILTER NOT EXISTS semantics on a handcrafted
+    triple set where every case is enumerable by eye."""
+
+    def _triples(self, spark):
+        rows = [
+            # (conv, subj, pred, obj)
+            ("c", "u1", "uses_tool", "hammer"),
+            ("c", "u2", "uses_tool", "saw"),
+            ("c", "u3", "uses_tool", "drill"),
+            ("c", "b1", "asks_about", "u1"),
+            ("c", "b2", "asks_about", "u1"),
+            ("c", "u3", "follows", "drill"),  # filters u3 out
+        ]
+        return spark.createDataFrame(
+            rows, "conv_id string, subj string, pred string, obj string"
+        )
+
+    def test_optional_and_not_exists(self, spark):
+        from codepropertygraph_spark.operators import kg
+
+        out = kg.bgp_match(
+            self._triples(spark),
+            [("?a", "uses_tool", "?t")],
+            optional=[("?b", "asks_about", "?a")],
+            not_exists=[("?a", "follows", "?t")],
+        )
+        got = {(r["a"], r["b"], r["t"]) for r in out.collect()}
+        assert got == {
+            ("u1", "b1", "hammer"),  # two optional matches multiply rows
+            ("u1", "b2", "hammer"),
+            ("u2", None, "saw"),     # unbound OPTIONAL survives as NULL
+            # u3 removed by NOT EXISTS
+        }
+
+    def test_disconnected_optional_rejected(self, spark):
+        import pytest as _pytest
+
+        from codepropertygraph_spark.operators import kg
+
+        with _pytest.raises(ValueError, match="OPTIONAL"):
+            kg.bgp_match(
+                self._triples(spark),
+                [("?a", "uses_tool", "?t")],
+                optional=[("?x", "asks_about", "?y")],
+            ).collect()

@@ -109,6 +109,9 @@ def main() -> None:
         "text_tfidf",
         "kg_role_transitions",
         "embeddings_hard_negatives",
+        "kg_random_walks",
+        "kg_closeness",
+        "kg_new_facts",
     ):
         audit(name, qs[name](spark, SF_DIR))
 
