@@ -500,10 +500,12 @@ def random_walks(
     walks_per_node: int = 2,
     length: int = 4,
     salt: str = "walk",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Deterministic DeepWalk-style random-walk corpus over the undirected
     simple entity graph → (walk_id, step, node): ``walks_per_node`` walks of
-    ``length`` steps from every node — the sentence corpus a skip-gram
+    ``length`` steps from every node OF THE EDGE SET (an isolated node has
+    no successor distribution, hence no walk) — the sentence corpus a skip-gram
     KG-embedding trainer consumes (walks are to graph embeddings what
     documents are to word2vec; ``textstats.skipgram_pairs`` applies
     downstream unchanged).
@@ -570,6 +572,12 @@ def random_walks(
         cur = pick.join(rk, ["node", "rank"]).select(
             "walk_id", F.col("nbr").alias("node")
         )
+        # Walk frontiers chain: without a lineage cut, step t's subtree is
+        # re-planned inside every later step AND every union branch —
+        # quadratic replay at node2vec-scale walk lengths (the pagerank_int
+        # checkpoint discipline).
+        if t % checkpoint_every == 0 and t < length:
+            cur = cur.localCheckpoint(eager=True)
         out = out.unionByName(
             cur.select(
                 "walk_id", F.lit(t).cast("long").alias("step"), "node"
@@ -583,6 +591,7 @@ def harmonic_closeness(
     n_seeds: int = 8,
     max_dist: int = 4,
     salt: str = "cls",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Sampled harmonic closeness centrality over the undirected simple
     entity graph → (node, harm_micro, n_reached): for a deterministic
@@ -628,7 +637,7 @@ def harmonic_closeness(
     dist = seeds.select(
         "seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("d")
     )
-    for _ in range(max_dist):
+    for i in range(max_dist):
         expand = dist.join(nb, "node").select(
             "seed", F.col("nbr").alias("node"), (F.col("d") + 1).alias("d")
         )
@@ -637,6 +646,8 @@ def harmonic_closeness(
             .groupBy("seed", "node")
             .agg(F.min("d").cast("long").alias("d"))
         )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < max_dist:
+            dist = dist.localCheckpoint(eager=True)
     return (
         dist.where(F.col("d") > 0)
         .groupBy("node")

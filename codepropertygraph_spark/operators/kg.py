@@ -251,6 +251,10 @@ def incremental_new_facts(
     base conversations; only the membership test reads the base, and that
     is the one aggregate below.
 
+    Input contract: one row per (conv_id, subj, pred, obj) — exactly what
+    ``final_triples`` emits — so the conditional sums below count
+    CONVERSATIONS; pre-deduplicate if feeding per-occurrence rows.
+
     Scale shape: ONE two-phase aggregate over the distinct triple set,
     grouping by (subj, pred, obj) with conditional counts for both sides —
     no join at all (the fact's base/increment provenance is a flag on each

@@ -530,11 +530,45 @@ class GraphView:
             .select("subj", "pred", "obj")
         )
 
-    def match(self, patterns: list[tuple[str, str, str]]) -> DataFrame:
+    def match(
+        self,
+        patterns: list[tuple[str, str, str]],
+        optional: list[tuple[str, str, str]] | None = None,
+        not_exists: list[tuple[str, str, str]] | None = None,
+    ) -> DataFrame:
         """Conjunctive basic-graph-pattern match over the name-level REL
         triples (kg.bgp_match): ``g.match([('?a', 'uses_tool', '?t'),
         ('?a', 'asks_about', '?b'), ('?b', 'refers_to', '?t')])`` — the
-        console's MATCH clause; one column per ?variable."""
+        console's MATCH clause; one column per ?variable. ``optional`` /
+        ``not_exists`` are the SPARQL OPTIONAL and FILTER NOT EXISTS
+        clauses (Cypher OPTIONAL MATCH / WHERE NOT exists)."""
         from codepropertygraph_spark.operators import kg
 
-        return kg.bgp_match(self._rel_triples(), patterns)
+        return kg.bgp_match(
+            self._rel_triples(),
+            patterns,
+            optional=optional,
+            not_exists=not_exists,
+        )
+
+    def entity_walks(
+        self, walks_per_node: int = 2, length: int = 4
+    ) -> DataFrame:
+        """Deterministic DeepWalk trajectories over REL edges →
+        (walk_id, step, node) — see centrality.random_walks."""
+        from codepropertygraph_spark.operators import centrality
+
+        return centrality.random_walks(
+            self._rel_pairs(), walks_per_node=walks_per_node, length=length
+        )
+
+    def entity_closeness(
+        self, n_seeds: int = 8, max_dist: int = 4
+    ) -> DataFrame:
+        """Sampled harmonic closeness over REL edges → (node, harm_micro,
+        n_reached) — see centrality.harmonic_closeness."""
+        from codepropertygraph_spark.operators import centrality
+
+        return centrality.harmonic_closeness(
+            self._rel_pairs(), n_seeds=n_seeds, max_dist=max_dist
+        )

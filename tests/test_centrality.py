@@ -519,3 +519,41 @@ class TestHarmonicCloseness:
         }
         assert max(got, key=got.get) == "c"
         assert got["c"] == 2 * (1_000_000 + 1_000_000 // 2)
+
+
+def test_deepwalk_composes_with_skipgram(spark):
+    """End-to-end KG-embedding corpus: random-walk trajectories rendered as
+    space-joined sentences feed textstats.skipgram_pairs unchanged (the
+    DeepWalk recipe — walks are to graph embeddings what documents are to
+    word2vec). Checks the composition against a pure-Python skip-gram count
+    over the mirrored walks."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from codepropertygraph_spark.operators import textstats
+
+    pairs = TWO_CLIQUES + STAR
+    walks = centrality.random_walks(_edges_df(spark, pairs), walks_per_node=1, length=4)
+    sentences = walks.groupBy("walk_id").agg(
+        F.concat_ws(
+            " ", F.transform(F.sort_array(F.collect_list(F.struct("step", "node"))), lambda s: s["node"])
+        ).alias("text")
+    )
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in textstats.skipgram_pairs(sentences, window=2).collect()
+    }
+    # python mirror: regenerate the walks, count pairs within +/-2
+    nbrs = _sym_nbrs(pairs)
+    want = Counter()
+    for node in nbrs:
+        wid, cur, seq = f"{node}#0", node, [node]
+        for t in range(1, 5):
+            cur = nbrs[cur][_hash60_py(f"walk|{wid}|{t}") % len(nbrs[cur])]
+            seq.append(cur)
+        for i, c in enumerate(seq):
+            for j in range(max(i - 2, 0), min(i + 2, len(seq) - 1) + 1):
+                if j != i:
+                    want[(c, seq[j])] += 1
+    assert got == dict(want)

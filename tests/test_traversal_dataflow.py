@@ -1069,3 +1069,36 @@ def test_graphview_bgp_match_macro_step(g):
     ts = {(r.subj, r.pred, r.obj) for r in triples.collect()}
     for a, b, t in rows:  # columns sorted: a, b, t
         assert (a, "uses_tool", t) in ts and (a, "asks_about", b) in ts
+
+
+def test_graphview_walks_closeness_optional_macro_steps(g):
+    """entity_walks / entity_closeness / match(optional=, not_exists=)
+    console sugar agrees with the operators on the same REL pairs/triples."""
+    from codepropertygraph_spark.operators import centrality
+    from codepropertygraph_spark.operators import kg as KG
+
+    pairs = g._rel_pairs().localCheckpoint(eager=True)
+    wk = {tuple(r) for r in g.entity_walks(walks_per_node=1, length=2).collect()}
+    want_wk = {
+        tuple(r)
+        for r in centrality.random_walks(
+            pairs, walks_per_node=1, length=2
+        ).collect()
+    }
+    assert wk == want_wk and len(wk) > 0
+    cl = {tuple(r) for r in g.entity_closeness(n_seeds=3, max_dist=3).collect()}
+    want_cl = {
+        tuple(r)
+        for r in centrality.harmonic_closeness(
+            pairs, n_seeds=3, max_dist=3
+        ).collect()
+    }
+    assert cl == want_cl and len(cl) > 0
+    pats = [("?a", "uses_tool", "?t")]
+    opt = [("?b", "asks_about", "?a")]
+    got = {tuple(r) for r in g.match(pats, optional=opt).collect()}
+    want = {
+        tuple(r)
+        for r in KG.bgp_match(g._rel_triples(), pats, optional=opt).collect()
+    }
+    assert got == want and len(got) > 0
