@@ -202,6 +202,16 @@ def run_bench(master: str, replicate: int = 1, only: str | None = None) -> dict:
         lambda: _force(centrality.link_prediction(entity_edges_df, min_cn=2)),
         runs=2,
     )
+    # random-walk corpus: the KG-embedding sentence generator — 2 walks x
+    # 4 steps per entity; one degree-bounded rank window then one
+    # (node, rank) equi-join probe per walker per step.
+    timed(
+        "kg_random_walks",
+        lambda: _force(
+            centrality.random_walks(entity_edges_df, walks_per_node=2, length=4)
+        ),
+        runs=2,
+    )
 
     # training-data operators over the driver tables at the same sf
     from codepropertygraph_spark.operators import dedup, similarity, textstats
