@@ -191,3 +191,102 @@ class TestBgpOptionalNotExists:
                 [("?a", "uses_tool", "?t")],
                 optional=[("?x", "asks_about", "?y")],
             ).collect()
+
+
+class TestBgpAlgebraProperty:
+    """Hypothesis property: for random triple sets and random pattern
+    shapes, the planned bgp_match (selectivity reorder, broadcast probes,
+    OPTIONAL left joins, NOT EXISTS anti joins) equals a brute-force
+    SPARQL evaluator that walks patterns in GIVEN order — proving the
+    planner is a pure rewrite under any join order it picks."""
+
+    @staticmethod
+    def _eval_bgp(triples, patterns, optional=(), not_exists=()):
+        def match_pattern(binding, pat):
+            outs = []
+            for t in triples:
+                b, ok = dict(binding), True
+                for term, val in zip(pat, t):
+                    if term.startswith("?"):
+                        v = term[1:]
+                        if v in b and b[v] != val:
+                            ok = False
+                            break
+                        b[v] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    outs.append(b)
+            return outs
+
+        sols = [{}]
+        for pat in patterns:
+            sols = [b2 for b in sols for b2 in match_pattern(b, pat)]
+        for pat in optional:
+            new_vars = {t[1:] for t in pat if t.startswith("?")}
+            nxt = []
+            for b in sols:
+                ext = match_pattern(b, pat)
+                if ext:
+                    nxt.extend(ext)
+                else:
+                    bb = dict(b)
+                    for v in new_vars:
+                        bb.setdefault(v, None)
+                    nxt.append(bb)
+            sols = nxt
+        for pat in not_exists:
+            sols = [b for b in sols if not match_pattern(b, pat)]
+        all_vars = sorted(
+            {
+                t[1:]
+                for pat in list(patterns) + list(optional)
+                for t in pat
+                if t.startswith("?")
+            }
+        )
+        return all_vars, {tuple(b.get(v) for v in all_vars) for b in sols}
+
+    def test_matches_bruteforce(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        ent = st.sampled_from(["e0", "e1", "e2", "e3"])
+        prd = st.sampled_from(["p0", "p1"])
+        triple = st.tuples(ent, prd, ent)
+        var = st.sampled_from(["?a", "?b", "?c"])
+        s_term = st.one_of(var, ent)
+        p_term = st.one_of(st.sampled_from(["?p"]), prd)
+        pattern = st.tuples(s_term, p_term, s_term)
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            ts=st.lists(triple, min_size=2, max_size=14, unique=True),
+            req=st.lists(pattern, min_size=1, max_size=3),
+            opt=st.lists(pattern, min_size=0, max_size=1),
+            neg=st.lists(pattern, min_size=0, max_size=1),
+            anchor=var,
+        )
+        def run(ts, req, opt, neg, anchor):
+            from hypothesis import assume
+
+            req_vars = {t[1:] for p in req for t in p if t.startswith("?")}
+            assume(req_vars)  # all-constant BGP takes the existence branch
+            # optional/not-exists must connect to the accumulated bindings
+            # (bgp_match rejects disconnected ones by contract)
+            a = anchor if anchor[1:] in req_vars else "?" + sorted(req_vars)[0]
+            opt = [(a, p[1], p[2]) for p in opt]
+            neg = [(a, n[1], n[2]) for n in neg]
+            df = kg.bgp_match(
+                _triples(spark, ts),
+                req,
+                optional=opt or None,
+                not_exists=neg or None,
+            )
+            want_vars, want = self._eval_bgp(ts, req, opt, neg)
+            assert sorted(df.columns) == want_vars
+            got = {tuple(r[v] for v in want_vars) for r in df.collect()}
+            assert got == want
+
+        run()
