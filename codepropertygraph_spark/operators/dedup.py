@@ -103,6 +103,44 @@ def minhash_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
     )
 
 
+def conversation_documents(transcripts: DataFrame) -> DataFrame:
+    """Render each conversation as ONE document row (doc_id=conv_id,
+    text=turn texts joined in the stable (turn_idx, ts) order) so the whole
+    document dedup family — exact, MinHash/LSH, SimHash, clusters —
+    applies unchanged to the transcripts payload: retrieval-cached
+    assistants and retried agent runs produce near-identical CONVERSATIONS,
+    and training on them double-counts exactly like duplicated documents.
+
+    Scale shape: one two-phase aggregate per conversation —
+    ``sort_array(collect_list(struct(order, text)))`` is the repo's stable
+    array-side ordering (per-group state bounded by conversation length,
+    the same bound every per-conversation pass already carries); the
+    downstream dedup operators then see a corpus whose row count is the
+    CONVERSATION count, typically 100-1000x smaller than the turn table.
+    """
+    from . import ordering
+
+    ot = ordering.ordered_turns(transcripts)
+    return ot.groupBy("conv_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("turn_order", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("text")
+    ).select(F.col("conv_id").alias("doc_id"), "text")
+
+
+def conversation_near_dup_pairs(
+    transcripts: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """(a, b, jacc): near-duplicate CONVERSATION pairs — the transcript-
+    payload instantiation of minhash_pairs over conversation_documents
+    (LSH-banded candidates, exact shingle-Jaccard verification)."""
+    return minhash_pairs(conversation_documents(transcripts), threshold)
+
+
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Exact all-pairs shingle Jaccard ≥ threshold — the ground truth for the
     probabilistic variants (cross join; small-scale / per-block use only)."""

@@ -983,3 +983,38 @@ def test_duplicate_spans_golden(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="k must be"):
         dedup.duplicate_spans(df, k=1)
+
+
+def test_conversation_near_dup_pairs(spark):
+    """Conversation-level dedup: identical turn content in SHUFFLED input
+    row order is a jacc=1.0 duplicate (the stable ordering canonicalizes
+    before shingling); a conversation sharing only a prefix stays below
+    the threshold; the rendered document row count equals the conversation
+    count."""
+    from datetime import datetime
+
+    from codepropertygraph_spark.operators import dedup
+
+    base = [
+        "alice asks_about the quarterly report today",
+        "the report uses_tool spreadsheet engine now",
+        "bob refers_to the summary table next",
+        "closing remarks mention the deadline friday",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append(("cA", i, "user", t, None, datetime(2024, 1, 1, 0, 0, i)))
+    # cB: same content, input rows REVERSED (ordering must canonicalize)
+    for i, t in reversed(list(enumerate(base))):
+        rows.append(("cB", i, "user", t, None, datetime(2024, 1, 2, 0, 0, i)))
+    # cC: shares only the first turn
+    rows.append(("cC", 0, "user", base[0], None, datetime(2024, 1, 3, 0, 0, 0)))
+    rows.append(("cC", 1, "user", "completely different content here entirely", None, datetime(2024, 1, 3, 0, 0, 1)))
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    docs = dedup.conversation_documents(tr)
+    assert docs.count() == 3
+    got = {(r.a, r.b): r.jacc for r in dedup.conversation_near_dup_pairs(tr, 0.8).collect()}
+    assert got == {("cA", "cB"): 1.0}
