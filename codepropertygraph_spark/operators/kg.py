@@ -285,6 +285,69 @@ def incremental_new_facts(
     ).select("subj", "pred", "obj", F.col("n_convs_incr").cast("long").alias("n_convs_incr"))
 
 
+def fact_intervals(
+    transcripts: DataFrame,
+    alias_dict: DataFrame,
+    merge: DataFrame | None = None,
+) -> DataFrame:
+    """Temporal validity profile per clause fact → (subj, pred, obj,
+    first_ts, last_ts, n_occurrences, n_convs) — the triple-level
+    counterpart of the per-entity lifespan profile: when a fact was first
+    and last asserted, how often, and in how many conversations. The
+    temporal-KG primitive: an as-of-T snapshot is ``WHERE first_ts <= T``,
+    staleness gates read ``last_ts``, and confidence weighting reads the
+    occurrence counts.
+
+    Built from the per-OCCURRENCE clause stream (``extraction.raw_triples``
+    keeps (ts, pos) per occurrence — ``final_triples`` deliberately
+    distincts them away), linked and merged exactly like clause_triples.
+    Scale shape: the same two broadcast dictionary probes + broadcast merge
+    rewrites every per-conversation pass uses, then ONE two-phase aggregate
+    over (subj, pred, obj) — min/max/count partials combine map-side.
+    ``follows`` triples are ordering artifacts, not temporal assertions,
+    and are out of scope by construction (clause stream only).
+    """
+    from . import canonicalize
+
+    if merge is None:
+        merge = canonicalize.merge_map(alias_dict).localCheckpoint(eager=True)
+    rt = extraction.raw_triples(transcripts)
+    lt = linking.linked_triples_premerge(rt, alias_dict)
+    lt = linking.apply_merge(lt, merge, "subj_canonical", "subj")
+    lt = linking.apply_merge(lt, merge, "obj_canonical", "obj")
+    return lt.groupBy("subj", "pred", "obj").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+
+
+def functional_violations(
+    triples: DataFrame, functional_preds: list[str]
+) -> DataFrame:
+    """KG-quality gate: (subj, pred, n_objs, objs) rows where a predicate
+    DECLARED functional (each subject should carry one object — the
+    cardinality contract ``predicate_profile``'s functionality_milli
+    estimates empirically) has multiple distinct objects for one subject —
+    the classic entity-disambiguation / extraction-noise smell a
+    construction pipeline alerts on before committing an overlay.
+
+    ``objs`` is the sorted distinct object list (``sort_array(collect_set)``
+    — deterministic, bounded by the violation fan-out itself, which is
+    exactly the quantity being reported). One filter + one two-phase agg.
+    """
+    return (
+        triples.where(F.col("pred").isin(list(functional_preds)))
+        .groupBy("subj", "pred")
+        .agg(
+            F.countDistinct("obj").cast("long").alias("n_objs"),
+            F.sort_array(F.collect_set("obj")).alias("objs"),
+        )
+        .where(F.col("n_objs") > 1)
+    )
+
+
 def predicate_profile(triples: DataFrame) -> DataFrame:
     """Per-predicate schema profile of the constructed KG — the property
     cardinality report a graph-quality gate reads: how many distinct
