@@ -5336,6 +5336,121 @@ ORACLES["kg_new_facts"] = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# R6 staging — wrappers + oracles for the operators added AFTER the r5 gate
+# window saturated (50 never-greened queries already occupy every slot; the
+# rotation invariant forbids a 51st). Locally hash-verified this session via
+# the check_oracles comparison run over the merged dicts; NOT returned by
+# queries()/oracle_sql(). The r6 session merges these into the registry
+# FIRST (new queries lead the window alongside GATE_DEFERRED).
+# ---------------------------------------------------------------------------
+
+
+def _q_kg_conv_fingerprints(spark, sf_dir):
+    """Conversation-level LSH fingerprints (dedup.conversation_documents →
+    minhash_bands): each conversation rendered as ONE document under the
+    stable turn ordering, then the standard band signatures — the
+    conversation-granularity dedup index (retried agent runs / cached
+    assistants duplicate whole conversations). Pair extraction
+    (conversation_near_dup_pairs) is the same machinery as r3-green
+    dedup_minhash_pairs; the fingerprint table is the dense gate surface
+    (4 rows per conversation regardless of duplicate density)."""
+    from codepropertygraph_spark.operators import dedup
+
+    return dedup.minhash_bands(
+        dedup.conversation_documents(_transcripts(spark, sf_dir))
+    )
+
+
+def _q_kg_fact_intervals(spark, sf_dir):
+    """Temporal validity profile per clause fact (kg.fact_intervals):
+    (first_ts, last_ts, n_occurrences, n_convs) from the per-occurrence
+    extraction stream — as-of-T snapshot = first_ts <= T filter. Same
+    broadcast link/merge probes as clause_triples + one two-phase
+    min/max/count aggregate."""
+    return kg.fact_intervals(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+
+
+def _q_kg_functional_violations(spark, sf_dir):
+    """Functional-cardinality violation gate (kg.functional_violations):
+    subjects whose declared-functional predicate (uses_tool) carries >1
+    distinct object — the disambiguation-noise alert enforcing the
+    contract predicate_profile estimates empirically. Object list emitted
+    '|'-joined sorted (never a raw array/NULL through the gate)."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    return kg.functional_violations(triples, ["uses_tool"]).select(
+        "subj",
+        "pred",
+        "n_objs",
+        F.array_join("objs", "|").alias("objs"),
+    )
+
+
+R6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_conv_fingerprints": _q_kg_conv_fingerprints,
+    "kg_fact_intervals": _q_kg_fact_intervals,
+    "kg_functional_violations": _q_kg_functional_violations,
+}
+
+_CONV_DOC_CTES = f"""
+ordx AS (SELECT conv_id, text, row_number() OVER (
+           PARTITION BY conv_id ORDER BY turn_idx, ts) AS r
+         FROM read_parquet('{_T01}')),
+cd AS (SELECT conv_id AS doc_id, string_agg(text, ' ' ORDER BY r) AS text
+       FROM ordx GROUP BY conv_id)
+"""
+
+R6_ORACLES: dict[str, str] = {
+    "kg_conv_fingerprints": f"""
+        WITH {_CONV_DOC_CTES}, {_SH_CTE.replace("FROM documents", "FROM cd")},
+        {_SIG_CTE}
+        SELECT doc_id, CAST(band_idx AS BIGINT) AS band_idx, band_sig
+        FROM band_rows
+    """,
+    "kg_fact_intervals": f"""
+        WITH RECURSIVE {_TRIPLES_CTES},
+        cfi AS (
+          SELECT f.conv_id, f.ts,
+                 coalesce(ms.merged_name,
+                          coalesce(bs.canonical_name,
+                                   'external:' || f.prev_tok)) AS subj,
+                 f.tok AS pred,
+                 coalesce(mo.merged_name,
+                          coalesce(bo.canonical_name,
+                                   'external:' || f.next_tok)) AS obj
+          FROM fl2 f
+          LEFT JOIN best bs ON f.prev_tok = bs.alias
+          LEFT JOIN best bo ON f.next_tok = bo.alias
+          LEFT JOIN mm ms
+            ON coalesce(bs.canonical_name, 'external:' || f.prev_tok)
+               = ms.canonical_name
+          LEFT JOIN mm mo
+            ON coalesce(bo.canonical_name, 'external:' || f.next_tok)
+               = mo.canonical_name
+          WHERE f.tok IN {_PREDS_SQL}
+            AND f.prev_tok IS NOT NULL AND f.next_tok IS NOT NULL
+        )
+        SELECT subj, pred, obj, min(ts) AS first_ts, max(ts) AS last_ts,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+        FROM cfi GROUP BY 1, 2, 3
+    """,
+    "kg_functional_violations": f"""
+        WITH RECURSIVE {_TRIPLES_CTES},
+        fv AS (SELECT DISTINCT subj, obj FROM triples
+               WHERE pred = 'uses_tool')
+        SELECT subj, 'uses_tool' AS pred,
+               CAST(count(*) AS BIGINT) AS n_objs,
+               string_agg(obj, '|' ORDER BY obj) AS objs
+        FROM fv GROUP BY subj HAVING count(*) > 1
+    """,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -102,3 +102,26 @@ def test_gate_rotation_covers_every_registry_query():
         "tail queries that would miss next round's two-gate lookback but "
         f"are not declared in GATE_DEFERRED: {sorted(stale_next - deferred)}"
     )
+
+
+def test_r6_staged_queries_bind_and_are_disjoint():
+    """The R6 staging block (operators added after the r5 window
+    saturated): staged query/oracle keys must match each other, stay out
+    of the live registry, and every staged oracle must bind in DuckDB
+    with gate-safe types — so the r6 merge is a two-line dict union, not
+    an archaeology project."""
+    E = _entry()
+    assert set(E.R6_QUERIES) == set(E.R6_ORACLES)
+    assert not set(E.R6_QUERIES) & set(E.queries())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    offenders = []
+    for name, sql in sorted(E.R6_ORACLES.items()):
+        rel = con.sql(sql)  # binds/plans only
+        for col, typ in zip(rel.columns, (str(t) for t in rel.types)):
+            if not _SAFE.match(typ.upper()):
+                offenders.append((name, col, typ))
+    assert not offenders, f"type-unpinned staged oracle columns: {offenders}"
