@@ -5390,10 +5390,26 @@ def _q_kg_functional_violations(spark, sf_dir):
     )
 
 
+def _q_kg_scc(spark, sf_dir):
+    """Bounded-diameter strongly connected components over the directed
+    entity graph (centrality.scc_bounded, max_hops=4): cyclic cores share
+    a min-member label, acyclic nodes are singletons — where naive
+    traversals loop and summarization collapses first. Closure = 3 linear
+    expansions + transpose intersection; components via the proven
+    min-label CC loop; oracle = unrolled closure + recursive-CTE
+    reachability min (the merge-map pattern)."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    edges = centrality.entity_edges(triples)
+    return centrality.scc_bounded(edges, max_hops=4).select("node", "scc")
+
+
 R6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_conv_fingerprints": _q_kg_conv_fingerprints,
     "kg_fact_intervals": _q_kg_fact_intervals,
     "kg_functional_violations": _q_kg_functional_violations,
+    "kg_scc": _q_kg_scc,
 }
 
 _CONV_DOC_CTES = f"""
@@ -5447,6 +5463,32 @@ R6_ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_objs,
                string_agg(obj, '|' ORDER BY obj) AS objs
         FROM fv GROUP BY subj HAVING count(*) > 1
+    """,
+    "kg_scc": f"""
+        WITH RECURSIVE {_TRIPLES_CTES},
+        sce AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples
+                WHERE subj <> obj),
+        scl1 AS (SELECT src, dst FROM sce),
+        scl2 AS (SELECT DISTINCT src, dst FROM (
+          SELECT c.src, e.dst FROM scl1 c JOIN sce e ON c.dst = e.src
+          WHERE c.src <> e.dst UNION ALL SELECT src, dst FROM scl1)),
+        scl3 AS (SELECT DISTINCT src, dst FROM (
+          SELECT c.src, e.dst FROM scl2 c JOIN sce e ON c.dst = e.src
+          WHERE c.src <> e.dst UNION ALL SELECT src, dst FROM scl2)),
+        scl4 AS (SELECT DISTINCT src, dst FROM (
+          SELECT c.src, e.dst FROM scl3 c JOIN sce e ON c.dst = e.src
+          WHERE c.src <> e.dst UNION ALL SELECT src, dst FROM scl3)),
+        smu AS (SELECT c.src AS a, c.dst AS b FROM scl4 c
+                JOIN scl4 t ON c.src = t.dst AND c.dst = t.src
+                WHERE c.src < c.dst),
+        sund AS (SELECT a, b FROM smu UNION SELECT b, a FROM smu),
+        snod AS (SELECT src AS n FROM sce UNION SELECT dst FROM sce),
+        srch AS (
+          SELECT n AS x, n AS y FROM snod
+          UNION
+          SELECT r.x, u.b FROM srch r JOIN sund u ON u.a = r.y
+        )
+        SELECT x AS node, min(y) AS scc FROM srch GROUP BY x
     """,
 }
 

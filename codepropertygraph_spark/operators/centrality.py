@@ -658,6 +658,59 @@ def harmonic_closeness(
     )
 
 
+def scc_bounded(edges: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Bounded-diameter strongly connected components over the DIRECTED
+    entity graph → (node, scc): nodes mutually reachable within
+    ``max_hops`` directed hops share a component (labeled by min member —
+    the CC convention). The directed counterpart of canonicalization's
+    same-as components: cyclic cores in the constructed KG (A refers_to B
+    refers_to A chains) are where naive traversals loop and where
+    summarization should collapse first; the hop bound makes the closure
+    table size explicit instead of worst-case-quadratic (the reference
+    bounds its reachableBy closures the same way; an exact SCC needs the
+    unbounded closure no engine materializes at 100 TB).
+
+    Plan: ``max_hops - 1`` linear expansions of the closure frame (one
+    equi-join + dedup each — AQE-splittable), ONE self-join intersecting
+    the closure with its transpose for mutual pairs, then min-label CC
+    over the mutual pair graph (canonicalize.connected_components — the
+    proven loop). Every node of the edge set appears in the output;
+    non-cyclic nodes are singleton components.
+    """
+    from . import canonicalize
+
+    e = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")
+    ).dropDuplicates(["src", "dst"])
+    closure = e.localCheckpoint(eager=True)
+    for _ in range(max_hops - 1):
+        step = (
+            closure.alias("c")
+            .join(e.alias("e"), F.col("c.dst") == F.col("e.src"))
+            .select(F.col("c.src").alias("src"), F.col("e.dst").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+        )
+        closure = (
+            closure.unionByName(step)
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+    mutual = closure.join(
+        closure.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ),
+        ["src", "dst"],
+    ).where(F.col("src") < F.col("dst"))
+    # default max_iter (30): the CC loop is diameter-bounded over the
+    # MUTUAL-pair graph, whose diameter is independent of max_hops (a
+    # chain of K overlapping cycles has diameter K) — don't under-run it.
+    comp = canonicalize.connected_components(
+        _nodes(e).select(F.col("node").alias("name")),
+        mutual.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+    )
+    return comp.select(F.col("name").alias("node"), F.col("component").alias("scc"))
+
+
 def link_prediction(
     edges: DataFrame,
     min_cn: int = 2,

@@ -557,3 +557,58 @@ def test_deepwalk_composes_with_skipgram(spark):
                 if j != i:
                     want[(c, seq[j])] += 1
     assert got == dict(want)
+
+
+class TestSccBounded:
+    def _scc_py(self, pairs, max_hops=4):
+        nodes = sorted({n for e in pairs for n in e})
+        adj = defaultdict(set)
+        for s, d in pairs:
+            if s != d:
+                adj[s].add(d)
+        reach = {}
+        for n in nodes:
+            seen, frontier = {n}, {n}
+            for _ in range(max_hops):
+                frontier = {w for u in frontier for w in adj[u]} - seen
+                seen |= frontier
+            reach[n] = seen - {n}
+        # mutual pairs -> undirected CC labeled by min member
+        comp = {n: n for n in nodes}
+        changed = True
+        while changed:
+            changed = False
+            for a in nodes:
+                for b in reach[a]:
+                    if a in reach[b]:
+                        m = min(comp[a], comp[b])
+                        if comp[a] != m or comp[b] != m:
+                            comp[a] = comp[b] = m
+                            changed = True
+        return comp
+
+    def test_two_cycles_and_a_chain(self, spark):
+        pairs = [
+            ("a", "b"), ("b", "c"), ("c", "a"),          # 3-cycle
+            ("x", "y"), ("y", "x"),                        # 2-cycle
+            ("c", "x"),                                    # one-way bridge
+            ("p", "q"), ("q", "r"),                        # acyclic chain
+        ]
+        got = {
+            (r["node"], r["scc"])
+            for r in centrality.scc_bounded(_edges_df(spark, pairs)).collect()
+        }
+        assert got == {
+            ("a", "a"), ("b", "a"), ("c", "a"),
+            ("x", "x"), ("y", "x"),
+            ("p", "p"), ("q", "q"), ("r", "r"),
+        }
+
+    def test_matches_python_mirror(self, spark):
+        pairs = TWO_CLIQUES + STAR + [("s0", "hub")]
+        got = {
+            (r["node"], r["scc"])
+            for r in centrality.scc_bounded(_edges_df(spark, pairs), max_hops=4).collect()
+        }
+        want = set(self._scc_py(pairs, max_hops=4).items())
+        assert got == want
