@@ -5405,11 +5405,28 @@ def _q_kg_scc(spark, sf_dir):
     return centrality.scc_bounded(edges, max_hops=4).select("node", "scc")
 
 
+def _q_kg_community_graph(spark, sf_dir):
+    """Community quotient graph (centrality.community_graph over
+    lpa_communities, iters=2 — the 3-round labeling collapses this corpus
+    to one community; 2 rounds keep a 17-super-node map, which is the
+    point of a summary): distinct entity edges rolled up between
+    community super-nodes — the schema-level summary map; intra-community
+    rows carry the density signal. Two dimension joins + one two-phase
+    count agg; oracle reuses the unrolled LPA chain + the same rollup."""
+    triples = kg.final_triples(
+        _transcripts(spark, sf_dir), _alias_dict(spark, sf_dir)
+    )
+    edges = centrality.entity_edges(triples).localCheckpoint(eager=True)
+    comm = centrality.lpa_communities(edges, iters=2)
+    return centrality.community_graph(edges, comm)
+
+
 R6_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_conv_fingerprints": _q_kg_conv_fingerprints,
     "kg_fact_intervals": _q_kg_fact_intervals,
     "kg_functional_violations": _q_kg_functional_violations,
     "kg_scc": _q_kg_scc,
+    "kg_community_graph": _q_kg_community_graph,
 }
 
 _CONV_DOC_CTES = f"""
@@ -5489,6 +5506,16 @@ R6_ORACLES: dict[str, str] = {
           SELECT r.x, u.b FROM srch r JOIN sund u ON u.a = r.y
         )
         SELECT x AS node, min(y) AS scc FROM srch GROUP BY x
+    """,
+    "kg_community_graph": f"""
+        WITH RECURSIVE {_TRIPLES_CTES},
+        {_lpa_cte_chain(2)}
+        SELECT ls.label AS c_src, ld.label AS c_dst,
+               CAST(count(*) AS BIGINT) AS n_edges
+        FROM le
+        JOIN ll2 ls ON le.src = ls.node
+        JOIN ll2 ld ON le.dst = ld.node
+        GROUP BY 1, 2
     """,
 }
 

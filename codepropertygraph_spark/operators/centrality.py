@@ -438,6 +438,30 @@ def lpa_communities_weighted(
     return labels.select("node", F.col("label").alias("community"))
 
 
+def community_graph(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Quotient (summary) graph → (c_src, c_dst, n_edges): communities as
+    super-nodes, distinct directed entity edges rolled up between them —
+    the KG summarization deliverable (the schema-level map of a
+    billion-edge graph is community-count-sized; intra-community rows
+    c_src == c_dst carry the density signal, kept deliberately). Two
+    dimension joins (the community labeling, entity-vocabulary-sized — a
+    broadcast at console scale, a hash join at 100 TB) + ONE two-phase
+    count aggregate over at most |communities|² groups.
+    """
+    c_src = communities.select(
+        F.col("node").alias("src"), F.col("community").alias("c_src")
+    )
+    c_dst = communities.select(
+        F.col("node").alias("dst"), F.col("community").alias("c_dst")
+    )
+    return (
+        edges.join(c_src, "src")
+        .join(c_dst, "dst")
+        .groupBy("c_src", "c_dst")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+
+
 def kcore(edges: DataFrame, k: int, iters: int = 8) -> DataFrame:
     """k-core decomposition by synchronous peeling → (node, core_deg) for
     the nodes surviving in the k-core of the undirected simple entity

@@ -612,3 +612,19 @@ class TestSccBounded:
         }
         want = set(self._scc_py(pairs, max_hops=4).items())
         assert got == want
+
+
+def test_community_graph_quotient(spark):
+    """community_graph: rolled-up edge counts between community labels —
+    two cliques bridged by one edge summarize to 2 super-nodes with the
+    intra-clique counts on the diagonal and the single bridge off it."""
+    e = _edges_df(spark, TWO_CLIQUES)
+    comm = centrality.lpa_communities(e, iters=3)
+    labels = {r["node"]: r["community"] for r in comm.collect()}
+    la, lx = labels["a"], labels["x"]
+    assert la != lx  # the cliques stay separate communities
+    got = {
+        (r["c_src"], r["c_dst"]): r["n_edges"]
+        for r in centrality.community_graph(e, comm).collect()
+    }
+    assert got == {(la, la): 6, (lx, lx): 6, (la, lx): 1}
