@@ -572,3 +572,21 @@ class GraphView:
         return centrality.harmonic_closeness(
             self._rel_pairs(), n_seeds=n_seeds, max_dist=max_dist
         )
+
+    def entity_scc(self, max_hops: int = 4) -> DataFrame:
+        """Bounded-diameter strongly connected components over the
+        directed REL edges → (node, scc) — see centrality.scc_bounded."""
+        from codepropertygraph_spark.operators import centrality
+
+        return centrality.scc_bounded(self._rel_pairs(), max_hops=max_hops)
+
+    def summary_graph(self, iters: int = 2) -> DataFrame:
+        """Community quotient graph over REL edges → (c_src, c_dst,
+        n_edges): LPA communities as super-nodes — the schema-level map
+        of the committed graph (centrality.community_graph)."""
+        from codepropertygraph_spark.operators import centrality
+
+        pairs = self._rel_pairs().localCheckpoint(eager=True)
+        return centrality.community_graph(
+            pairs, centrality.lpa_communities(pairs, iters=iters)
+        )

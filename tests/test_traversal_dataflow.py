@@ -1102,3 +1102,24 @@ def test_graphview_walks_closeness_optional_macro_steps(g):
         for r in KG.bgp_match(g._rel_triples(), pats, optional=opt).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_graphview_scc_summary_macro_steps(g):
+    """entity_scc / summary_graph console sugar agrees with the operators
+    on the same REL pairs."""
+    from codepropertygraph_spark.operators import centrality
+
+    pairs = g._rel_pairs().localCheckpoint(eager=True)
+    sc = {tuple(r) for r in g.entity_scc(max_hops=3).collect()}
+    want_sc = {
+        tuple(r) for r in centrality.scc_bounded(pairs, max_hops=3).collect()
+    }
+    assert sc == want_sc and len(sc) > 0
+    sg = {tuple(r) for r in g.summary_graph(iters=1).collect()}
+    want_sg = {
+        tuple(r)
+        for r in centrality.community_graph(
+            pairs, centrality.lpa_communities(pairs, iters=1)
+        ).collect()
+    }
+    assert sg == want_sg and len(sg) > 0
