@@ -82,24 +82,24 @@ def cross_conv() -> None:
     )
     T.run("closure: materialize", lambda: _force(within))
 
-    # phase 2: pair summary (the wide pass over the closure)
-    from pyspark.sql import Window
-
-    wd = Window.partitionBy("src", "dst").orderBy(keyed_by)
-    wall = Window.partitionBy("src", "dst")
-    pair_sum = (
-        within.withColumn("rn", F.dense_rank().over(wd))
-        .withColumn("n_d", F.max("rn").over(wall))
-        .where(F.col("rn") <= 2)
-        .groupBy("src", "dst")
+    # phase 2: pair summary (the hash-agg pass over the closure)
+    pair_sum = T.run(
+        "pair_sum: agg + checkpoint",
+        lambda: within.groupBy("src", "dst")
         .agg(
-            F.max("n_d").alias("n_d"),
-            F.min(F.when(F.col("rn") == 1, F.col(keyed_by))).alias("c_d1"),
-            F.min(F.when(F.col("rn") == 2, F.col(keyed_by))).alias("c_d2"),
+            F.count("*").alias("n_d"),
+            F.min(keyed_by).alias("c_d1"),
+            F.max(keyed_by).alias("c_d2_max"),
         )
-        .persist()
+        .select(
+            "src",
+            "dst",
+            "n_d",
+            "c_d1",
+            F.when(F.col("n_d") == 2, F.col("c_d2_max")).alias("c_d2"),
+        )
+        .localCheckpoint(eager=True),
     )
-    T.run("pair_sum: window+agg materialize", lambda: _force(pair_sum))
 
     # phase 3: multi-conversation entities + depart + frontier
     multi = (

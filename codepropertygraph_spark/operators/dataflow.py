@@ -579,8 +579,7 @@ def reachable_cross_conversation(
     """
     e_in = edges.persist()  # shared by the BFS and the bridge-entity scan
     within = reachable_within_auto(e_in, max_hops=max_hops, keyed_by=keyed_by)
-    within = within.persist()
-    _iter_caches: list[DataFrame] = [e_in, within]
+    _iter_caches: list[DataFrame] = [e_in]
     # ``sources`` (single-column 'src') restricts propagation to flows
     # STARTING at the given node set — the reference's query shape, and what
     # keeps deep-crossing output (and its conv-carrying DuckDB oracle)
@@ -591,28 +590,41 @@ def reachable_cross_conversation(
         if sources is None
         else F.broadcast(sources.select("src").dropDuplicates())
     )
-    from pyspark.sql import Window
-
-    # ONE pass over the closure: per (src, dst) pair, the distinct-conv
-    # count and the two smallest witness conversations. Depth-0 results,
-    # the depart summary AND the initial frontier are all broadcast-filtered
-    # projections of this summary — one shuffle+sort of the closure instead
-    # of three independent wide aggregations over it.
-    wd = Window.partitionBy("src", "dst").orderBy(keyed_by)
-    wall = Window.partitionBy("src", "dst")
+    # ONE hash aggregate over the closure: per (src, dst) pair, the
+    # distinct-conv count and enough witness-conversation identity for the
+    # summary algebra. The closure is DISTINCT on (key, src, dst), so
+    # count(*) is the distinct-conv count and min/max are over distinct
+    # convs. c_d2 (the second-smallest witness conv) is consulted by the
+    # crossing algebra ONLY when n_d == 2 — where {min, max} IS the whole
+    # set — so the former sort-window formulation (dense_rank + max over a
+    # (src, dst) window) collapses to a plain aggregate with map-side
+    # partials: the closure now shuffles pre-aggregated pair rows instead
+    # of every closure row, and nothing sorts. Depth-0 results, the depart
+    # summary AND the initial frontier are all broadcast-filtered
+    # projections of this summary.
+    #
+    # Eager checkpoint, deliberately: the fused stats job in
+    # _crossing_pairs evaluates five aggregation branches over
+    # frontier/depart; with a lazily-persisted pair_sum those branches
+    # race to materialize the cache and each recomputes the closure
+    # upstream (measured 3-4x closure replay at sf0.1). One materialization
+    # here makes every downstream branch a scan of a compact leaf.
     pair_sum = (
-        within.withColumn("rn", F.dense_rank().over(wd))
-        .withColumn("n_d", F.max("rn").over(wall))
-        .where(F.col("rn") <= 2)
-        .groupBy("src", "dst")
+        within.groupBy("src", "dst")
         .agg(
-            F.max("n_d").alias("n_d"),
-            F.min(F.when(F.col("rn") == 1, F.col(keyed_by))).alias("c_d1"),
-            F.min(F.when(F.col("rn") == 2, F.col(keyed_by))).alias("c_d2"),
+            F.count("*").alias("n_d"),
+            F.min(keyed_by).alias("c_d1"),
+            F.max(keyed_by).alias("c_d2_max"),
         )
-        .persist()
+        .select(
+            "src",
+            "dst",
+            "n_d",
+            "c_d1",
+            F.when(F.col("n_d") == 2, F.col("c_d2_max")).alias("c_d2"),
+        )
+        .localCheckpoint(eager=True)
     )
-    _iter_caches.append(pair_sum)
     ps_from = (
         pair_sum if src_b is None else pair_sum.join(src_b, "src", "left_semi")
     )
@@ -633,15 +645,13 @@ def reachable_cross_conversation(
             .unionByName(
                 e_in.select(F.col(keyed_by).alias("__c"), F.col("s").alias("e"))
             )
-            .dropDuplicates(["__c", "e"])
             .groupBy("e")
             .agg(F.countDistinct("__c").alias("nc"))
             .where(F.col("nc") >= 2)
             .select("e")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         multi_b = F.broadcast(multi)
-        _iter_caches.append(multi)
         # depart summary: per (bridge, dst2) the conv count and two smallest
         # convs — pair_sum rows whose src can bridge. Reused at every depth.
         depart = (

@@ -50,6 +50,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing targets max(total/parallelism, minPartitionSize);
+        # the 1m default lets a few-MB shuffle collapse to 2-4 partitions,
+        # which serializes any downstream stage whose work EXPANDS past its
+        # input bytes (wedge enumeration, closure joins, walk probes —
+        # measured 5x on the link-prediction wedge stage at sf0.1). 64k keeps
+        # small-input/large-fanout stages at full parallelism; large shuffles
+        # are unaffected (their total/parallelism target already dominates).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
