@@ -64,6 +64,52 @@ def natural_key(label: str, *parts: Column) -> Column:
     return F.concat_ws("|", F.lit(label), *parts)
 
 
+def ordered_index(df, col: str, out_col: str = "idx", partitions: int | None = None):
+    """EXACT 0-based rank of each row in ascending ``col`` order, without a
+    global single-partition sort window: range-partition on the key, rank
+    within each partition, and add the cumulative count of the preceding
+    partitions. The result equals ``row_number() over (order by col) - 1``
+    for any partitioning the range exchange happens to pick (partitions are
+    key-ordered, ranks are within-partition ordered), but no task ever
+    sorts more than its own partition, and the only unpartitioned window
+    runs over the per-partition count frame — bounded by the partition
+    count, not the data. ``col`` values must be distinct (they are a
+    vocabulary key wherever this is used).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 1)
+    part = df.repartitionByRange(partitions, F.col(col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # per-partition offsets: cumulative row count of lower-keyed partitions
+    offs = (
+        part.groupBy("__pid")
+        .agg(F.count("*").alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    w = Window.partitionBy("__pid").orderBy(col)
+    return (
+        part.withColumn("__rk", F.row_number().over(w).cast("long") - 1)
+        .join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, (F.col("__rk") + F.col("__off")).cast("long"))
+        .drop("__pid", "__rk", "__off")
+    )
+
+
 def interval_ids(df, order_cols: list[str], base: int, interval: int = 1 << 33):
     """Dense deterministic ids without a global sort (KeyPool.split analog,
     ``KeyPool.scala:47-59``).

@@ -148,6 +148,9 @@ def connected_components(
             .groupBy(F.col("b").alias("name2"))
             .agg(F.min("component").alias("neigh_min"))
         )
+        # the improved-this-round flag rides along instead of a second
+        # old-vs-new comparison join: the checkpoint materializes it, so
+        # the convergence probe is a limit-1 scan of the checkpoint leaf.
         new_labels = (
             labels.join(neigh, labels.name == neigh.name2, "left")
             .select(
@@ -155,17 +158,12 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("neigh_min", F.col("component"))
                 ).alias("component"),
+                (F.col("neigh_min") < F.col("component")).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "name")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels

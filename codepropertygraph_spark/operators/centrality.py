@@ -646,15 +646,16 @@ def harmonic_closeness(
         F.col("node") != F.col("nbr")
     ).localCheckpoint(eager=True)
     nodes = nb.select("node").dropDuplicates(["node"])
+    # orderBy + limit instead of a global row_number window: the planner
+    # runs TakeOrderedAndProject (map-side partial top-k, no
+    # single-partition WindowExec over the whole node set) and the seed
+    # set is identical — (hk, node) is a total order.
     seeds = (
         nodes.withColumn(
             "hk", hash60(F.concat_ws("|", F.lit(salt), F.col("node")))
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(F.col("hk"), F.col("node"))),
-        )
-        .where(F.col("rn") <= n_seeds)
+        .orderBy(F.col("hk"), F.col("node"))
+        .limit(n_seeds)
         .select(F.col("node").alias("seed"))
         .localCheckpoint(eager=True)
     )

@@ -64,8 +64,12 @@ def conversation_to_graphml(
 
     sub_nodes = nodes.where(F.col("conv_id") == conv_id).select("id", "label", "name")
     ids = {r.id: r for r in sub_nodes.collect()}
+    # both-endpoint membership pushed into the scan (the dot variant's
+    # discipline): only the conversation's own edges reach the driver —
+    # collecting the label-filtered FULL edge table OOMs at scale.
     sub_edges = (
         edges.where(F.col("label").isin(list(edge_labels)))
+        .where(F.col("src").isin(list(ids)) & F.col("dst").isin(list(ids)))
         .select("src", "dst", "label")
         .collect()
     )

@@ -168,15 +168,15 @@ def negative_samples(
     would need data-dependent iteration; at KG scale the loss is the
     accidental-positive rate (tiny) and stays deterministic.
 
-    Scale shape: the entity vocabulary is indexed ONCE (a single window
-    over the entity dim — dimension-sized, not fact-sized), its count is
-    a 1-row broadcast, candidates are a k-way JVM explode over the
-    positives (map-only), the pick is one equi-join on the rank index,
-    and the filter is one left-anti join on the triple key.
+    Scale shape: the entity vocabulary is indexed ONCE via the range-
+    partitioned exact rank (``ids.ordered_index`` — identical value to a
+    global row_number window, but no single-partition sort of the
+    vocabulary), its count is a 1-row broadcast, candidates are a k-way
+    JVM explode over the positives (map-only), the pick is one equi-join
+    on the rank index, and the filter is one left-anti join on the triple
+    key.
     """
-    from pyspark.sql.window import Window as W
-
-    from ..ids import hash60
+    from ..ids import hash60, ordered_index
 
     pos = triples.select("subj", "pred", "obj").dropDuplicates(
         ["subj", "pred", "obj"]
@@ -186,10 +186,7 @@ def negative_samples(
         .unionByName(pos.select(F.col("obj").alias("entity")))
         .dropDuplicates(["entity"])
     )
-    idx = ents.withColumn(
-        "idx",
-        F.row_number().over(W.orderBy("entity")).cast("long") - 1,
-    ).localCheckpoint(eager=True)
+    idx = ordered_index(ents, "entity").localCheckpoint(eager=True)
     n = idx.agg(F.count("*").alias("n"))
     cand = (
         pos.crossJoin(F.broadcast(n))

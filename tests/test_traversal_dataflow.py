@@ -517,6 +517,30 @@ def test_graphml_export_deterministic(catalog):
     assert len(graph.findall(f"{ns}edge")) > 0
 
 
+def test_graphml_and_dot_exports_agree(catalog):
+    """The two per-conversation exports must describe the SAME subgraph —
+    the graphml edge scan is filtered to the conversation's node ids before
+    collect (r6: no unfiltered edge-table collect), and this pins that the
+    filter semantics match the dot sibling's both-endpoint discipline."""
+    import re
+    from xml.etree import ElementTree
+
+    nodes, edges = catalog.nodes(), catalog.edges()
+    conv = nodes.where(F.col("conv_id").isNotNull()).limit(1).collect()[0].conv_id
+    dot = exports.conversation_to_dot(nodes, edges, conv)
+    dot_edges = set(re.findall(r'"(\d+)" -> "(\d+)"', dot))
+    root = ElementTree.fromstring(exports.conversation_to_graphml(nodes, edges, conv))
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    gml_edges = {
+        (e.get("source")[1:], e.get("target")[1:])
+        for e in root.find(f"{ns}graph").findall(f"{ns}edge")
+    }
+    # dot keeps edges with EITHER endpoint in the conversation but only
+    # renders both-endpoint ones; graphml collects both-endpoint edges only
+    assert gml_edges == dot_edges
+    assert len(gml_edges) > 0
+
+
 def _brute_cross_conv(rows, max_hops, max_crossings, sources=None):
     """Conv-carrying reference implementation of reachable_cross_conversation
     (the exponential-state formulation the witness summaries compress)."""

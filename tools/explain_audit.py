@@ -38,6 +38,13 @@ def audit(name: str, df) -> None:
     # the details section; count operator occurrences minus broadcasts
     n_shuffle = len(re.findall(r"\(\d+\) Exchange", plan))
     n_bcast = len(re.findall(r"BroadcastExchange", plan))
+    # unpartitioned sort windows single-partition the whole input (the
+    # 'WindowExec: No Partition Defined' class — VERDICT r5 #3): in the
+    # formatted details a Window operator's partition spec is the second
+    # bracket of its Arguments; empty means global.
+    n_global_window = len(
+        re.findall(r"\(\d+\) Window\n(?:[^\n]*\n)*?Arguments: \[[^\]]*\], \[\]", plan)
+    )
     print(f"\n===== {name} =====")
     print(f"  broadcast joins                   {n_bhj}")
     print(f"  codegen-covered spans             {n_codegen}")
@@ -45,6 +52,7 @@ def audit(name: str, df) -> None:
     print(f"  row-at-a-time Python stages       {n_py} (must be 0)")
     print(f"  shuffle exchanges                 {n_shuffle}")
     print(f"  broadcast exchanges               {n_bcast}")
+    print(f"  unpartitioned sort windows        {n_global_window} (must be 0)")
     if "--full" in sys.argv:
         print(plan)
 
