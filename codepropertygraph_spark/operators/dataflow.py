@@ -310,57 +310,94 @@ def flow_witness_grouped(
     query-selected source/sink set, never all-pairs (``Engine.scala:42-46``
     backwards from sinks, ``TrackingPoint.scala:74-84``). Both are collected
     to broadcast-size sets with the same guard as :func:`flow_paths_grouped`.
-    """
-    import pandas as pd
 
+    Runs as ``mapInArrow`` over a key-sorted repartition (one Python call
+    per partition of contiguous groups) — the reachable_within_grouped
+    batching discipline; same rows as the former per-group applyInPandas.
+    """
     src_set = _collect_node_set(sources, "src")
     sink_set = _collect_node_set(sinks, "dst")
 
-    def witness(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = pdf[keyed_by].iloc[0]
-        adj: dict[str, set[str]] = {}
-        for s, o in zip(pdf["s"], pdf["o"]):
-            if s != o:
-                adj.setdefault(s, set()).add(o)
-        starts = adj if src_set is None else [s for s in adj if s in src_set]
-        out_src, out_dst, out_hops, out_path = [], [], [], []
-        for start in starts:
-            best: dict[str, str] = {start: start}
-            frontier = [start]
-            for hop in range(1, max_hops + 1):
-                cand: dict[str, str] = {}
-                for u in frontier:
-                    pu = best[u]
-                    for v in adj.get(u, ()):
-                        if v in best:
-                            continue
-                        s = pu + "->" + v
-                        if v not in cand or s < cand[v]:
-                            cand[v] = s
-                if not cand:
-                    break
-                for v, s in cand.items():
-                    best[v] = s
-                    if sink_set is not None and v not in sink_set:
-                        continue  # BFS still expands through non-sinks
-                    out_src.append(start)
-                    out_dst.append(v)
-                    out_hops.append(hop)
-                    out_path.append(s)
-                frontier = sorted(cand)
-        return pd.DataFrame(
-            {
-                keyed_by: key,
-                "src": out_src,
-                "dst": out_dst,
-                "hops": out_hops,
-                "path": out_path,
-            }
-        )
+    def walk(batches):
+        import pyarrow as pa
+
+        out_key: list = []
+        out_src: list = []
+        out_dst: list = []
+        out_hops: list = []
+        out_path: list = []
+        cur_key = None
+        cur_s: list = []
+        cur_o: list = []
+
+        def flush():
+            if cur_key is None or not cur_s:
+                return
+            adj: dict[str, set[str]] = {}
+            for s, o in zip(cur_s, cur_o):
+                if s != o:
+                    adj.setdefault(s, set()).add(o)
+            starts = adj if src_set is None else [s for s in adj if s in src_set]
+            for start in starts:
+                best: dict[str, str] = {start: start}
+                frontier = [start]
+                for hop in range(1, max_hops + 1):
+                    cand: dict[str, str] = {}
+                    for u in frontier:
+                        pu = best[u]
+                        for v in adj.get(u, ()):
+                            if v in best:
+                                continue
+                            s = pu + "->" + v
+                            if v not in cand or s < cand[v]:
+                                cand[v] = s
+                    if not cand:
+                        break
+                    for v, s in cand.items():
+                        best[v] = s
+                        if sink_set is not None and v not in sink_set:
+                            continue  # BFS still expands through non-sinks
+                        out_key.append(cur_key)
+                        out_src.append(start)
+                        out_dst.append(v)
+                        out_hops.append(hop)
+                        out_path.append(s)
+                    frontier = sorted(cand)
+
+        def emit():
+            return pa.record_batch(
+                [
+                    pa.array(out_key, type=pa.string()),
+                    pa.array(out_src, type=pa.string()),
+                    pa.array(out_dst, type=pa.string()),
+                    pa.array(out_hops, type=pa.int64()),
+                    pa.array(out_path, type=pa.string()),
+                ],
+                names=[keyed_by, "src", "dst", "hops", "path"],
+            )
+
+        for batch in batches:
+            keys = batch.column(0).to_pylist()
+            ss = batch.column(1).to_pylist()
+            oo = batch.column(2).to_pylist()
+            for k, s, o in zip(keys, ss, oo):
+                if k != cur_key:
+                    flush()
+                    cur_key = k
+                    cur_s = []
+                    cur_o = []
+                cur_s.append(s)
+                cur_o.append(o)
+            if len(out_key) > 500_000:
+                yield emit()
+                out_key, out_src, out_dst, out_hops, out_path = [], [], [], [], []
+        flush()
+        yield emit()
 
     e = edges.select(keyed_by, "s", "o").dropDuplicates([keyed_by, "s", "o"])
-    return e.groupBy(keyed_by).applyInPandas(
-        witness,
+    part = e.repartition(F.col(keyed_by)).sortWithinPartitions(keyed_by)
+    return part.mapInArrow(
+        walk,
         schema=f"{keyed_by} string, src string, dst string, hops long, path string",
     )
 
@@ -425,34 +462,43 @@ def _crossing_pairs(
     more; the result itself stays lazy for the caller's single
     materialization.
     """
-    frontier = frontier.persist()
-    caches.append(frontier)
     invalid = (
         (~F.col("f_many")) & (F.col("n_d") == 1) & (F.col("c_d1") == F.col("f_conv"))
     )
     # ONE stats job: expansion-cost estimate, grid dimensions, bridge count,
-    # and the depart row count that gates the broadcast below
-    fb = frontier.groupBy("bridge").agg(F.count("*").alias("f_cnt"))
-    db = depart.groupBy("bridge").agg(F.count("*").alias("d_cnt"))
+    # and the depart row count that gates the broadcast below. Two fused
+    # aggregation branches (was five): the per-bridge counts of both sides
+    # ride one tagged union — f_cnt*d_cnt is 0 wherever a bridge appears on
+    # only one side, so the sum equals the former inner-join sum — and the
+    # two distinct-endpoint counts ride a second tagged union. Both inputs
+    # are cheap projections of the checkpointed pair summary, so fewer
+    # branches means fewer stages, not recomputation.
+    per_bridge = (
+        frontier.select("bridge", F.lit(1).alias("f"), F.lit(0).alias("d"))
+        .unionByName(depart.select("bridge", F.lit(0).alias("f"), F.lit(1).alias("d")))
+        .groupBy("bridge")
+        .agg(F.sum("f").alias("f_cnt"), F.sum("d").alias("d_cnt"))
+    )
     stats = (
-        fb.join(db, "bridge")
-        .agg(F.sum(F.col("f_cnt") * F.col("d_cnt")).alias("cost_e"))
-        .crossJoin(
-            frontier.agg(
-                F.count("*").alias("n_front"),
-                F.countDistinct("src").alias("n_src"),
-            )
+        per_bridge.agg(
+            # sums over an EMPTY bridge set must read 0, not NULL (an
+            # edge set with no multi-conversation entity reaches here)
+            F.coalesce(
+                F.sum(F.col("f_cnt") * F.col("d_cnt")), F.lit(0)
+            ).alias("cost_e"),
+            F.count("*").alias("b_total"),
+            F.coalesce(F.sum("f_cnt"), F.lit(0)).alias("n_front"),
+            F.coalesce(F.sum("d_cnt"), F.lit(0)).alias("n_dep_rows"),
         )
         .crossJoin(
-            depart.agg(
-                F.countDistinct("dst2").alias("n_dst"),
-                F.count("*").alias("n_dep_rows"),
+            frontier.select(F.col("src").alias("v"), F.lit(True).alias("s"))
+            .unionByName(
+                depart.select(F.col("dst2").alias("v"), F.lit(False).alias("s"))
             )
-        )
-        .crossJoin(
-            frontier.select("bridge")
-            .unionByName(depart.select("bridge"))
-            .agg(F.countDistinct("bridge").alias("b_total"))
+            .agg(
+                F.countDistinct(F.when(F.col("s"), F.col("v"))).alias("n_src"),
+                F.countDistinct(F.when(~F.col("s"), F.col("v"))).alias("n_dst"),
+            )
         )
         .collect()[0]
     )
@@ -578,8 +624,29 @@ def reachable_cross_conversation(
     from exact count statistics.
     """
     e_in = edges.persist()  # shared by the BFS and the bridge-entity scan
-    within = reachable_within_auto(e_in, max_hops=max_hops, keyed_by=keyed_by)
     _iter_caches: list[DataFrame] = [e_in]
+    # the within-conversation closure feeds ONLY the pair summary here, so
+    # the common path runs the fused walker (_pair_summary_partials):
+    # closure rows combine into (sum, min, max) partials before leaving
+    # Python instead of shipping the full closure to the JVM aggregate.
+    # Mega-groups keep the size-routed split — their closure comes from the
+    # join loop and contributes raw (cnt=1) rows to the same aggregate.
+    small_edges, big_edges = _split_big_groups(e_in, keyed_by, GROUP_EDGE_LIMIT)
+    if big_edges is None:
+        pair_part = _pair_summary_partials(e_in, max_hops, keyed_by)
+    else:
+        within = reachable_within_grouped(
+            small_edges, max_hops=max_hops, keyed_by=keyed_by
+        ).unionByName(
+            reachable_within(big_edges, max_hops=max_hops, keyed_by=keyed_by)
+        )
+        pair_part = within.select(
+            "src",
+            "dst",
+            F.lit(1).cast("long").alias("__cnt"),
+            F.col(keyed_by).alias("__cmin"),
+            F.col(keyed_by).alias("__cmax"),
+        )
     # ``sources`` (single-column 'src') restricts propagation to flows
     # STARTING at the given node set — the reference's query shape, and what
     # keeps deep-crossing output (and its conv-carrying DuckDB oracle)
@@ -590,31 +657,30 @@ def reachable_cross_conversation(
         if sources is None
         else F.broadcast(sources.select("src").dropDuplicates())
     )
-    # ONE hash aggregate over the closure: per (src, dst) pair, the
-    # distinct-conv count and enough witness-conversation identity for the
-    # summary algebra. The closure is DISTINCT on (key, src, dst), so
-    # count(*) is the distinct-conv count and min/max are over distinct
-    # convs. c_d2 (the second-smallest witness conv) is consulted by the
-    # crossing algebra ONLY when n_d == 2 — where {min, max} IS the whole
-    # set — so the former sort-window formulation (dense_rank + max over a
-    # (src, dst) window) collapses to a plain aggregate with map-side
-    # partials: the closure now shuffles pre-aggregated pair rows instead
-    # of every closure row, and nothing sorts. Depth-0 results, the depart
-    # summary AND the initial frontier are all broadcast-filtered
-    # projections of this summary.
+    # ONE hash aggregate folds the (already-combined) partials into the
+    # pair summary: per (src, dst), the distinct-conv count and enough
+    # witness-conversation identity for the summary algebra. The closure is
+    # DISTINCT on (key, src, dst), so the counts sum to the distinct-conv
+    # count and min/max are over distinct convs. c_d2 (the second-smallest
+    # witness conv) is consulted by the crossing algebra ONLY when
+    # n_d == 2 — where {min, max} IS the whole set — which is what lets the
+    # whole summary be (sum, min, max)-combinable in the first place (the
+    # former formulation sorted a dense_rank window over the full closure).
+    # Depth-0 results, the depart summary AND the initial frontier are all
+    # broadcast-filtered projections of this summary.
     #
     # Eager checkpoint, deliberately: the fused stats job in
-    # _crossing_pairs evaluates five aggregation branches over
+    # _crossing_pairs evaluates its aggregation branches over
     # frontier/depart; with a lazily-persisted pair_sum those branches
     # race to materialize the cache and each recomputes the closure
     # upstream (measured 3-4x closure replay at sf0.1). One materialization
     # here makes every downstream branch a scan of a compact leaf.
-    pair_sum = (
-        within.groupBy("src", "dst")
+    pair_sum_def = (
+        pair_part.groupBy("src", "dst")
         .agg(
-            F.count("*").alias("n_d"),
-            F.min(keyed_by).alias("c_d1"),
-            F.max(keyed_by).alias("c_d2_max"),
+            F.sum("__cnt").alias("n_d"),
+            F.min("__cmin").alias("c_d1"),
+            F.max("__cmax").alias("c_d2_max"),
         )
         .select(
             "src",
@@ -623,13 +689,7 @@ def reachable_cross_conversation(
             "c_d1",
             F.when(F.col("n_d") == 2, F.col("c_d2_max")).alias("c_d2"),
         )
-        .localCheckpoint(eager=True)
     )
-    ps_from = (
-        pair_sum if src_b is None else pair_sum.join(src_b, "src", "left_semi")
-    )
-    # depth 0: pairs reachable inside a single conversation
-    levels = [ps_from.select("src", "dst").withColumn("crossings", F.lit(0))]
     if max_crossings >= 1:
         # entities seen in >= 2 distinct conversations — the only possible
         # bridge points (endpoint role is irrelevant for the >=2 test).
@@ -640,7 +700,7 @@ def reachable_cross_conversation(
         # correctness). The edge table is ~20x smaller than the 4-hop
         # closure, and the resulting entity list is small enough to
         # broadcast into every semi-join below — pruning BEFORE the shuffles.
-        multi = (
+        multi_def = (
             e_in.select(F.col(keyed_by).alias("__c"), F.col("o").alias("e"))
             .unionByName(
                 e_in.select(F.col(keyed_by).alias("__c"), F.col("s").alias("e"))
@@ -649,28 +709,60 @@ def reachable_cross_conversation(
             .agg(F.countDistinct("__c").alias("nc"))
             .where(F.col("nc") >= 2)
             .select("e")
-            .localCheckpoint(eager=True)
         )
+        # the two materializations are independent (closure summary vs edge
+        # incidence, both over the persisted-and-materialized edge cache):
+        # overlap them so the smaller job back-fills the closure job's task
+        # tail instead of serializing behind it (guide §2.6 discipline).
+        from pyspark import InheritableThread
+
+        box: dict[str, DataFrame | BaseException] = {}
+
+        def _mat(key: str, df: DataFrame) -> None:
+            try:
+                box[key] = df.localCheckpoint(eager=True)
+            except BaseException as exc:  # re-raised on the driver thread
+                box[key] = exc
+
+        threads = [
+            InheritableThread(target=_mat, args=("ps", pair_sum_def)),
+            InheritableThread(target=_mat, args=("mu", multi_def)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for v in box.values():
+            if isinstance(v, BaseException):
+                raise v
+        pair_sum, multi = box["ps"], box["mu"]
+    else:
+        pair_sum = pair_sum_def.localCheckpoint(eager=True)
+    ps_from = (
+        pair_sum if src_b is None else pair_sum.join(src_b, "src", "left_semi")
+    )
+    # depth 0: pairs reachable inside a single conversation
+    levels = [ps_from.select("src", "dst").withColumn("crossings", F.lit(0))]
+    if max_crossings >= 1:
         multi_b = F.broadcast(multi)
         # depart summary: per (bridge, dst2) the conv count and two smallest
         # convs — pair_sum rows whose src can bridge. Reused at every depth.
-        depart = (
-            pair_sum.join(multi_b, pair_sum.src == multi.e, "left_semi")
-            .select(
-                F.col("src").alias("bridge"),
-                F.col("dst").alias("dst2"),
-                "n_d",
-                "c_d1",
-                "c_d2",
-            )
-            .persist()
+        # No persist: a scan of the checkpointed summary plus one broadcast
+        # probe — cheaper to recompute than to copy into the block store.
+        depart = pair_sum.join(
+            multi_b, pair_sum.src == multi.e, "left_semi"
+        ).select(
+            F.col("src").alias("bridge"),
+            F.col("dst").alias("dst2"),
+            "n_d",
+            "c_d1",
+            "c_d2",
         )
-        _iter_caches.append(depart)
         # broadcast gate for the INTERMEDIATE-level witness joins (the final
         # level re-derives its own gate from the fused stats inside
-        # _crossing_pairs): one count on the already-persisted summary — it
-        # pays the materialization the loop would pay anyway — and past the
-        # gate the expansion joins salt instead of blowing the broadcast.
+        # _crossing_pairs): one count on the checkpoint-backed summary — and
+        # past the gate the expansion joins salt instead of blowing the
+        # broadcast.
         dep_small = (
             max_crossings < 2 or depart.count() <= DEPART_BROADCAST_MAX_ROWS
         )
@@ -860,41 +952,36 @@ def flow_paths_grouped(
     )
 
 
-def reachable_within_grouped(
-    edges: DataFrame, max_hops: int = 4, keyed_by: str = "conv_id"
-) -> DataFrame:
-    """Same contract as :func:`reachable_within`, exploiting that the edge
-    set is partitioned by ``keyed_by`` (conversation-local graphs): one
-    shuffle groups each conversation's edges, then a vectorized pandas BFS
-    computes the bounded closure group-locally — zero iterative shuffles.
+# Above this node count the dense n*n matrix stops paying for itself;
+# fall back to the per-start set BFS (sparse-friendly, no n^2 memory).
+_DENSE_MAX = 4096
 
-    This is the reference's per-task recursive expansion with memoization
-    (``Engine.scala:255-331``) run inside ``applyInPandas``; the global
-    join-loop variant above remains the fallback for graphs that do NOT
-    partition by a key. Mega-conversation skew: one group = one task, AQE
-    cannot split it — acceptable because BFS is O(V·E_local) and even the
-    20× mega conversation is small; beyond that, salt + two-level closure.
-    """
+
+def _group_closure_kernel(max_hops: int):
+    """(s_list, o_list) -> (names, ii, jj): the bounded-closure kernel for
+    ONE group's edge list — dense boolean-matmul closure for small node
+    sets (the whole conversation's BFS in a handful of BLAS calls; float32
+    matmul is BLAS-fast and exact for path counts < 2^24), per-start set
+    BFS past ``_DENSE_MAX`` (no n² memory)."""
     import numpy as np
-    import pandas as pd
 
-    # Above this node count the dense n*n matrix stops paying for itself;
-    # fall back to the per-start set BFS (sparse-friendly, no n^2 memory).
-    _DENSE_MAX = 4096
-
-    def closure(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = pdf[keyed_by].iloc[0]
-        codes, uniques = pd.factorize(pd.concat([pdf["s"], pdf["o"]]))
-        n = len(uniques)
+    def kernel(cur_s: list, cur_o: list):
+        idx: dict = {}
+        n = 0
+        for v in cur_s:
+            if v not in idx:
+                idx[v] = n
+                n += 1
+        for v in cur_o:
+            if v not in idx:
+                idx[v] = n
+                n += 1
+        names = [None] * n
+        for v, i in idx.items():
+            names[i] = v
         if n <= _DENSE_MAX:
-            # vectorized closure: boolean adjacency matrix, max_hops-1
-            # uint8 matmuls — the whole conversation's BFS in a handful of
-            # BLAS calls instead of V Python-set traversals.
-            m = len(pdf)
-            # float32 matmul: BLAS-fast and exact for path counts < 2^24
-            # (uint8 would wrap at 256 predecessors and drop paths)
             A = np.zeros((n, n), dtype=np.float32)
-            A[codes[:m], codes[m:]] = 1.0
+            A[[idx[v] for v in cur_s], [idx[v] for v in cur_o]] = 1.0
             reach = A > 0
             P = reach
             for _ in range(max_hops - 1):
@@ -904,15 +991,14 @@ def reachable_within_grouped(
                     break
                 reach |= P
             ii, jj = np.nonzero(reach)
-            return pd.DataFrame(
-                {keyed_by: key, "src": uniques[ii], "dst": uniques[jj]}
-            )
-        adj: dict[str, set[str]] = {}
-        for s, o in zip(pdf["s"], pdf["o"]):
+            return names, ii.tolist(), jj.tolist()
+        adj: dict = {}
+        for s, o in zip(cur_s, cur_o):
             adj.setdefault(s, set()).add(o)
-        out_src, out_dst = [], []
+        out_i: list = []
+        out_j: list = []
         for start in adj:
-            reached: set[str] = set()
+            reached: set = set()
             frontier = {start}
             for _ in range(max_hops):
                 nxt = set()
@@ -924,13 +1010,168 @@ def reachable_within_grouped(
                 frontier = nxt
                 if not frontier:
                     break
-            out_src += [start] * len(reached)
-            out_dst += list(reached)
-        return pd.DataFrame({keyed_by: key, "src": out_src, "dst": out_dst})
+            si = idx[start]
+            out_i += [si] * len(reached)
+            out_j += [idx[v] for v in reached]
+        return names, out_i, out_j
+
+    return kernel
+
+
+def reachable_within_grouped(
+    edges: DataFrame, max_hops: int = 4, keyed_by: str = "conv_id"
+) -> DataFrame:
+    """Same contract as :func:`reachable_within`, exploiting that the edge
+    set is partitioned by ``keyed_by`` (conversation-local graphs): one
+    shuffle groups each conversation's edges, then a vectorized BFS
+    computes the bounded closure group-locally — zero iterative shuffles.
+
+    This is the reference's per-task recursive expansion with memoization
+    (``Engine.scala:255-331``), run as ``mapInArrow`` over a
+    key-sorted repartition rather than ``applyInPandas``: one Python call
+    and one output batch stream per PARTITION (hundreds of conversations)
+    instead of a pandas frame per group — the per-group slice/construct
+    overhead of 5000 tiny groups was a measured ~25% of the closure wall.
+    Group rows are contiguous after ``sortWithinPartitions``, so the
+    walker just watches the key change. The global join-loop variant above
+    remains the fallback for graphs that do NOT partition by a key.
+    Mega-conversation skew: one group = one task either way — ``*_auto``
+    routes those to the join loop.
+    """
+    kernel = _group_closure_kernel(max_hops)
+
+    def walk(batches):
+        import pyarrow as pa
+
+        out_key: list = []
+        out_src: list = []
+        out_dst: list = []
+        cur_key = None
+        cur_s: list = []
+        cur_o: list = []
+
+        def flush():
+            if cur_key is None or not cur_s:
+                return
+            names, ii, jj = kernel(cur_s, cur_o)
+            out_key.extend([cur_key] * len(ii))
+            out_src.extend(names[i] for i in ii)
+            out_dst.extend(names[j] for j in jj)
+
+        def emit():
+            return pa.record_batch(
+                [
+                    pa.array(out_key, type=pa.string()),
+                    pa.array(out_src, type=pa.string()),
+                    pa.array(out_dst, type=pa.string()),
+                ],
+                names=[keyed_by, "src", "dst"],
+            )
+
+        for batch in batches:
+            keys = batch.column(0).to_pylist()
+            ss = batch.column(1).to_pylist()
+            oo = batch.column(2).to_pylist()
+            for k, s, o in zip(keys, ss, oo):
+                if k != cur_key:
+                    flush()
+                    cur_key = k
+                    cur_s = []
+                    cur_o = []
+                cur_s.append(s)
+                cur_o.append(o)
+            if len(out_key) > 500_000:
+                yield emit()
+                out_key, out_src, out_dst = [], [], []
+        flush()
+        yield emit()
 
     e = edges.select(keyed_by, "s", "o").dropDuplicates([keyed_by, "s", "o"])
-    return e.groupBy(keyed_by).applyInPandas(
-        closure, schema=f"{keyed_by} string, src string, dst string"
+    part = e.repartition(F.col(keyed_by)).sortWithinPartitions(keyed_by)
+    return part.mapInArrow(
+        walk, schema=f"{keyed_by} string, src string, dst string"
+    )
+
+
+def _pair_summary_partials(
+    edges: DataFrame, max_hops: int, keyed_by: str = "conv_id"
+) -> DataFrame:
+    """Fused closure + map-side pair-summary partials for
+    :func:`reachable_cross_conversation`: the grouped BFS walker, but
+    instead of shipping every (key, src, dst) closure row to the JVM (7.1M
+    rows at sf0.1) it combines rows ACROSS the partition's conversations
+    into (src, dst, __cnt, __cmin, __cmax) partials before they leave
+    Python — the same (sum, min, max)-combinable state the pair-summary
+    aggregate folds, so ``groupBy(src, dst).agg(sum, min, max)`` over these
+    partials equals the aggregate over raw closure rows EXACTLY (each
+    conversation lives in one partition, so per-pair conv sets partition
+    cleanly). The partial dict is flushed past a row bound, keeping task
+    memory bounded the way spillable hash-agg state is — a flushed pair
+    just contributes one more combinable partial.
+    """
+    kernel = _group_closure_kernel(max_hops)
+    _FLUSH = 1_000_000
+
+    def walk(batches):
+        import pyarrow as pa
+
+        acc: dict = {}
+        cur_key = None
+        cur_s: list = []
+        cur_o: list = []
+
+        def flush_group():
+            if cur_key is None or not cur_s:
+                return
+            names, ii, jj = kernel(cur_s, cur_o)
+            k = cur_key
+            for i, j in zip(ii, jj):
+                pair = (names[i], names[j])
+                st = acc.get(pair)
+                if st is None:
+                    acc[pair] = [1, k, k]
+                else:
+                    st[0] += 1
+                    if k < st[1]:
+                        st[1] = k
+                    elif k > st[2]:
+                        st[2] = k
+
+        def emit():
+            return pa.record_batch(
+                [
+                    pa.array([p[0] for p in acc], type=pa.string()),
+                    pa.array([p[1] for p in acc], type=pa.string()),
+                    pa.array([v[0] for v in acc.values()], type=pa.int64()),
+                    pa.array([v[1] for v in acc.values()], type=pa.string()),
+                    pa.array([v[2] for v in acc.values()], type=pa.string()),
+                ],
+                names=["src", "dst", "__cnt", "__cmin", "__cmax"],
+            )
+
+        for batch in batches:
+            keys = batch.column(0).to_pylist()
+            ss = batch.column(1).to_pylist()
+            oo = batch.column(2).to_pylist()
+            for k, s, o in zip(keys, ss, oo):
+                if k != cur_key:
+                    flush_group()
+                    cur_key = k
+                    cur_s = []
+                    cur_o = []
+                cur_s.append(s)
+                cur_o.append(o)
+            if len(acc) > _FLUSH:
+                yield emit()
+                acc = {}
+        flush_group()
+        yield emit()
+
+    e = edges.select(keyed_by, "s", "o").dropDuplicates([keyed_by, "s", "o"])
+    part = e.repartition(F.col(keyed_by)).sortWithinPartitions(keyed_by)
+    return part.mapInArrow(
+        walk,
+        schema="src string, dst string, __cnt long, __cmin string, __cmax string",
     )
 
 
