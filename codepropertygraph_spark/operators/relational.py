@@ -344,6 +344,13 @@ def anomaly_flags(
     Shape: ONE two-phase groupBy(user) for (n, s, q), joined back; the
     flag itself is map-side. Users with one event are never flagged
     (variance undefined → 0 on both sides).
+
+    The cross-multiplied comparison runs in DECIMAL(38,0): lhs² and n·q
+    exceed int64 once a user has ~10⁵ centi-unit events, and Spark's
+    non-ANSI mode would wrap silently where DuckDB raises — the exact
+    engine-divergence this operator exists to rule out. DECIMAL keeps the
+    test exact to 38 digits (sufficient for n ≤ 10⁹ events of ≤ 10⁹
+    centi-units) at the gate scale and the 100 TB target alike.
     """
     vc = F.round(F.col(value_col) * 100).cast("long")
     base = events.select(
@@ -356,8 +363,15 @@ def anomaly_flags(
         .cast("long")
         .alias("q"),
     )
-    lhs = (F.col("n") * F.col("value_centi") - F.col("s"))
-    rhs = F.lit(k * k) * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    dec = "decimal(38,0)"
+    lhs = (
+        F.col("n").cast(dec) * F.col("value_centi").cast(dec)
+        - F.col("s").cast(dec)
+    )
+    rhs = F.lit(k * k).cast(dec) * (
+        F.col("n").cast(dec) * F.col("q").cast(dec)
+        - F.col("s").cast(dec) * F.col("s").cast(dec)
+    )
     return base.join(stats, "user").select(
         "event_id",
         "user",

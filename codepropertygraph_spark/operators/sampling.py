@@ -117,8 +117,12 @@ def bottom_k(
     groups-cardinality-sized table — AQE broadcasts it when small) plus a
     residual row_number over the ~k survivors per group to trim
     hash-boundary ties exactly as the windowed form did. Full-row data is
-    never sorted per group, and the per-group reducer state is ≤ 32·k
-    hashes."""
+    never sorted per group; the per-group reducer state at the MERGE fold
+    is ≤ 32·k hashes, while each phase-1 partial's aggregation buffer
+    holds its whole (keys, salt) slice (~group/32 hashes) before the
+    array_sort+slice collapses it — the salt fan-out bounds that slice,
+    not k (ADVICE r5: the former '≤ 32·k' claim described only the merge
+    side)."""
     h = _row_hash(key_cols, salt)
     hdf = df.withColumn("__h", h)
     partial = hdf.groupBy(
