@@ -102,9 +102,13 @@ def pagerank_int(
         ).select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
     else:
         nodes = nodes.withColumn("is_seed", F.lit(1))
-    nodes = nodes.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    # node frame and degree-joined edge frame are independent derivations
+    # of the edge input — materialize them on overlapped driver threads
+    # (guide §2.6; the edge input is the caller's checkpointed frame).
+    from ..parallel import eager_checkpoints
+
+    nodes, ed = eager_checkpoints(nodes, edges.join(deg, "src"))
     scores = nodes.select(
         "node",
         (F.col("is_seed") * PAGERANK_INIT_MICRO).cast("long").alias("score"),
@@ -159,8 +163,10 @@ def lpa_communities(
     """
     # Eager for the same reason as pagerank_int: keep the per-round plan a
     # join of two checkpoint leaves, not a replanned extraction subtree.
-    nodes = _nodes(edges).localCheckpoint(eager=True)
-    nb = undirected_neighbors(edges).localCheckpoint(eager=True)
+    # Independent derivations -> overlapped materialization (guide §2.6).
+    from ..parallel import eager_checkpoints
+
+    nodes, nb = eager_checkpoints(_nodes(edges), undirected_neighbors(edges))
     labels = nodes.withColumn("label", F.col("node"))
     w = Window.partitionBy("node").orderBy(
         F.col("c").desc(), F.col("label").asc()
@@ -354,9 +360,10 @@ def pagerank_weighted(
     partial aggregation; iteration-invariant frames eagerly checkpointed.
     """
     edges = wedges.select("src", "dst", F.col("w").cast("long").alias("w"))
-    nodes = _nodes(edges).localCheckpoint(eager=True)
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    ed = edges.join(outw, "src").localCheckpoint(eager=True)
+    from ..parallel import eager_checkpoints
+
+    nodes, ed = eager_checkpoints(_nodes(edges), edges.join(outw, "src"))
     scores = nodes.select(
         "node", F.lit(PAGERANK_INIT_MICRO).cast("long").alias("score")
     )

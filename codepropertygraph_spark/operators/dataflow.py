@@ -394,7 +394,10 @@ def flow_witness_grouped(
         flush()
         yield emit()
 
-    e = edges.select(keyed_by, "s", "o").dropDuplicates([keyed_by, "s", "o"])
+    # no upstream dropDuplicates: the walker's adjacency SETS absorb
+    # duplicate edges, so the dedup exchange+aggregate would only re-shuffle
+    # the edge table for nothing (the repartition below is the one shuffle).
+    e = edges.select(keyed_by, "s", "o")
     part = e.repartition(F.col(keyed_by)).sortWithinPartitions(keyed_by)
     return part.mapInArrow(
         walk,
@@ -714,28 +717,9 @@ def reachable_cross_conversation(
         # incidence, both over the persisted-and-materialized edge cache):
         # overlap them so the smaller job back-fills the closure job's task
         # tail instead of serializing behind it (guide §2.6 discipline).
-        from pyspark import InheritableThread
+        from ..parallel import eager_checkpoints
 
-        box: dict[str, DataFrame | BaseException] = {}
-
-        def _mat(key: str, df: DataFrame) -> None:
-            try:
-                box[key] = df.localCheckpoint(eager=True)
-            except BaseException as exc:  # re-raised on the driver thread
-                box[key] = exc
-
-        threads = [
-            InheritableThread(target=_mat, args=("ps", pair_sum_def)),
-            InheritableThread(target=_mat, args=("mu", multi_def)),
-        ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        for v in box.values():
-            if isinstance(v, BaseException):
-                raise v
-        pair_sum, multi = box["ps"], box["mu"]
+        pair_sum, multi = eager_checkpoints(pair_sum_def, multi_def)
     else:
         pair_sum = pair_sum_def.localCheckpoint(eager=True)
     ps_from = (
@@ -1086,7 +1070,10 @@ def reachable_within_grouped(
         flush()
         yield emit()
 
-    e = edges.select(keyed_by, "s", "o").dropDuplicates([keyed_by, "s", "o"])
+    # no upstream dropDuplicates: duplicate edges are idempotent in both
+    # kernel paths (matrix assignment / adjacency sets), so the dedup
+    # exchange+aggregate would only re-shuffle the edge table for nothing.
+    e = edges.select(keyed_by, "s", "o")
     part = e.repartition(F.col(keyed_by)).sortWithinPartitions(keyed_by)
     return part.mapInArrow(
         walk, schema=f"{keyed_by} string, src string, dst string"
@@ -1167,7 +1154,10 @@ def _pair_summary_partials(
         flush_group()
         yield emit()
 
-    e = edges.select(keyed_by, "s", "o").dropDuplicates([keyed_by, "s", "o"])
+    # no upstream dropDuplicates — see reachable_within_grouped: the
+    # kernel absorbs duplicate edges, and each (pair, conv) contributes
+    # once per group regardless of edge multiplicity.
+    e = edges.select(keyed_by, "s", "o")
     part = e.repartition(F.col(keyed_by)).sortWithinPartitions(keyed_by)
     return part.mapInArrow(
         walk,
