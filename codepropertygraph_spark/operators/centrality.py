@@ -47,6 +47,12 @@ PAGERANK_INIT_MICRO = 1_000_000
 PAGERANK_BASE_MICRO = 150_000  # (1 - d) * 1e6 with d = 0.85
 PAGERANK_DAMP_MILLI = 850
 
+#: walker-frame rows (|V| x walks_per_node) under which random_walks may
+#: broadcast-hint its per-step joins; ~40 bytes/row keeps 10M rows well
+#: inside executor broadcast headroom. Past the gate the joins stay the
+#: unhinted shuffle shape.
+WALK_BROADCAST_MAX_ROWS = 10_000_000
+
 
 def entity_edges(triples: DataFrame) -> DataFrame:
     """Distinct directed (src, dst) entity pairs from the triple set,
@@ -561,6 +567,15 @@ def random_walks(
     hub adds join-key skew (AQE's job) but never fan-out. Frontier volume is
     constant at |V| × walks_per_node rows per step; output is the long-form
     trajectory table, (length+1) × that.
+
+    Join planning note: rk/deg/cur all descend from a checkpointed
+    LogicalRDD, whose unknown size estimate makes every per-step join a
+    sort-merge join regardless of actual size — ~10 micro-shuffles of
+    walker-scale frames on a console-sized graph. The node count is known
+    from the (materialized) node frame for one cheap cached count, so when
+    the walker/degree frames are provably broadcast-small the joins get
+    explicit broadcast hints; past the gate the plan is the unhinted
+    scale shape unchanged. Identical rows either way.
     """
     nb = undirected_neighbors(edges).where(F.col("node") != F.col("nbr"))
     rk = nb.withColumn(
@@ -573,21 +588,18 @@ def random_walks(
     deg = rk.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
     from ..ids import hash60
 
-    cur = (
-        rk.select("node")
-        .dropDuplicates(["node"])
-        .select(
-            "node",
-            F.explode(
-                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
-            ).alias("w"),
-        )
-        .select(
-            F.concat_ws("#", "node", F.col("w").cast("string")).alias(
-                "walk_id"
-            ),
-            "node",
-        )
+    nodes = rk.select("node").dropDuplicates(["node"]).localCheckpoint(
+        eager=True
+    )
+    small = nodes.count() * walks_per_node <= WALK_BROADCAST_MAX_ROWS
+    if small:
+        deg = F.broadcast(deg)
+    cur = nodes.select(
+        "node",
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("w"),
+    ).select(
+        F.concat_ws("#", "node", F.col("w").cast("string")).alias("walk_id"),
+        "node",
     )
     out = cur.select("walk_id", F.lit(0).cast("long").alias("step"), "node")
     for t in range(1, length + 1):
@@ -605,9 +617,9 @@ def random_walks(
             .cast("long")
             .alias("rank"),
         )
-        cur = pick.join(rk, ["node", "rank"]).select(
-            "walk_id", F.col("nbr").alias("node")
-        )
+        cur = (F.broadcast(pick) if small else pick).join(
+            rk, ["node", "rank"]
+        ).select("walk_id", F.col("nbr").alias("node"))
         # Walk frontiers chain: without a lineage cut, step t's subtree is
         # re-planned inside every later step AND every union branch —
         # quadratic replay at node2vec-scale walk lengths (the pagerank_int
