@@ -482,29 +482,37 @@ def _crossing_pairs(
         .groupBy("bridge")
         .agg(F.sum("f").alias("f_cnt"), F.sum("d").alias("d_cnt"))
     )
-    stats = (
-        per_bridge.agg(
-            # sums over an EMPTY bridge set must read 0, not NULL (an
-            # edge set with no multi-conversation entity reaches here)
-            F.coalesce(
-                F.sum(F.col("f_cnt") * F.col("d_cnt")), F.lit(0)
-            ).alias("cost_e"),
-            F.count("*").alias("b_total"),
-            F.coalesce(F.sum("f_cnt"), F.lit(0)).alias("n_front"),
-            F.coalesce(F.sum("d_cnt"), F.lit(0)).alias("n_dep_rows"),
-        )
-        .crossJoin(
-            frontier.select(F.col("src").alias("v"), F.lit(True).alias("s"))
-            .unionByName(
-                depart.select(F.col("dst2").alias("v"), F.lit(False).alias("s"))
-            )
-            .agg(
-                F.countDistinct(F.when(F.col("s"), F.col("v"))).alias("n_src"),
-                F.countDistinct(F.when(~F.col("s"), F.col("v"))).alias("n_dst"),
-            )
-        )
-        .collect()[0]
+    bridge_agg = per_bridge.agg(
+        # sums over an EMPTY bridge set must read 0, not NULL (an
+        # edge set with no multi-conversation entity reaches here)
+        F.coalesce(F.sum(F.col("f_cnt") * F.col("d_cnt")), F.lit(0)).alias(
+            "cost_e"
+        ),
+        F.count("*").alias("b_total"),
+        F.coalesce(F.sum("f_cnt"), F.lit(0)).alias("n_front"),
+        F.coalesce(F.sum("d_cnt"), F.lit(0)).alias("n_dep_rows"),
     )
+    endpoint_agg = (
+        frontier.select(F.col("src").alias("v"), F.lit(True).alias("s"))
+        .unionByName(
+            depart.select(F.col("dst2").alias("v"), F.lit(False).alias("s"))
+        )
+        .agg(
+            F.countDistinct(F.when(F.col("s"), F.col("v"))).alias("n_src"),
+            F.countDistinct(F.when(~F.col("s"), F.col("v"))).alias("n_dst"),
+        )
+    )
+    # the two single-row aggregates are independent scans of the
+    # checkpoint-backed summary — collect them as overlapped jobs so the
+    # stats barrier costs max(branch), not sum (guide §2.6).
+    from ..parallel import eager_checkpoints
+
+    from types import SimpleNamespace
+
+    b_row, e_row = (
+        df.collect()[0] for df in eager_checkpoints(bridge_agg, endpoint_agg)
+    )
+    stats = SimpleNamespace(**b_row.asDict(), **e_row.asDict())
     # the depart summary usually broadcasts (an entity-PAIR summary, conv
     # multiplicity collapsed) — but it grows with the corpus, so past the
     # gate the joins fall back to a deterministic salted shuffle join
