@@ -460,10 +460,17 @@ def _crossing_pairs(
     plain expansion if it would not pay.
 
     Driver-job discipline: each Spark action costs ~a second of fixed
-    orchestration on top of the work, so the statistics are fused into ONE
-    collect (crossJoined single-row aggregates) and the grid guard into one
-    more; the result itself stays lazy for the caller's single
-    materialization.
+    orchestration on top of the work, so ALL the statistics — including the
+    undecided-cell count ``n_und`` that used to require materializing the
+    grid — are fused into ONE overlapped-collect barrier; ``n_und`` is
+    computed exactly from the (n_f, n_dd) count-histograms without building
+    the grid (#{(s,d): n_f(s)+n_dd(d) <= B} is a histogram convolution).
+    On fully-dense corpora (n_und == 0: the pigeonhole proves every cell)
+    the final level collapses to the plain endpoint cross product and the
+    grid is never built; only the partially-dense remainder path still
+    materializes a grid (one eager checkpoint, so its two consumers scan a
+    leaf instead of racing a lazy cache). The result itself stays lazy for
+    the caller's single materialization.
     """
     invalid = (
         (~F.col("f_many")) & (F.col("n_d") == 1) & (F.col("c_d1") == F.col("f_conv"))
@@ -502,17 +509,50 @@ def _crossing_pairs(
             F.countDistinct(F.when(~F.col("s"), F.col("v"))).alias("n_dst"),
         )
     )
-    # the two single-row aggregates are independent scans of the
+    # exact undecided-cell count of the pigeonhole grid, WITHOUT the grid:
+    # n_und = #{(s, d) : n_f(s) + n_dd(d) <= B} depends only on the two
+    # per-endpoint count-HISTOGRAMS and B, so it reduces to a histogram
+    # convolution — entity-scale aggregates collapsing to one row, riding
+    # the same stats barrier instead of a second grid-materializing job.
+    fm_counts = (
+        frontier.where(F.col("f_many")).groupBy("src").agg(F.count("*").alias("n_f"))
+    )
+    s_nf = (
+        frontier.select("src")
+        .dropDuplicates()
+        .join(fm_counts, "src", "left")
+        .select(F.coalesce(F.col("n_f"), F.lit(0)).alias("n_f"))
+    )
+    hist_f = s_nf.groupBy("n_f").agg(F.count("*").alias("cf"))
+    hist_d = (
+        depart.groupBy("dst2")
+        .agg(F.count("*").alias("n_dd"))
+        .groupBy("n_dd")
+        .agg(F.count("*").alias("cd"))
+    )
+    b_total_df = (
+        frontier.select("bridge")
+        .unionByName(depart.select("bridge"))
+        .agg(F.countDistinct("bridge").alias("b"))
+    )
+    nund_agg = (
+        hist_f.crossJoin(hist_d)
+        .crossJoin(b_total_df)
+        .where(F.col("n_f") + F.col("n_dd") <= F.col("b"))
+        .agg(F.coalesce(F.sum(F.col("cf") * F.col("cd")), F.lit(0)).alias("n_und"))
+    )
+    # the three single-row aggregates are independent scans of the
     # checkpoint-backed summary — collect them as overlapped jobs so the
     # stats barrier costs max(branch), not sum (guide §2.6).
     from ..parallel import eager_checkpoints
 
     from types import SimpleNamespace
 
-    b_row, e_row = (
-        df.collect()[0] for df in eager_checkpoints(bridge_agg, endpoint_agg)
+    b_row, e_row, u_row = (
+        df.collect()[0]
+        for df in eager_checkpoints(bridge_agg, endpoint_agg, nund_agg)
     )
-    stats = SimpleNamespace(**b_row.asDict(), **e_row.asDict())
+    stats = SimpleNamespace(**b_row.asDict(), **e_row.asDict(), **u_row.asDict())
     # the depart summary usually broadcasts (an entity-PAIR summary, conv
     # multiplicity collapsed) — but it grows with the corpus, so past the
     # gate the joins fall back to a deterministic salted shuffle join
@@ -532,10 +572,28 @@ def _crossing_pairs(
     cost_p = stats.n_src * stats.n_dst
     if cost_e <= cost_p * 4:
         return expansion
+    # guard, now free: if checking the undecided remainder costs more than
+    # the expansion it replaces, the corpus was not dense enough after all.
+    n_und = stats.n_und or 0
+    if n_und * (stats.n_front / max(stats.n_src, 1)) > cost_e:
+        return expansion
+    if n_und == 0:
+        # fully dense: the pigeonhole proves EVERY (src, dst) cell, so the
+        # final level is the plain endpoint cross product — no grid, no
+        # guard job, no cache to manage.
+        return (
+            frontier.select("src")
+            .dropDuplicates()
+            .crossJoin(depart.select(F.col("dst2").alias("dst")).dropDuplicates())
+        )
     fm = frontier.where(F.col("f_many")).groupBy("src").agg(
         F.count("*").alias("n_f")
     )
     dd = depart.groupBy(F.col("dst2").alias("dst")).agg(F.count("*").alias("n_dd"))
+    # eager checkpoint (not a lazy persist): `proven` and `chk` both scan
+    # the grid inside the caller's ONE materialization job — a lazy cache
+    # would race and double-compute; the checkpoint is the same single
+    # barrier the old guard job paid on this path.
     grid = (
         frontier.select("src")
         .dropDuplicates()
@@ -547,17 +605,8 @@ def _crossing_pairs(
             F.coalesce(F.col("n_f"), F.lit(0)) + F.coalesce(F.col("n_dd"), F.lit(0))
             > F.lit(stats.b_total),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    caches.append(grid)
-    # one guard job (also materializes the grid cache): if checking the
-    # undecided remainder costs more than the expansion it replaces, the
-    # corpus was not dense enough after all.
-    n_und = grid.agg(
-        F.sum((~F.col("proven")).cast("long")).alias("n")
-    ).collect()[0].n or 0
-    if n_und * (stats.n_front / max(stats.n_src, 1)) > cost_e:
-        return expansion
     proven = grid.where(F.col("proven")).select("src", "dst")
     chk = (
         grid.where(~F.col("proven"))

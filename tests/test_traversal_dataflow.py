@@ -1032,6 +1032,66 @@ def test_cross_conversation_salted_join_matches_broadcast(spark, monkeypatch):
     assert got == want and len(want) > 0
 
 
+def test_crossing_pairs_partial_pigeonhole_grid(spark):
+    """Drive _crossing_pairs into each of its three dispatch outcomes via
+    constructed summaries, including the partially-dense remainder path
+    (0 < n_und: grid + undecided-cell check join) that the fused-histogram
+    guard rewrite restructured. Expected pairs come from the definition:
+    (s, d) valid iff some shared bridge row pair is not conv-pinned."""
+    core_b = [f"b{i}" for i in range(6)]
+    core_s = [f"s{i}" for i in range(6)]
+    core_d = [f"d{i}" for i in range(6)]
+    frontier_rows = [(s, b, True, None) for s in core_s for b in core_b]
+    depart_rows = [(b, d, 3, "cA", None) for b in core_b for d in core_d]
+    # one extra src/dst with a single bridge each -> the (s6, d6) cell is
+    # undecided (n_f + n_dd = 2 <= B = 6) while every other cell is proven.
+    frontier_rows.append(("s6", "b0", True, None))
+    depart_rows.append(("b0", "d6", 1, "cX", None))
+    f = spark.createDataFrame(
+        frontier_rows, "src string, bridge string, f_many boolean, f_conv string"
+    )
+    d = spark.createDataFrame(
+        depart_rows, "bridge string, dst2 string, n_d long, c_d1 string, c_d2 string"
+    )
+
+    def brute(frows, drows):
+        byb = {}
+        for b, dst, n_d, c1, _ in drows:
+            byb.setdefault(b, []).append((dst, n_d, c1))
+        out = set()
+        for s, b, many, fconv in frows:
+            for dst, n_d, c1 in byb.get(b, ()):
+                if not (not many and n_d == 1 and c1 == fconv):
+                    out.add((s, dst))
+        return out
+
+    got = {(r.src, r.dst) for r in dataflow._crossing_pairs(f, d, []).collect()}
+    assert got == brute(frontier_rows, depart_rows)
+    assert ("s6", "d6") in got  # the undecided cell, proven valid by the join
+
+    # fully dense (n_und == 0): drop the peripherals -> endpoint cross product
+    f2 = spark.createDataFrame(
+        frontier_rows[:-1], "src string, bridge string, f_many boolean, f_conv string"
+    )
+    d2 = spark.createDataFrame(
+        depart_rows[:-1], "bridge string, dst2 string, n_d long, c_d1 string, c_d2 string"
+    )
+    got2 = {(r.src, r.dst) for r in dataflow._crossing_pairs(f2, d2, []).collect()}
+    assert got2 == {(s, dd) for s in core_s for dd in core_d}
+
+    # sparse (cost_e small): one bridge, conv-pinned rows -> expansion path
+    f3 = spark.createDataFrame(
+        [("p", "b0", False, "c1"), ("q", "b0", False, "c2")],
+        "src string, bridge string, f_many boolean, f_conv string",
+    )
+    d3 = spark.createDataFrame(
+        [("b0", "r", 1, "c1", None)],
+        "bridge string, dst2 string, n_d long, c_d1 string, c_d2 string",
+    )
+    got3 = {(r.src, r.dst) for r in dataflow._crossing_pairs(f3, d3, []).collect()}
+    assert got3 == {("q", "r")}  # ("p","r") is conv-pinned invalid
+
+
 def test_graphview_centrality_macro_steps(g):
     """entity_pagerank / entity_communities console sugar: runs over the
     committed REL edge set and agrees with calling the operators directly
