@@ -514,14 +514,11 @@ def _crossing_pairs(
     # per-endpoint count-HISTOGRAMS and B, so it reduces to a histogram
     # convolution — entity-scale aggregates collapsing to one row, riding
     # the same stats barrier instead of a second grid-materializing job.
-    fm_counts = (
-        frontier.where(F.col("f_many")).groupBy("src").agg(F.count("*").alias("n_f"))
-    )
-    s_nf = (
-        frontier.select("src")
-        .dropDuplicates()
-        .join(fm_counts, "src", "left")
-        .select(F.coalesce(F.col("n_f"), F.lit(0)).alias("n_f"))
+    # one aggregate, no join: summing the f_many flag per src counts that
+    # src's many-witness rows and yields the required 0 for srcs that have
+    # none (every distinct src appears in the groupBy).
+    s_nf = frontier.groupBy("src").agg(
+        F.sum(F.col("f_many").cast("long")).alias("n_f")
     )
     hist_f = s_nf.groupBy("n_f").agg(F.count("*").alias("cf"))
     hist_d = (
