@@ -77,8 +77,8 @@ def reaching_def_edges(
     dst`` edges. Output: (conv_id, variable, src_order, dst_order).
 
     Fully vectorized — two windows, no Python — because the CFG is a chain;
-    the general DAG case runs the worklist solver inside ``applyInPandas``
-    (see :func:`dominators_grouped` for that pattern).
+    the general DAG case runs the worklist solver group-locally in the
+    batched ``mapInArrow`` walker (see :func:`dominators_grouped`).
     """
     from pyspark.sql import Window
 
@@ -111,81 +111,141 @@ def reaching_def_edges(
     )
 
 
+def _idom_kernel(entry, s_list: list, o_list: list) -> dict:
+    """Immediate dominators for ONE group's edge list (Cooper-Harvey-Kennedy
+    iterative dataflow). Returns {node: idom}; the entry maps to itself;
+    nodes unreachable from the entry are omitted. Duplicate edges are
+    idempotent: repeated pred entries re-intersect to the same dominator
+    and the RPO walk visits each node once."""
+    succ: dict = {}
+    pred: dict = {}
+    for s, o in zip(s_list, o_list):
+        succ.setdefault(s, []).append(o)
+        pred.setdefault(o, []).append(s)
+    # reverse post-order from entry
+    order: list = []
+    seen: set = set()
+    stack: list = [(entry, 0)]
+    while stack:
+        n, i = stack.pop()
+        if i == 0:
+            if n in seen:
+                continue
+            seen.add(n)
+        kids = succ.get(n, [])
+        if i < len(kids):
+            stack.append((n, i + 1))
+            if kids[i] not in seen:
+                stack.append((kids[i], 0))
+        else:
+            order.append(n)
+    rpo = list(reversed(order))
+    idx = {n: i for i, n in enumerate(rpo)}
+    idom: dict = {entry: entry}
+
+    def intersect(a, b):
+        while a != b:
+            while idx[a] > idx[b]:
+                a = idom[a]
+            while idx[b] > idx[a]:
+                b = idom[b]
+        return a
+
+    changed = True
+    while changed:
+        changed = False
+        for n in rpo:
+            if n == entry:
+                continue
+            ps = [p for p in pred.get(n, []) if p in idom]
+            if not ps:
+                continue
+            new = ps[0]
+            for p in ps[1:]:
+                new = intersect(new, p)
+            if idom.get(n) != new:
+                idom[n] = new
+                changed = True
+    return idom
+
+
 def dominators_grouped(edges: DataFrame, entries: DataFrame) -> DataFrame:
     """Per-group immediate dominators — the CfgDominatorPass analog (A17,
     ``semanticcpg/.../cfgdominator/CfgDominator.scala:15-116``, Cooper-
     Harvey-Kennedy iterative dataflow). The graph is conversation-local, so
-    the whole fixpoint runs inside one ``applyInPandas`` group (zero
-    iterative shuffles — SURVEY.md §4.2 item 3).
+    the whole fixpoint runs group-locally (zero iterative shuffles —
+    SURVEY.md §4.2 item 3), as ``mapInArrow`` over a key-sorted repartition:
+    one Python call per PARTITION of contiguous groups instead of a pandas
+    frame per group (the same batching discipline as
+    :func:`reachable_within_grouped`; the per-group slice/construct overhead
+    of thousands of tiny groups was a measured ~25% of the closure wall
+    there). No upstream dropDuplicates: duplicate edges are idempotent in
+    the CHK kernel, so the dedup exchange would only re-shuffle the edge
+    table for nothing.
 
     edges: (conv_id, s, o) directed; entries: (conv_id, entry).
     Returns (conv_id, node, idom); the entry has idom = itself. Nodes not
     reachable from the entry are omitted (matching the reference, which
     walks from the entry).
     """
-    import pandas as pd
+    joined = edges.select("conv_id", "s", "o").join(F.broadcast(entries), "conv_id")
+    part = (
+        joined.select("conv_id", "s", "o", "entry")
+        .repartition(F.col("conv_id"))
+        .sortWithinPartitions("conv_id")
+    )
 
-    e = edges.select("conv_id", "s", "o").dropDuplicates()
-    joined = e.join(F.broadcast(entries), "conv_id")
+    def walk(batches):
+        import pyarrow as pa
 
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        conv = pdf["conv_id"].iloc[0]
-        entry = pdf["entry"].iloc[0]
-        succ: dict[str, list[str]] = {}
-        pred: dict[str, list[str]] = {}
-        for s, o in zip(pdf["s"], pdf["o"]):
-            succ.setdefault(s, []).append(o)
-            pred.setdefault(o, []).append(s)
-        # reverse post-order from entry
-        order: list[str] = []
-        seen: set[str] = set()
-        stack: list[tuple[str, int]] = [(entry, 0)]
-        while stack:
-            n, i = stack.pop()
-            if i == 0:
-                if n in seen:
-                    continue
-                seen.add(n)
-            kids = succ.get(n, [])
-            if i < len(kids):
-                stack.append((n, i + 1))
-                if kids[i] not in seen:
-                    stack.append((kids[i], 0))
-            else:
-                order.append(n)
-        rpo = list(reversed(order))
-        idx = {n: i for i, n in enumerate(rpo)}
-        idom: dict[str, str] = {entry: entry}
+        out_k: list = []
+        out_n: list = []
+        out_i: list = []
+        cur_key = None
+        cur_entry = None
+        cur_s: list = []
+        cur_o: list = []
 
-        def intersect(a: str, b: str) -> str:
-            while a != b:
-                while idx[a] > idx[b]:
-                    a = idom[a]
-                while idx[b] > idx[a]:
-                    b = idom[b]
-            return a
+        def flush():
+            if cur_key is None or not cur_s:
+                return
+            idom = _idom_kernel(cur_entry, cur_s, cur_o)
+            out_k.extend([cur_key] * len(idom))
+            out_n.extend(idom.keys())
+            out_i.extend(idom.values())
 
-        changed = True
-        while changed:
-            changed = False
-            for n in rpo:
-                if n == entry:
-                    continue
-                ps = [p for p in pred.get(n, []) if p in idom]
-                if not ps:
-                    continue
-                new = ps[0]
-                for p in ps[1:]:
-                    new = intersect(new, p)
-                if idom.get(n) != new:
-                    idom[n] = new
-                    changed = True
-        return pd.DataFrame(
-            {"conv_id": conv, "node": list(idom), "idom": [idom[n] for n in idom]}
-        )
+        def emit():
+            return pa.record_batch(
+                [
+                    pa.array(out_k, type=pa.string()),
+                    pa.array(out_n, type=pa.string()),
+                    pa.array(out_i, type=pa.string()),
+                ],
+                names=["conv_id", "node", "idom"],
+            )
 
-    return joined.groupBy("conv_id").applyInPandas(
-        per_group, schema="conv_id string, node string, idom string"
+        for batch in batches:
+            keys = batch.column(0).to_pylist()
+            ss = batch.column(1).to_pylist()
+            oo = batch.column(2).to_pylist()
+            ee = batch.column(3).to_pylist()
+            for k, s, o, en in zip(keys, ss, oo, ee):
+                if k != cur_key:
+                    flush()
+                    cur_key = k
+                    cur_entry = en
+                    cur_s = []
+                    cur_o = []
+                cur_s.append(s)
+                cur_o.append(o)
+            if len(out_k) > 500_000:
+                yield emit()
+                out_k, out_n, out_i = [], [], []
+        flush()
+        yield emit()
+
+    return part.mapInArrow(
+        walk, schema="conv_id string, node string, idom string"
     )
 
 
@@ -206,57 +266,110 @@ def control_dependence_grouped(edges: DataFrame, exits: DataFrame) -> DataFrame:
         rev, exits.select("conv_id", F.col("exit").alias("entry"))
     ).select("conv_id", "node", F.col("idom").alias("ipdom"))
 
-    import pandas as pd
-
-    e = edges.select("conv_id", "s", "o").dropDuplicates()
-    joined = e.join(pdom, "conv_id").withColumnRenamed("node", "pd_node")
-
-    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        conv = pdf["conv_id"].iloc[0]
-        ipdom = dict(
-            pdf[["pd_node", "ipdom"]].drop_duplicates().itertuples(index=False)
+    # The edge and post-dominator frames reach the walker as a TAGGED UNION
+    # repartitioned by conversation (ipdom rows tag 0, edge rows tag 1) —
+    # the former ``edges JOIN pdom ON conv_id`` was a per-conversation
+    # cartesian product (|edges| x |nodes| rows into every group), so the
+    # union shuffles |edges| + |nodes| rows instead. The within-partition
+    # sort on (conv_id, tag) hands each group its ipdom map before its
+    # edges. Duplicate edge rows dedup in the walker's edge set.
+    tagged = pdom.select(
+        "conv_id",
+        F.col("node").alias("a"),
+        F.col("ipdom").alias("b"),
+        F.lit(0).alias("t"),
+    ).unionByName(
+        edges.select(
+            "conv_id",
+            F.col("s").alias("a"),
+            F.col("o").alias("b"),
+            F.lit(1).alias("t"),
         )
-        pairs = set()
-        edge_set = set(
-            pdf[["s", "o"]].drop_duplicates().itertuples(index=False, name=None)
-        )
-        # PDF via the standard two-pointer walk: for edge (a, b), runner = a
-        # while runner != ipdom(b): b is control-dependent on runner. The
-        # chain bound RAISES rather than truncating: an ipdom chain longer
-        # than the group's node count means a cyclic ipdom map (impossible
-        # from a well-formed dominator pass) and silently dropping pairs
-        # would be a correctness cliff, not a degradation.
-        max_chain = len(ipdom) + 1
-        for a, b in edge_set:
-            if a not in ipdom or b not in ipdom:
-                continue
-            runner = a
-            stop = ipdom[b]
-            guard = 0
-            while runner != stop:
-                if guard > max_chain:
-                    raise RuntimeError(
-                        f"control_dependence_grouped: ipdom chain exceeds "
-                        f"{max_chain} nodes in group {conv!r} — cyclic ipdom map"
-                    )
-                pairs.add((runner, b))
-                if runner == ipdom.get(runner):
-                    break
-                runner = ipdom.get(runner)
-                if runner is None:
-                    break
-                guard += 1
-        pairs = sorted(pairs)
-        return pd.DataFrame(
-            {
-                "conv_id": conv,
-                "controller": [p[0] for p in pairs],
-                "dependent": [p[1] for p in pairs],
-            }
-        )
+    )
+    part = tagged.repartition(F.col("conv_id")).sortWithinPartitions(
+        "conv_id", "t"
+    )
 
-    return joined.groupBy("conv_id").applyInPandas(
-        per_group, schema="conv_id string, controller string, dependent string"
+    def walk(batches):
+        import pyarrow as pa
+
+        out_k: list = []
+        out_c: list = []
+        out_d: list = []
+        cur_key = None
+        ipdom: dict = {}
+        edge_set: set = set()
+
+        def flush():
+            if cur_key is None or not edge_set:
+                return
+            pairs = set()
+            # PDF via the standard two-pointer walk: for edge (a, b),
+            # runner = a while runner != ipdom(b): b is control-dependent
+            # on runner. The chain bound RAISES rather than truncating: an
+            # ipdom chain longer than the group's node count means a cyclic
+            # ipdom map (impossible from a well-formed dominator pass) and
+            # silently dropping pairs would be a correctness cliff, not a
+            # degradation.
+            max_chain = len(ipdom) + 1
+            for a, b in edge_set:
+                if a not in ipdom or b not in ipdom:
+                    continue
+                runner = a
+                stop = ipdom[b]
+                guard = 0
+                while runner != stop:
+                    if guard > max_chain:
+                        raise RuntimeError(
+                            f"control_dependence_grouped: ipdom chain "
+                            f"exceeds {max_chain} nodes in group "
+                            f"{cur_key!r} — cyclic ipdom map"
+                        )
+                    pairs.add((runner, b))
+                    if runner == ipdom.get(runner):
+                        break
+                    runner = ipdom.get(runner)
+                    if runner is None:
+                        break
+                    guard += 1
+            for c, d in sorted(pairs):
+                out_k.append(cur_key)
+                out_c.append(c)
+                out_d.append(d)
+
+        def emit():
+            return pa.record_batch(
+                [
+                    pa.array(out_k, type=pa.string()),
+                    pa.array(out_c, type=pa.string()),
+                    pa.array(out_d, type=pa.string()),
+                ],
+                names=["conv_id", "controller", "dependent"],
+            )
+
+        for batch in batches:
+            keys = batch.column(0).to_pylist()
+            aa = batch.column(1).to_pylist()
+            bb = batch.column(2).to_pylist()
+            tt = batch.column(3).to_pylist()
+            for k, a, b, t in zip(keys, aa, bb, tt):
+                if k != cur_key:
+                    flush()
+                    cur_key = k
+                    ipdom = {}
+                    edge_set = set()
+                if t == 0:
+                    ipdom[a] = b
+                else:
+                    edge_set.add((a, b))
+            if len(out_k) > 500_000:
+                yield emit()
+                out_k, out_c, out_d = [], [], []
+        flush()
+        yield emit()
+
+    return part.mapInArrow(
+        walk, schema="conv_id string, controller string, dependent string"
     )
 
 
@@ -939,54 +1052,88 @@ def flow_paths_grouped(
     executor-OOM-sized output (restrict sources or switch to the witness
     operator).
     """
-    import pandas as pd
-
     src_set = _collect_node_set(sources, "src")
 
-    def paths(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = pdf[keyed_by].iloc[0]
-        adj: dict[str, set[str]] = {}
-        for s, o in zip(pdf["s"], pdf["o"]):
-            if s != o:
-                adj.setdefault(s, set()).add(o)
-        starts = adj if src_set is None else [s for s in adj if s in src_set]
-        out_src, out_dst, out_hops, out_path = [], [], [], []
-        for start in starts:
-            # iterative DFS carrying the path; a node may appear on many
-            # paths but never twice on one (simple-path discipline)
-            stack: list[tuple[str, ...]] = [(start,)]
-            while stack:
-                path = stack.pop()
-                node = path[-1]
-                for nb in adj.get(node, ()):
-                    if nb in path:
-                        continue
-                    new = path + (nb,)
-                    out_src.append(start)
-                    out_dst.append(nb)
-                    out_hops.append(len(new) - 1)
-                    out_path.append("->".join(new))
-                    if len(new) <= max_hops:
-                        stack.append(new)
-            if len(out_src) > max_paths_per_group:
-                raise ValueError(
-                    f"flow_paths_grouped: group {key!r} exceeds "
-                    f"max_paths_per_group={max_paths_per_group} simple paths; "
-                    "restrict sources= or use flow_witness_grouped"
-                )
-        return pd.DataFrame(
-            {
-                keyed_by: key,
-                "src": out_src,
-                "dst": out_dst,
-                "hops": out_hops,
-                "path": out_path,
-            }
-        )
+    def walk(batches):
+        import pyarrow as pa
 
-    e = edges.select(keyed_by, "s", "o").dropDuplicates([keyed_by, "s", "o"])
-    return e.groupBy(keyed_by).applyInPandas(
-        paths, schema=f"{keyed_by} string, src string, dst string, hops long, path string"
+        out_k: list = []
+        out_src: list = []
+        out_dst: list = []
+        out_hops: list = []
+        out_path: list = []
+        cur_key = None
+        adj: dict = {}
+
+        def flush():
+            if cur_key is None or not adj:
+                return
+            starts = adj if src_set is None else [s for s in adj if s in src_set]
+            n_group = 0
+            for start in starts:
+                # iterative DFS carrying the path; a node may appear on
+                # many paths but never twice on one (simple-path
+                # discipline)
+                stack: list = [(start,)]
+                while stack:
+                    path = stack.pop()
+                    node = path[-1]
+                    for nb in adj.get(node, ()):
+                        if nb in path:
+                            continue
+                        new = path + (nb,)
+                        out_k.append(cur_key)
+                        out_src.append(start)
+                        out_dst.append(nb)
+                        out_hops.append(len(new) - 1)
+                        out_path.append("->".join(new))
+                        n_group += 1
+                        if len(new) <= max_hops:
+                            stack.append(new)
+                if n_group > max_paths_per_group:
+                    raise ValueError(
+                        f"flow_paths_grouped: group {cur_key!r} exceeds "
+                        f"max_paths_per_group={max_paths_per_group} simple "
+                        "paths; restrict sources= or use flow_witness_grouped"
+                    )
+
+        def emit():
+            return pa.record_batch(
+                [
+                    pa.array(out_k, type=pa.string()),
+                    pa.array(out_src, type=pa.string()),
+                    pa.array(out_dst, type=pa.string()),
+                    pa.array(out_hops, type=pa.int64()),
+                    pa.array(out_path, type=pa.string()),
+                ],
+                names=[keyed_by, "src", "dst", "hops", "path"],
+            )
+
+        for batch in batches:
+            keys = batch.column(0).to_pylist()
+            ss = batch.column(1).to_pylist()
+            oo = batch.column(2).to_pylist()
+            for k, s, o in zip(keys, ss, oo):
+                if k != cur_key:
+                    flush()
+                    cur_key = k
+                    adj = {}
+                if s != o:
+                    adj.setdefault(s, set()).add(o)
+            if len(out_k) > 500_000:
+                yield emit()
+                out_k, out_src, out_dst, out_hops, out_path = [], [], [], [], []
+        flush()
+        yield emit()
+
+    # no upstream dropDuplicates — the adjacency SETS absorb duplicate
+    # edges, so the dedup exchange+aggregate would only re-shuffle the
+    # edge table for nothing (same reasoning as reachable_within_grouped).
+    e = edges.select(keyed_by, "s", "o")
+    part = e.repartition(F.col(keyed_by)).sortWithinPartitions(keyed_by)
+    return part.mapInArrow(
+        walk,
+        schema=f"{keyed_by} string, src string, dst string, hops long, path string",
     )
 
 
