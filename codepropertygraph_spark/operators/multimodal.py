@@ -2,7 +2,7 @@
 
 Images/audio/video ride through the pipeline as ``binary`` columns with a
 typed metadata struct; transforms that need a real codec (decode, resize,
-frame-sample) run as Arrow-batched ``mapInPandas`` stages. The codec itself
+frame-sample) run as Arrow-batched ``mapInArrow`` stages. The codec itself
 is STUBBED here (the sandbox has no image/audio libraries): ``decode_stub``
 produces deterministic fake "decoded" metadata from the payload bytes, and
 the real-codec seam is a single clearly-marked function. Everything
@@ -59,31 +59,44 @@ def _decode_one(payload: bytes) -> tuple[int, int, int]:
 
 
 def decode_stub(payloads: DataFrame, batch_hint: int = 1024) -> DataFrame:
-    """Arrow-batched mapInPandas decode: iterator of pandas batches in,
-    decoded-metadata batches out. The batch loop is the real production
-    shape (vectorized transfer, per-batch library calls); only
-    ``_decode_one`` is fake."""
+    """Arrow-batched ``mapInArrow`` decode: record batches in, decoded-
+    metadata batches out. Binary payloads are read straight off the Arrow
+    buffers as ``bytes`` — no pandas hop boxing every payload into an
+    object Series just for Spark to convert it back to Arrow. The batch
+    loop is the real production shape (vectorized transfer, per-batch
+    library calls); only ``_decode_one`` is fake."""
     import hashlib
 
-    import pandas as pd
+    def decode(batches: Iterator) -> Iterator:
+        import pyarrow as pa
 
-    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            dims = [_decode_one(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "n_frames": [d[2] for d in dims],
-                    "content_hash": [
-                        hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
-                    ],
-                }
+        for batch in batches:
+            ids = batch.column(0)
+            pays = [p.as_py() for p in batch.column(1)]
+            dims = [_decode_one(p) for p in pays]
+            yield pa.record_batch(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array([len(p) for p in pays], type=pa.int64()),
+                    pa.array([d[0] for d in dims], type=pa.int32()),
+                    pa.array([d[1] for d in dims], type=pa.int32()),
+                    pa.array([d[2] for d in dims], type=pa.int32()),
+                    pa.array(
+                        [hashlib.md5(p).hexdigest() for p in pays],
+                        type=pa.string(),
+                    ),
+                ],
+                names=[
+                    "doc_id",
+                    "n_bytes",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "content_hash",
+                ],
             )
 
-    return payloads.select("doc_id", "payload").mapInPandas(
+    return payloads.select("doc_id", "payload").mapInArrow(
         decode, schema=DECODED_SCHEMA
     )
 
@@ -116,19 +129,23 @@ def feature_extract_stub(payloads: DataFrame, dim: int = 8) -> DataFrame:
     features flow straight into cosine_topk / embedding_near_dup_pairs."""
     import hashlib
 
-    import pandas as pd
+    def extract(batches: Iterator) -> Iterator:
+        import pyarrow as pa
 
-    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
+        for batch in batches:
             feats = []
-            for p in pdf["payload"]:
-                h = hashlib.md5(bytes(p)).digest()
+            for p in batch.column(1):
+                h = hashlib.md5(p.as_py()).digest()
                 feats.append([((h[i] / 255.0) * 2.0 - 1.0) for i in range(dim)])
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].astype("int64"), "feature": feats}
+            yield pa.record_batch(
+                [
+                    batch.column(0).cast(pa.int64()),
+                    pa.array(feats, type=pa.list_(pa.float32())),
+                ],
+                names=["doc_id", "feature"],
             )
 
-    return payloads.select("doc_id", "payload").mapInPandas(
+    return payloads.select("doc_id", "payload").mapInArrow(
         extract, schema="doc_id long, feature array<float>"
     )
 
