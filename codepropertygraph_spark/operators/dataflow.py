@@ -653,14 +653,15 @@ def _crossing_pairs(
     )
     # the three single-row aggregates are independent scans of the
     # checkpoint-backed summary — collect them as overlapped jobs so the
-    # stats barrier costs max(branch), not sum (guide §2.6).
-    from ..parallel import eager_checkpoints
+    # stats barrier costs max(branch), not sum (guide §2.6). Direct
+    # per-thread collect: ONE job per branch (checkpoint-then-collect
+    # paid two).
+    from ..parallel import collect_all
 
     from types import SimpleNamespace
 
     b_row, e_row, u_row = (
-        df.collect()[0]
-        for df in eager_checkpoints(bridge_agg, endpoint_agg, nund_agg)
+        rows[0] for rows in collect_all(bridge_agg, endpoint_agg, nund_agg)
     )
     stats = SimpleNamespace(**b_row.asDict(), **e_row.asDict(), **u_row.asDict())
     # the depart summary usually broadcasts (an entity-PAIR summary, conv

@@ -13,6 +13,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def collect_all(*dfs: DataFrame) -> tuple[list, ...]:
+    """``collect()`` each frame on its own driver thread; returns the row
+    lists in argument order. For small result frames (single-row stats
+    aggregates) this is ONE job per frame, where checkpoint-then-collect
+    would pay two. Exceptions propagate after every thread has finished."""
+    from pyspark import InheritableThread
+
+    out: list = [None] * len(dfs)
+
+    def _run(i: int, df: DataFrame) -> None:
+        try:
+            out[i] = df.collect()
+        except BaseException as exc:  # re-raised on the caller's thread
+            out[i] = exc
+
+    threads = [
+        InheritableThread(target=_run, args=(i, df)) for i, df in enumerate(dfs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for v in out:
+        if isinstance(v, BaseException):
+            raise v
+    return tuple(out)
+
+
 def eager_checkpoints(*dfs: DataFrame) -> tuple[DataFrame, ...]:
     """``localCheckpoint(eager=True)`` each frame on its own driver thread;
     returns the checkpointed frames in argument order. Exceptions propagate
